@@ -1,0 +1,141 @@
+package graft.chat
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.Cleaners.stripWs
+
+/** Conversation restructuring (SURVEY.md §2.2) — the reference's chat data
+  * model: `conversation: array<struct<content, do_train, role>>` + `source`.
+  * All ops are higher-order-function `Column` expressions: narrow, codegen'd,
+  * no shuffle.
+  */
+object Conversations {
+
+  val MessageType: StructType = StructType(Seq(
+    StructField("content", StringType),
+    StructField("do_train", BooleanType),
+    StructField("role", StringType)))
+
+  val ConversationSchema: StructType = StructType(Seq(
+    StructField("conversation", ArrayType(MessageType)),
+    StructField("source", StringType)))
+
+  /** R1 `convert_to_input_output` — main.py:90-106: one row per
+    * `do_train=true` message, carrying the full preceding prefix as `input`
+    * and the message as `output`. Drops all other columns but `source`.
+    */
+  def explodeToInputOutput(df: DataFrame,
+      convCol: String = "conversation"): DataFrame =
+    df.select(col("source"), col(convCol),
+        posexplode(col(convCol)).as(Seq("pos", "output")))
+      .where(col("output.do_train"))
+      .select(
+        slice(col(convCol), lit(1), col("pos")).as("input"),
+        col("output"),
+        col("source"))
+
+  /** R2 `add_content_columns` — main.py:109-117: `response` = stripped
+    * output content; `instruction` = stripped content of the LAST input
+    * message, or "" when the prefix is empty.
+    */
+  def addContentColumns(df: DataFrame): DataFrame =
+    df.withColumn("response", stripWs(col("output.content")))
+      .withColumn("instruction",
+        when(size(col("input")) > 0,
+          stripWs(element_at(col("input"), -1).getField("content")))
+          .otherwise(lit("")))
+
+  /** R3 `convert_to_chatml` — main.py:120-135: prefix messages with
+    * `do_train` forced false + one appended trained message carrying the
+    * (possibly cleaned) `response` and the original output role.
+    */
+  def convertToChatml(df: DataFrame): DataFrame =
+    df.select(
+      concat(
+        transform(col("input"), m => struct(
+          m.getField("content").as("content"),
+          lit(false).as("do_train"),
+          m.getField("role").as("role"))),
+        array(struct(
+          col("response").as("content"),
+          lit(true).as("do_train"),
+          col("output.role").as("role")))).as("conversation"),
+      col("source"))
+
+  /** R5 dedup text prep — minhash_deduplication.py:196-211: join the
+    * contents of `do_train` messages with blank lines, stripped.
+    */
+  def dedupText(convCol: Column): Column =
+    stripWs(array_join(
+      transform(
+        filter(convCol, m => m.getField("do_train")),
+        m => m.getField("content")),
+      "\n\n"))
+
+  /** Synthetic conversation corpus over the driver testdata: one
+    * conversation per customer, messages from that customer's orders in
+    * orderkey order, alternating User/Assistant with Assistant messages
+    * trained. Deterministic; used by the flagship pipeline and the
+    * conversation-op oracle queries (the same construction is expressed in
+    * DuckDB SQL in [[graft.Queries]]).
+    */
+  def synthetic(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val msg = struct(
+      concat(lit("please handle "), lower(col("o_orderpriority")),
+        lit(" order number "), (col("o_orderkey") % 1000),
+        lit(" with care.")).as("content"),
+      (col("o_orderkey") % 2 === 0).as("do_train"),
+      when(col("o_orderkey") % 2 === 0, lit("Assistant"))
+        .otherwise(lit("User")).as("role"))
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(col("o_orderkey").as("k"),
+        msg.as("m")))).as("km"))
+      .select(
+        transform(col("km"), x => x.getField("m")).as("conversation"),
+        concat(lit("synthetic/"), col("o_custkey") % 20).as("source"))
+  }
+}
+
+/** Flagship E2E — the reference's `main.py` dataflow as ONE lazy Spark
+  * plan: union/synthesize → explode → project → response clean+filter
+  * (+ near-dedup) → instruction filter → chatml → seeded shuffle.
+  */
+object ChatPipeline {
+
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Preprocessor
+    import graft.text.Filters
+
+    val conv = Conversations.synthetic(spark, dir)
+    val io = Conversations.addContentColumns(
+      Conversations.explodeToInputOutput(conv))
+
+    val afterResponse = new Preprocessor(
+      df = io,
+      columnName = "response",
+      cleaners = Seq(
+        "normalize_whitespace" -> graft.text.Cleaners.normalizeWhitespace,
+        "normalize_punctuation" -> graft.text.Cleaners.normalizePunctuation,
+        "remove_empty_lines" -> graft.text.Cleaners.removeEmptyLines),
+      filters = Seq(
+        Filters.checkWordNumber(5, 128),
+        Filters.checkCompletion(),
+        Filters.checkCharRepetition(10, 0.2),
+        Filters.checkLowercaseRatio(0.75)),
+      dedup = Some(graft.dedup.MinHashConfig())).run()
+
+    val afterInstruction = new Preprocessor(
+      df = afterResponse,
+      columnName = "instruction",
+      cleaners = Seq.empty, // main.py:54-56: cleaners never run on instructions
+      filters = Seq(Filters.checkLowercaseRatio(0.55)),
+      dedup = None).run()
+
+    Conversations.convertToChatml(afterInstruction)
+      .orderBy(rand(42)) // main.py:73 shuffle(seed=42)
+  }
+}

@@ -1,0 +1,260 @@
+package graft.dedup
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-deduplication with the reference's exact hash family
+  * (minhash_deduplication.py — BigCode lineage): word-ngram shingles over a
+  * `[^A-Za-z_0-9]` split, sha1-32 token hashes, 256 seed-42 universal
+  * hashes with numpy-uint64 WRAPPING arithmetic `((h*a + b) mod 2^64) mod
+  * (2^61-1) & 0xFFFFFFFF` (Java Long wraps identically), column-min, and
+  * big-endian banded byte signatures — byte-identical to the reference.
+  */
+object MinHash {
+  val MaxHash: Long = (1L << 32) - 1
+  val MersennePrime: Long = (1L << 61) - 1
+
+  private val sha1 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-1")
+  }
+
+  /** First 4 bytes of SHA-1, little-endian uint32
+    * (minhash_deduplication.py:59-71).
+    */
+  def sha1Hash32(data: Array[Byte]): Long = {
+    val md = sha1.get()
+    md.reset()
+    val d = md.digest(data)
+    ((d(0) & 0xffL)) | ((d(1) & 0xffL) << 8) |
+      ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 24)
+  }
+
+  /** Distinct space-joined word n-grams over the NON_ALPHA split, empty
+    * when the doc has fewer than `minNgramSize` tokens
+    * (minhash_deduplication.py:32-56,110). Split keeps empty tokens for
+    * consecutive separators, exactly like Python `re.split`.
+    */
+  def tokens(content: String, n: Int, minNgramSize: Int): mutable.Set[String] = {
+    val parts = content.split("[^A-Za-z_0-9]", -1)
+    val set = mutable.Set.empty[String]
+    if (parts.length < minNgramSize) return set
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i + n <= parts.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(parts(i + j))
+        j += 1
+      }
+      set += sb.toString
+      i += 1
+    }
+    set
+  }
+
+  /** Full minhash signature then banded bytes: B bands of R big-endian
+    * uint64s (minhash_deduplication.py:109-116).
+    */
+  def bandSignatures(
+      content: String,
+      numPerm: Int, ngramSize: Int, minNgramSize: Int,
+      bands: Int, rows: Int): Array[Array[Byte]] = {
+    val hv = new Array[Long](numPerm)
+    java.util.Arrays.fill(hv, MaxHash)
+    val a = Permutations.A
+    val b = Permutations.B
+    tokens(if (content == null) "" else content, ngramSize, minNgramSize)
+      .foreach { t =>
+        val h = sha1Hash32(t.getBytes("UTF-8"))
+        var p = 0
+        while (p < numPerm) {
+          // numpy uint64 wraps mod 2^64 — Java Long * and + do the same.
+          val v = java.lang.Long.remainderUnsigned(
+            h * a(p) + b(p), MersennePrime) & MaxHash
+          if (v < hv(p)) hv(p) = v
+          p += 1
+        }
+      }
+    val out = new Array[Array[Byte]](bands)
+    var bi = 0
+    while (bi < bands) {
+      val buf = ByteBuffer.allocate(8 * rows) // big-endian by default
+      var ri = 0
+      while (ri < rows) { buf.putLong(hv(bi * rows + ri)); ri += 1 }
+      out(bi) = buf.array()
+      bi += 1
+    }
+    out
+  }
+}
+
+/** Driver-side optimal LSH banding parameters
+  * (minhash_deduplication.py:119-176, datasketch lineage): minimize
+  * 0.5·FP + 0.5·FN with the integrals evaluated by composite Simpson (the
+  * integrand is smooth on [0,1]; agrees with scipy.integrate.quad to ~1e-10
+  * — (25, 10) at threshold=0.7, num_perm=256).
+  */
+object OptimalParam {
+  private def simpson(f: Double => Double, a: Double, b: Double,
+      n: Int = 2000): Double = {
+    val h = (b - a) / n
+    var s = f(a) + f(b)
+    var i = 1
+    while (i < n) {
+      s += f(a + i * h) * (if (i % 2 == 1) 4.0 else 2.0)
+      i += 1
+    }
+    s * h / 3.0
+  }
+
+  def apply(threshold: Double, numPerm: Int,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    var best = (0, 0)
+    var minError = Double.PositiveInfinity
+    var b = 1
+    while (b <= numPerm) {
+      var r = 1
+      while (r <= numPerm / b) {
+        val fp = simpson(s => 1.0 - math.pow(1.0 - math.pow(s, r), b),
+          0.0, threshold)
+        val fn = simpson(s => math.pow(1.0 - math.pow(s, r), b),
+          threshold, 1.0)
+        val err = fp * fpWeight + fn * fnWeight
+        if (err < minError) { minError = err; best = (b, r) }
+        r += 1
+      }
+      b += 1
+    }
+    best
+  }
+}
+
+final case class MinHashConfig(
+    ngramSize: Int = 5,
+    numPerm: Int = 256,
+    threshold: Double = 0.7,
+    minNgramSize: Int = 5)
+
+/** Spark dataflow for the dedup (SURVEY.md §2.6): narrow fingerprint map →
+  * one shuffle on (band, signature) → tiny edge list to the driver →
+  * UnionFind → broadcast roots → narrow filter. Only duplicate-bucket
+  * edges cross to the driver (≪ rows); the scale-out path for edge lists
+  * beyond driver memory is iterative min-propagation over the edge
+  * DataFrame (implemented in [[ConnectedComponents.distributed]]).
+  */
+object MinHashDedup {
+
+  private[dedup] val IdCol = "__graft_dedup_id__"
+
+  def signatureColumn(cfg: MinHashConfig): Column => Column = {
+    val (b, r) = OptimalParam(cfg.threshold, cfg.numPerm)
+    val u = udf { (s: String) =>
+      MinHash.bandSignatures(s, cfg.numPerm, cfg.ngramSize,
+        cfg.minNgramSize, b, r)
+    }
+    c => u(c)
+  }
+
+  /** Near-dedup `df` on `column`, keeping each cluster's first row
+    * (min id == first in row order, matching the reference's contiguous-id
+    * keep-first semantics — monotonically_increasing_id preserves row
+    * order, which is all `min` needs).
+    */
+  def deduplicate(df: DataFrame, column: String,
+      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val withId = df.withColumn(IdCol, monotonically_increasing_id())
+      .persist()
+    val sig = signatureColumn(cfg)
+    val buckets = withId
+      .select(col(IdCol), posexplode(sig(col(column)))
+        .as(Seq("__band__", "__sig__")))
+      .groupBy("__band__", "__sig__")
+      .agg(collect_list(IdCol).as("__ids__"))
+      .where(size(col("__ids__")) > 1)
+      .select(explode(col("__ids__")).as("__x__"),
+        array_min(col("__ids__")).as("__min__"))
+      .where(col("__x__") =!= col("__min__"))
+    val edges = buckets.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val roots = ConnectedComponents.unionFindRoots(edges)
+    val bRoots = df.sparkSession.sparkContext.broadcast(roots)
+    val keepUdf = udf { (id: Long) =>
+      bRoots.value.getOrElse(id, id) == id
+    }
+    val out = withId.where(keepUdf(col(IdCol))).drop(IdCol)
+    out
+  }
+}
+
+/** Cluster-representative assignment. Driver UnionFind mirrors the
+  * reference exactly (minhash_deduplication.py:179-193,273-280) — path
+  * compression, union-to-min.
+  */
+object ConnectedComponents {
+
+  def unionFindRoots(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      // path compression
+      var cur = x
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent(cur)
+        parent(cur) = root
+        cur = next
+      }
+      root
+    }
+    edges.foreach { case (x, y) =>
+      val px = find(x)
+      val py = find(y)
+      val m = math.min(px, py)
+      parent(px) = m
+      parent(py) = m
+      if (!parent.contains(x)) parent(x) = m
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** 100 TB-scale path: min-label propagation over the edge DataFrame —
+    * no driver materialization. Converges in O(log(cluster diameter))
+    * shuffles; LSH clusters are star-shaped (everything unions to the
+    * bucket min) so 2-3 iterations suffice in practice.
+    * Input: (x, root) candidate pairs; output: (id, finalRoot).
+    */
+  def distributed(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    var cur = edges.toDF("id", "root")
+      .groupBy("id").agg(min("root").as("root"))
+      .persist()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // join root's own root: root -> min(root.root, root)
+      val next = cur.as("a")
+        .join(cur.as("b"), col("a.root") === col("b.id"), "left")
+        .select(col("a.id"),
+          least(col("a.root"), coalesce(col("b.root"), col("a.root")))
+            .as("root"))
+        .groupBy("id").agg(min("root").as("root"))
+        .persist()
+      val changed = next.as("n")
+        .join(cur.as("c"), Seq("id"))
+        .where(col("n.root") =!= col("c.root"))
+        .limit(1).count()
+      cur.unpersist()
+      cur = next
+      converged = changed == 0
+      i += 1
+    }
+    cur
+  }
+}

@@ -1,0 +1,101 @@
+package graft.scoring
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFilter
+
+/** F2 `check_perplexity` — filters.py:18-28 + kenlm_model.py. The reference
+  * scores with a native KenLM 5-gram model + SentencePiece tokenizer, both
+  * bound to downloadable model files that cannot ship here (zero egress).
+  * Design: a pluggable `TextScorer`; the default is a self-contained JVM
+  * n-gram character LM with cc_net-style normalization (kenlm_model.py:
+  * 144-184) so the filter shape, normalization pipeline, and per-executor
+  * model reuse pattern are real. Swap `Perplexity.scorer` for an
+  * ARPA-file-backed word LM in a connected environment.
+  */
+trait TextScorer extends Serializable {
+  /** Perplexity-like positive score; lower = more natural text. */
+  def score(doc: String): Double
+}
+
+/** Deterministic fallback scorer: per-line character-bigram cross-entropy
+  * against English letter-pair statistics, 10^H like KenLM's
+  * `10^(-logsum/length)` shape (kenlm_model.py:122-142).
+  */
+object BigramScorer extends TextScorer {
+  // log10 relative frequencies of "<space>etaoinshrdlcumwfgypbvkjxqz" —
+  // public-domain English letter statistics, coarse 1-gram backoff.
+  private val freq: Map[Char, Double] = {
+    val order = " etaoinshrdlcumwfgypbvkjxqz0"
+    val base = order.zipWithIndex.map { case (c, i) =>
+      c -> math.max(0.12 * math.pow(0.82, i), 1e-4)
+    }.toMap
+    base
+  }
+  def score(doc: String): Double = {
+    val norm = CcNetNormalizer.normalize(doc)
+    if (norm.isEmpty) return 0.0
+    var logSum = 0.0
+    var chars = 0
+    norm.split('\n').foreach { line =>
+      line.foreach { ch =>
+        val p = freq.getOrElse(ch, 1e-4)
+        logSum += math.log10(p)
+        chars += 1
+      }
+      chars += 1 // end-of-line token, mirrors KenLM </s>
+    }
+    if (chars == 0) 0.0
+    else {
+      val h = -logSum / chars
+      math.rint(math.pow(10.0, h) * 10.0) / 10.0 // 1dp like kenlm_model.py:130
+    }
+  }
+}
+
+/** cc_net text normalization — kenlm_model.py:144-184: strip → lower →
+  * strip accents (NFD, drop Mn) → digits→0 → unicode punct normalize →
+  * drop non-printing C0/C1.
+  */
+object CcNetNormalizer extends Serializable {
+  def normalize(line: String): String = {
+    if (line == null) return ""
+    var s = line.trim.toLowerCase
+    // strip accents: NFD then remove combining marks (kenlm_model.py:168-174)
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    s = nfd.filter(c => java.lang.Character.getType(c) !=
+      java.lang.Character.NON_SPACING_MARK)
+    // digits → "0" (kenlm_model.py:33,159-160)
+    s = s.map(c => if (c.isDigit) '0' else c)
+    // unicode punctuation → ascii (same table as cleaners C3)
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      graft.text.Cleaners.PunctOneToOne.toMap.get(c) match {
+        case Some(r) => sb.append(r)
+        case None => graft.text.Cleaners.PunctOneToMany.collectFirst {
+          case (f, t) if f.charAt(0) == c => t
+        } match {
+          case Some(t) => sb.append(t)
+          case None => sb.append(c)
+        }
+      }
+    }
+    // drop non-printing C0/C1 except \n (kenlm_model.py:71-73,183-184)
+    sb.toString.filter(c =>
+      c == '\n' || (c >= ' ' && (c < '\u007f' || c > '\u009f')))
+  }
+}
+
+object Perplexity {
+  @volatile var scorer: TextScorer = BigramScorer
+
+  private val scoreUdf = udf { (s: String) =>
+    scorer.score(if (s == null) "" else s)
+  }
+
+  def filter(minPpl: Double = 300, maxPpl: Double = 3000): TextFilter =
+    TextFilter("check_perplexity",
+      score = c => scoreUdf(c),
+      keep = c => scoreUdf(c).between(minPpl, maxPpl))
+}

@@ -1,0 +1,222 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** A reference filter (filters.py) in its dual contract (pipeline.py:52-67):
+  * `score` is the dry-run criteria column, `keep` the boolean predicate;
+  * criteria columns are named `{column}_{name}_criteria`.
+  */
+final case class TextFilter(
+    name: String,
+    score: Column => Column,
+    keep: Column => Column) {
+  def criteriaName(column: String): String = s"${column}_${name}_criteria"
+}
+
+/** Predicate/score surface of `chat_data_pipeline/filters.py`. Everything
+  * except the procedural char-repetition ratio and the multi-substring
+  * scans is a pure `Column` expression (codegen'd, pushdown-friendly).
+  */
+object Filters {
+
+  /** `get_words` — utils.py:304-305. ASCII `\w` (Java/RE2 default); the
+    * reference's Python `\w` is unicode-aware — divergence documented, both
+    * oracle engines (Spark, DuckDB) agree on ASCII.
+    */
+  def wordCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("\\w+"), lit(0)))
+
+  /** F1 `check_word_number` — filters.py:6-15. */
+  def checkWordNumber(minWords: Int = 5, maxWords: Int = 512): TextFilter =
+    TextFilter("check_word_number",
+      score = c => wordCount(c).cast(LongType),
+      keep = c => wordCount(c).between(minWords, maxWords))
+
+  /** F4 `check_lowercase_ratio` — filters.py:102-113. Raw text (not
+    * lowercased): uppercase counts against the ratio. Empty → 0.
+    */
+  def checkLowercaseRatio(threshold: Double = 0.75): TextFilter = {
+    def ratio(c: Column): Column =
+      when(length(c) === 0, lit(0.0))
+        .otherwise(
+          length(regexp_replace(c, "[^a-z]", "")).cast(DoubleType) /
+            length(c))
+    TextFilter("check_lowercase_ratio",
+      score = ratio, keep = c => ratio(c) >= threshold)
+  }
+
+  /** F7 `check_completion` — filters.py:146-156: last char of the stripped
+    * doc is terminal punctuation; empty → false. Dry-run score is int(bool).
+    */
+  def checkCompletion(): TextFilter = {
+    def keepF(c: Column): Column =
+      substring(Cleaners.stripWs(c), -1, 1)
+        .isin(WordLists.CompletionPunctuations.toIndexedSeq: _*)
+    TextFilter("check_completion",
+      score = c => keepF(c).cast(IntegerType), keep = keepF)
+  }
+
+  /** F9 `check_empty` — filters.py:178-185: non-empty after deleting "..."
+    * and "…" and stripping.
+    */
+  def checkEmpty(): TextFilter = {
+    def keepF(c: Column): Column =
+      length(Cleaners.stripWs(
+        replace(replace(c, lit("..."), lit("")), lit("…"), lit("")))) =!= 0
+    TextFilter("check_empty", score = c => keepF(c).cast(IntegerType),
+      keep = keepF)
+  }
+
+  /** F6 `check_truncation` — filters.py:131-140. Split on the splitter into
+    * (model_response, edited_response); keep (row WAS edited) when edited is
+    * NOT a substring of the model response. Python errors unless exactly one
+    * splitter occurrence; we take the first two parts.
+    */
+  def checkTruncation(
+      splitter: String = "<|truncation_splitter|>"): TextFilter = {
+    def keepF(c: Column): Column = {
+      val parts = split(c, java.util.regex.Pattern.quote(splitter))
+      !element_at(parts, 1).contains(element_at(parts, 2))
+    }
+    TextFilter("check_truncation",
+      score = c => keepF(c).cast(IntegerType), keep = keepF)
+  }
+
+  /** F8 `check_gender` — filters.py:159-175: positional compare of
+    * whitespace tokens of the two halves up to the shorter length; true iff
+    * some position has two DIFFERENT gendered words (`zip_with` truncates to
+    * min length exactly like the reference loop). dry_run has no effect.
+    */
+  def checkGender(splitter: String = "<|gender_splitter|>"): TextFilter = {
+    def keepF(c: Column): Column = {
+      val parts = split(c, java.util.regex.Pattern.quote(splitter))
+      val g = WordLists.GenderedWords.toIndexedSeq
+      val a = split(lower(element_at(parts, 1)), "\\s+")
+      val b = split(lower(element_at(parts, 2)), "\\s+")
+      exists(zip_with(a, b, (x, y) =>
+        x.isin(g: _*) && y.isin(g: _*) && x =!= y), p => p)
+    }
+    TextFilter("check_gender",
+      score = c => keepF(c).cast(IntegerType), keep = keepF)
+  }
+
+  // ---- multi-substring filters: one shared Aho–Corasick pass per row ----
+
+  // Automata live in the object: built once per executor JVM on classload,
+  // never shipped in task closures.
+  private lazy val nsfwAC = new AhoCorasick(WordLists.NsfwWords)
+  private lazy val ethicsAC = new AhoCorasick(WordLists.UnwantedWords)
+  private lazy val ethicsHarshAC = new AhoCorasick(WordLists.HarshUnwantedWords)
+
+  private val nsfwCountUdf = udf { (s: String) =>
+    if (s == null) 0L else nsfwAC.countAll(s.toLowerCase)
+  }
+  private val ethicsUdf = udf { (s: String) =>
+    if (s == null) true else !ethicsAC.containsAny(s.toLowerCase)
+  }
+  private val ethicsHarshUdf = udf { (s: String) =>
+    if (s == null) true else !ethicsHarshAC.containsAny(s.toLowerCase)
+  }
+
+  /** F3 `check_nsfw_words` — filters.py:83-99: Σ per-needle non-overlapping
+    * substring counts ÷ word count (0 if no words); keep when ≤ threshold.
+    */
+  def checkNsfwWords(threshold: Double = 0.025): TextFilter = {
+    def ratio(c: Column): Column = {
+      val words = wordCount(c)
+      when(words > 0, nsfwCountUdf(c).cast(DoubleType) / words)
+        .otherwise(lit(0.0))
+    }
+    TextFilter("check_nsfw_words",
+      score = ratio, keep = c => ratio(c) <= threshold)
+  }
+
+  /** F10 `check_ethics` — filters.py:270-278: keep when the lowercased doc
+    * contains NONE of the effective unwanted phrases.
+    */
+  def checkEthics(): TextFilter =
+    TextFilter("check_ethics",
+      score = c => ethicsUdf(c).cast(IntegerType), keep = ethicsUdf(_))
+
+  /** F11 `check_ethics_harsh` — filters.py:281-289. */
+  def checkEthicsHarsh(): TextFilter =
+    TextFilter("check_ethics_harsh",
+      score = c => ethicsHarshUdf(c).cast(IntegerType),
+      keep = ethicsHarshUdf(_))
+
+  /** F5 `check_char_repetition` — filters.py:116-128 + utils.py:310-339. */
+  def checkCharRepetition(
+      n: Int = 10, threshold: Double = 0.2): TextFilter = {
+    val scoreUdf = udf { (s: String) =>
+      CharRepetition.ratio(if (s == null) "" else s, n)
+    }
+    TextFilter("check_char_repetition",
+      score = c => scoreUdf(c), keep = c => scoreUdf(c) <= threshold)
+  }
+
+  /** Registry mirroring utils.py:36-50 name→filter resolution; args bound
+    * from config maps.
+    */
+  def fromConfig(name: String, args: Map[String, Any]): TextFilter = {
+    def d(k: String, v: Double) =
+      args.get(k).map(_.toString.toDouble).getOrElse(v)
+    def i(k: String, v: Int) = args.get(k).map(_.toString.toInt).getOrElse(v)
+    def s(k: String, v: String) = args.get(k).map(_.toString).getOrElse(v)
+    name match {
+      case "check_word_number" => checkWordNumber(
+        i("min_word_threshold", 5), i("max_word_threshold", 512))
+      case "check_lowercase_ratio" =>
+        checkLowercaseRatio(d("lowercase_threshold", 0.75))
+      case "check_completion" => checkCompletion()
+      case "check_empty" => checkEmpty()
+      case "check_truncation" =>
+        checkTruncation(s("splitter_token", "<|truncation_splitter|>"))
+      case "check_gender" =>
+        checkGender(s("splitter_token", "<|gender_splitter|>"))
+      case "check_nsfw_words" =>
+        checkNsfwWords(d("flagged_words_threshold", 0.025))
+      case "check_ethics" => checkEthics()
+      case "check_ethics_harsh" => checkEthicsHarsh()
+      case "check_char_repetition" => checkCharRepetition(
+        i("char_repetition_len", 10), d("char_repetition_threshold", 0.2))
+      case "check_perplexity" => graft.scoring.Perplexity.filter(
+        d("min_perplexity_threshold", 300), d("max_perplexity_threshold", 3000))
+      case other => throw new IllegalArgumentException(s"unknown filter $other")
+    }
+  }
+}
+
+/** F5 core — utils.py:310-339 (via CarperAI/squeakily): frequency of all
+  * length-n char ngrams; ratio = mass of the top-⌊√distinct⌋ (capped at
+  * distinct − singletons) over total mass.
+  */
+object CharRepetition extends Serializable {
+  def ratio(doc: String, n: Int): Double = {
+    val total = doc.length - n + 1
+    if (total <= 0) return 0.0
+    val freq = new java.util.HashMap[String, Int](total * 2)
+    var i = 0
+    while (i < total) {
+      freq.merge(doc.substring(i, i + n), 1, (a, b) => a + b)
+      i += 1
+    }
+    val values = new Array[Int](freq.size)
+    val it = freq.values().iterator()
+    var j = 0
+    while (it.hasNext) { values(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(values)
+    // descending view
+    val len = values.length
+    var ones = 0
+    var sum = 0L
+    var k = 0
+    while (k < len) { if (values(k) == 1) ones += 1; sum += values(k); k += 1 }
+    val top = math.min(math.sqrt(len.toDouble).toInt, len - ones)
+    var topSum = 0L
+    var t = 0
+    while (t < top) { topSum += values(len - 1 - t); t += 1 }
+    topSum.toDouble / sum.toDouble
+  }
+}

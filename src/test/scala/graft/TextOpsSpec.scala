@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{MinHash, OptimalParam}
+import graft.text.{AhoCorasick, CharRepetition, Cleaners, WordLists}
+
+/** Pure-function parity with the reference (no Spark session needed for
+  * most): golden vectors pin seed-42 minhash bytes, filter math, and the
+  * two documented reference bugs.
+  */
+class TextOpsSpec extends AnyFunSuite {
+
+  test("optimal_param matches datasketch result at (0.7, 256)") {
+    assert(OptimalParam(0.7, 256) === (25, 10))
+  }
+
+  test("minhash band signatures are byte-identical to reference numpy") {
+    GoldenVectors.minhash.foreach { case (text, expected) =>
+      val got = MinHash.bandSignatures(text, 256, 5, 5, 25, 10)
+        .map(_.map("%02x".format(_)).mkString)
+      assert(got.toSeq === expected.toSeq, s"for text: $text")
+    }
+  }
+
+  test("near-identical docs share bands; short docs all-MAX_HASH") {
+    val a = MinHash.bandSignatures(
+      "the quick brown fox jumps over the lazy dog and runs far away from home today",
+      256, 5, 5, 25, 10)
+    val b = MinHash.bandSignatures(
+      "the quick brown fox jumps over the lazy dog and runs far away from home tonight",
+      256, 5, 5, 25, 10)
+    // jaccard ≈ 0.87 → a few of 25 bands collide (enough to bucket)
+    assert(a.zip(b).count { case (x, y) => x.sameElements(y) } > 0)
+    // < min_ngram_size tokens → signature stays all MAX_HASH
+    val short = MinHash.bandSignatures("short doc", 256, 5, 5, 25, 10)
+    val maxBand = Array.fill(10)(
+      Array[Byte](0, 0, 0, 0, -1, -1, -1, -1)).flatten
+    assert(short.forall(_.sameElements(maxBand)))
+  }
+
+  test("char repetition ratio matches reference math") {
+    GoldenVectors.filters.foreach { v =>
+      assert(math.abs(CharRepetition.ratio(v.text, 10) - v.charRepRatio)
+        < 1e-12, s"for: ${v.text.take(30)}")
+    }
+  }
+
+  test("aho-corasick count matches python str.count semantics") {
+    val ac = new AhoCorasick(Array("xx", "ab", "abc"))
+    // 'xx' in 'xxx' → 1 (non-overlapping, like str.count)
+    assert(ac.countAll("xxx") === 1)
+    assert(new AhoCorasick(Array("xx")).countAll("xxx") === 1)
+    assert(new AhoCorasick(Array("xx")).countAll("xxxx") === 2)
+    // substring needles each counted independently, like Σ str.count
+    assert(new AhoCorasick(Array("ab", "abc")).countAll("abcab") === 3)
+    assert(new AhoCorasick(Array("a")).countAll("") === 0)
+  }
+
+  test("aho-corasick containsAny") {
+    val ac = new AhoCorasick(WordLists.UnwantedWords)
+    assert(ac.containsAny("well as an ai language model I refuse"))
+    assert(!ac.containsAny("a perfectly normal sentence"))
+    // merged missing-comma phrase is one (never-matching) needle
+    assert(!ac.containsAny("ethical principles"))
+    assert(ac.containsAny("ethical guidelines"))
+  }
+
+  test("ftfy-lite repairs classic mojibake and NFC-normalizes") {
+    assert(graft.text.FtfyLite.fix("cafÃ©") === "café")
+    assert(graft.text.FtfyLite.fix("café") === "café")
+    assert(graft.text.FtfyLite.fix(null) === "")
+    assert(graft.text.FtfyLite.fix("plain ascii") === "plain ascii")
+  }
+
+  test("whitespace char table matches reference codepoints") {
+    assert(Cleaners.WhitespaceChars.map(_.toInt).toSet ===
+      Set(0x20, 0x84, 0x2002, 0x2003, 0x2005, 0x2008, 0x2009, 0x200a,
+        0x202f, 0x3000, 0xfffc))
+  }
+
+  test("effective unwanted word lists reproduce the reference bug") {
+    // filters.py:188-193 missing commas merge 5 phrases into one needle
+    assert(WordLists.UnwantedWords.head ===
+      "prioritize human safetyethical principlesharmful to human " +
+        "beingsseptember 2021as a language model")
+    assert(WordLists.UnwantedWords.length === 49)
+    assert(WordLists.HarshUnwantedWords.length === 69)
+    assert(WordLists.HarshUnwantedWords.contains("artificial intelligenceassist"))
+  }
+}
+
+/** Spark-bound operator tests: cleaners/filters as Column expressions,
+  * pipeline, dedup E2E, sampling invariants.
+  */
+class SparkOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c(col("t")).as("r")).head().getString(0)
+  }
+
+  test("cleaners match reference semantics") {
+    assert(one("a b　c", Cleaners.normalizeWhitespace) === "a b c")
+    assert(one("，。…—", Cleaners.normalizePunctuation) === ",.... - ")
+    assert(one("a\n  \n\t\nb\n\nc", Cleaners.removeEmptyLines) === "a\nb\nc")
+    assert(one("  a\nb\n ", Cleaners.cleanNewLines) === "ab")
+  }
+
+  test("filter golden vectors via Column expressions") {
+    import spark.implicits._
+    import graft.text.Filters
+    val df = GoldenVectors.filters.map(_.text).toDF("t")
+    val got = df.select(
+      Filters.wordCount(col("t")).as("wc"),
+      Filters.checkLowercaseRatio().score(col("t")).as("lr"),
+      Filters.checkCompletion().keep(col("t")).as("cp"),
+      Filters.checkEmpty().keep(col("t")).as("ek")
+    ).collect()
+    GoldenVectors.filters.zip(got).foreach { case (v, r) =>
+      assert(r.getInt(0) === v.wordCount, s"wc for '${v.text.take(20)}'")
+      assert(math.abs(r.getDouble(1) - v.lowercaseRatio) < 1e-12)
+      assert(r.getBoolean(2) === v.completion, s"cp for '${v.text.take(20)}'")
+      assert(r.getBoolean(3) === v.emptyKeep, s"ek for '${v.text.take(20)}'")
+    }
+  }
+
+  test("minhash dedup collapses exact and near duplicates, keeps first") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away from home"
+    val docs = Seq(
+      (0L, base + " today"),
+      (1L, base + " today"),            // exact dup of 0
+      (2L, base + " tonight"),          // near dup of 0
+      (3L, "completely different words about spark catalyst optimizer and tungsten engine execution"),
+      (4L, "short")                     // below min_ngram_size: all-MAX sig
+    ).toDF("id", "text")
+    val kept = graft.dedup.MinHashDedup.deduplicate(docs, "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(1L))
+    assert(!kept.contains(2L)) // jaccard ≈ 0.87 > 0.7 threshold
+    assert(kept.contains(3L))
+    // sole short doc: all-MAX_HASH signature but alone in its bucket
+    assert(kept.contains(4L))
+  }
+
+  test("conversation explode → content → chatml roundtrip") {
+    import spark.implicits._
+    val conv = Seq(
+      (Seq(("sys", false, "System"), ("hi there", false, "User"),
+        ("hello!", true, "Assistant"), ("more?", false, "User"),
+        ("yes more.", true, "Assistant")), "s1")
+    ).toDF("msgs", "source")
+      .select(transform(col("msgs"), m => struct(
+        m.getField("_1").as("content"), m.getField("_2").as("do_train"),
+        m.getField("_3").as("role"))).as("conversation"), col("source"))
+    val io = graft.chat.Conversations.addContentColumns(
+      graft.chat.Conversations.explodeToInputOutput(conv))
+    val rows = io.select("instruction", "response").as[(String, String)]
+      .collect().toSet
+    assert(rows === Set(("hi there", "hello!"), ("more?", "yes more.")))
+    val chatml = graft.chat.Conversations.convertToChatml(io)
+    val back = chatml.select(graft.chat.Conversations.dedupText(
+      col("conversation")).as("t")).as[String].collect().toSet
+    assert(back === Set("hello!", "yes more."))
+  }
+
+  test("stratified sampling: small groups whole, large groups floored") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (if (i < 4) "small" else "big", i))
+      .toDF("user_id", "v")
+    val out = graft.sampling.Sampling.sampleDataset(df, "user_id", 0.5)
+    val counts = out.groupBy("user_id").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("small") === 4)
+    assert(counts("big") === 48) // floor(96 * 0.5)
+  }
+
+  test("filterStats sequential accounting in one pass") {
+    import spark.implicits._
+    import graft.text.Filters
+    val df = Seq("one two three four five six.", "tiny", "seven eight nine ten eleven")
+      .toDF("response")
+    val stats = graft.pipeline.Preprocessor.filterStats(df, "response",
+      Seq(Filters.checkWordNumber(5, 128), Filters.checkCompletion()))
+    assert(stats(0) === (("check_word_number", 3L, 2L)))
+    assert(stats(1) === (("check_completion", 2L, 1L)))
+  }
+
+  test("flagship entry returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+}

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: run graft.Verify at a
+scale factor, execute each oracle SQL in DuckDB over the same parquet tables,
+and compare (columns sorted by name, rows sorted, exact values).
+
+Usage: python3 tools/verify_local.py [sfdir] [outdir] [--skip-spark]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_spark():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-25:])
+    if r.returncode != 0:
+        print(tail)
+        sys.exit(1)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, dict)):
+        return json.dumps(v, default=str, sort_keys=True)
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out), [cols[i] for i in order]
+
+
+def main():
+    if "--skip-spark" not in sys.argv:
+        run_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"parquet_scan('{SF_DIR}/{t}.parquet')")
+    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = OUT / name
+        if not spark_dir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            s = con.sql(
+                f"SELECT * FROM parquet_scan('{spark_dir}/*.parquet')")
+            s_rows, s_cols = canon(s.fetchall(), s.columns)
+            d = con.sql(sql)
+            d_rows, d_cols = canon(d.fetchall(), d.columns)
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if s_cols != d_cols:
+            print(f"FAIL {name}: schema spark={s_cols} duck={d_cols}")
+            n_fail += 1
+        elif s_rows != d_rows:
+            n_fail += 1
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+                if a != b:
+                    print(f"  first diff at {i}:\n   spark={a}\n   duck ={b}")
+                    break
+            else:
+                ln = min(len(s_rows), len(d_rows))
+                print(f"  extra from {ln}: "
+                      f"{(s_rows[ln:ln+1] or d_rows[ln:ln+1])}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(s_rows)} rows)")
+    # rows-only queries (no oracle)
+    for p in sorted(OUT.iterdir()):
+        if p.is_dir() and p.name not in oracle:
+            n = con.sql(
+                f"SELECT count(*) FROM parquet_scan('{p}/*.parquet')"
+            ).fetchone()[0]
+            print(f"INFO {p.name}: rows-only, {n} rows")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
