@@ -267,5 +267,6 @@ object Queries {
 
   val all: Seq[QueryDef] = Seq(
     c1, c2, c3, c4, c5,
-    f1, f1score, f3, f4, f5, f6, f7, f8, f9, f10, f11)
+    f1, f1score, f3, f4, f5, f6, f7, f8, f9, f10, f11) ++
+    QueriesChat.all ++ QueriesPipeline.all ++ QueriesExtra.all
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TextAnalysis
+
+/** Training-data-pipeline extras (builder-prompt mandate): text analysis,
+  * similarity search, embedding near-dup — each with a DuckDB oracle where
+  * the math is mirrorable.
+  */
+object QueriesExtra {
+
+  /** Shared SQL fragments mirroring TextAnalysis expression shapes. */
+  private def cntSql(e: String, w: String): String =
+    s"CAST((length($e)-length(replace($e,'$w','')))//${w.length} AS BIGINT)"
+  private def wordsSql(e: String): String =
+    s"len(regexp_extract_all(lower($e), '\\w+'))"
+
+  val taTokens: QueryDef = QueryDef("ta_token_count",
+    (s, dir) => Queries.table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWhitespace(col("text")).as("ws_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe_tokens"),
+        TextAnalysis.wordCount(col("text")).as("words"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
+      "'^\\s+|\\s+$', '', 'g'))=0 THEN 0 ELSE len(regexp_split_to_array(" +
+      "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS " +
+      "ws_tokens, len(regexp_extract_all(text, " +
+      "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens, " +
+      s"${wordsSql("text")} AS words FROM documents ORDER BY doc_id"))
+
+  val taQuality: QueryDef = QueryDef("ta_quality_score",
+    (s, dir) => Queries.table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some {
+      val stop = TextAnalysis.EnStopwords
+        .map(w => cntSql("text", w)).mkString("(", "+", ")")
+      val punct = "(length(text)-length(regexp_replace(text, '[.!?,;:]', " +
+        "'', 'g')))"
+      val words = wordsSql("text")
+      s"SELECT doc_id, 0.4 * least(CAST($words AS DOUBLE)/100.0, 1.0) + " +
+        s"0.3 * (1.0 - CAST($punct AS DOUBLE)/CAST(greatest(length(text),1) " +
+        s"AS DOUBLE)) + 0.3 * least(CAST($stop AS DOUBLE)/CAST(greatest(" +
+        s"$words,1) AS DOUBLE) * 5.0, 1.0) AS quality " +
+        "FROM documents ORDER BY doc_id"
+    })
+
+  val taLangId: QueryDef = QueryDef("ta_lang_id",
+    (s, dir) => Queries.table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id"),
+    Some {
+      val sc = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        lang -> ms.map(w => cntSql("text", w)).mkString("(", "+", ")")
+      }.toMap
+      s"SELECT doc_id, CASE WHEN ${sc("en")} >= ${sc("de")} AND ${sc("en")} " +
+        s">= ${sc("fr")} AND ${sc("en")} >= ${sc("es")} THEN 'en' WHEN " +
+        s"${sc("de")} >= ${sc("fr")} AND ${sc("de")} >= ${sc("es")} THEN " +
+        s"'de' WHEN ${sc("fr")} >= ${sc("es")} THEN 'fr' ELSE 'es' END AS " +
+        "lang_guess FROM documents ORDER BY doc_id"
+    })
+
+  val taFingerprint: QueryDef = QueryDef("ta_fingerprint",
+    (s, dir) => Queries.table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
+      "AS fp FROM documents ORDER BY doc_id"))
+
+  /** Brute-force cosine top-10 against the min-vec_id query vector; ranks
+    * are order-stable across engines (cos gaps ≫ double noise).
+    */
+  val annTopK: QueryDef = QueryDef("ann_bruteforce_topk",
+    (s, dir) => {
+      val emb = Queries.table(s, dir, "embeddings")
+      val query = emb.orderBy("vec_id").limit(1)
+      graft.similarity.Ann
+        .bruteForceTopK(emb, query, "embedding", "vec_id", 10)
+        .select(col("rank"), col("vec_id"))
+        .orderBy("rank")
+    },
+    Some("WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id " +
+      "LIMIT 1), s AS (SELECT e.vec_id, list_dot_product(" +
+      "e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / (sqrt(" +
+      "list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))" +
+      " AS cos FROM embeddings e, q) SELECT row_number() OVER (ORDER BY cos " +
+      "DESC, vec_id) AS rank, vec_id FROM s ORDER BY rank LIMIT 10"))
+
+  /** IVF-bucketed ANN (scale path) — recall vs brute force asserted in
+    * scalatest; cross-engine centroid float sums aren't bit-stable → rows-
+    * only here.
+    */
+  val annIvf: QueryDef = QueryDef("ann_ivf_topk",
+    (s, dir) => {
+      val emb = Queries.table(s, dir, "embeddings")
+      val query = emb.orderBy("vec_id").limit(1)
+      graft.similarity.Ann
+        .ivfTopK(emb, query, "embedding", "vec_id", "label", 10, 3)
+        .select(col("rank"), col("vec_id"))
+        .orderBy("rank")
+    },
+    None)
+
+  /** Embedding near-duplicate pairs within label blocks (blocked cosine
+    * join — the pair-generation stage of embedding dedup).
+    */
+  val embNearPairs: QueryDef = QueryDef("emb_near_pairs",
+    (s, dir) => {
+      val e = Queries.table(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("a"),
+        col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("b"),
+        col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .where(col("a") < col("b"))
+        .where(graft.similarity.Ann.cosine(col("ea"), col("eb")) > 0.35)
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
+    },
+    Some("SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN " +
+      "embeddings b ON a.label=b.label AND a.vec_id < b.vec_id WHERE " +
+      "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))" +
+      " * sqrt(list_dot_product(b.embedding::DOUBLE[], " +
+      "b.embedding::DOUBLE[]))) > 0.35 ORDER BY a, b"))
+
+  val all: Seq[QueryDef] = Seq(
+    taTokens, taQuality, taLangId, taFingerprint, annTopK, annIvf,
+    embNearPairs)
+}

@@ -1,0 +1,80 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k — broadcast the query, one narrow
+  *   codegen'd pass, TakeOrdered for the top-k (no full sort, no shuffle of
+  *   the corpus). The per-row math is `Column`-only (`zip_with` +
+  *   `aggregate`), bit-mirrorable in the DuckDB oracle.
+  * - `ivfTopK`: IVF-style scale path — corpus pre-bucketed by a coarse
+  *   quantizer (here: the `label` cell id, standing in for a k-means
+  *   assignment), probe only the `nprobe` cells whose centroids are nearest
+  *   the query. At 100 TB the corpus is written bucketed/partitioned by
+  *   cell id so a probe prunes partitions at the source.
+  */
+object Ann {
+
+  /** Elementwise-double cosine: cast floats up FIRST (mirrors DuckDB's
+    * `::DOUBLE[]`), sequential left-fold sum.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val da = d(a)
+    val db = d(b)
+    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+  }
+
+  /** Exact top-k rows by cosine against a single query row (DataFrame with
+    * one row holding `embCol`). Deterministic tie-break on `idCol`.
+    */
+  def bruteForceTopK(corpus: DataFrame, query: DataFrame, embCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(embCol).as("__q__")))
+    val scored = corpus.crossJoin(q)
+      .withColumn("__cos__", cosine(col(embCol), col("__q__")))
+    val top = scored
+      .orderBy(col("__cos__").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("__cos__").desc, col(idCol))))
+      .drop("__q__")
+  }
+
+  /** Per-cell centroids: posexplode → groupBy(cell, dim) avg (map-side
+    * combine; one double per (cell × dim) shuffles, never whole vectors) →
+    * reassemble ordered arrays.
+    */
+  def centroids(corpus: DataFrame, embCol: String,
+      cellCol: String): DataFrame =
+    corpus
+      .select(col(cellCol), posexplode(col(embCol)).as(Seq("__i__", "__v__")))
+      .groupBy(col(cellCol), col("__i__"))
+      .agg(avg(col("__v__")).as("__m__"))
+      .groupBy(col(cellCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__i__"), col("__m__")))),
+        s => s.getField("__m__")).as("__centroid__"))
+
+  /** IVF probe: rank cells by centroid similarity to the query, brute-force
+    * only the top `nprobe` cells. `cellCol` is the coarse-quantizer cell id.
+    */
+  def ivfTopK(corpus: DataFrame, query: DataFrame, embCol: String,
+      idCol: String, cellCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, embCol, cellCol)
+    val q = broadcast(query.select(col(embCol).as("__q__")))
+    val probedCells = cents.crossJoin(q)
+      .withColumn("__csim__", cosine(col("__centroid__"), col("__q__")))
+      .orderBy(col("__csim__").desc)
+      .limit(nprobe)
+      .select(col(cellCol))
+    // cell list is tiny → broadcast semi-join prunes the corpus scan
+    val pruned = corpus.join(broadcast(probedCells), Seq(cellCol), "left_semi")
+    bruteForceTopK(pruned, query, embCol, idCol, k)
+  }
+}
