@@ -21,6 +21,16 @@ object Queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) which Spark's reader
+    * rejects; read nanos as long and rebuild a (truncated-to-micros)
+    * timestamp column.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
 
   /** Escape a string for a single-quoted DuckDB literal. */
@@ -268,5 +278,6 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     c1, c2, c3, c4, c5,
     f1, f1score, f3, f4, f5, f6, f7, f8, f9, f10, f11) ++
-    QueriesChat.all ++ QueriesPipeline.all ++ QueriesExtra.all
+    QueriesChat.all ++ QueriesPipeline.all ++ QueriesExtra.all ++
+    QueriesExtra2.all
 }

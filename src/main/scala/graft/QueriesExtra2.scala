@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch 4: multimodal plumbing, event-time windowed aggregation (batch
+  * twin of the streaming query), n-gram Jaccard math, and the remaining
+  * dedup variants (rows-only — transitive clustering is not ANSI-SQL).
+  */
+object QueriesExtra2 {
+
+  /** Multimodal decode: text→binary payloads through the REAL batched
+    * mapPartitions decode path; the stub's arithmetic is mirrored in SQL.
+    */
+  val mmDecode: QueryDef = QueryDef("mm_decode_meta",
+    (s, dir) => {
+      val bin = Queries.table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      graft.multimodal.Multimodal.decodeMeta(bin, "media")
+        .select(col("doc_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.codec").as("codec"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, (octet_length(text::BLOB) % 640) + 16 AS width, " +
+      "((octet_length(text::BLOB) // 3) % 480) + 16 AS height, " +
+      "CASE ord(substr(text,1,1)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
+      "ELSE 'webp' END AS codec FROM documents ORDER BY doc_id"))
+
+  /** Frame-sampling fan-out (video payload → one row per sampled offset). */
+  val mmFrames: QueryDef = QueryDef("mm_frame_sample",
+    (s, dir) => {
+      val bin = Queries.table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      graft.multimodal.Multimodal.frameSample(bin, "media", 10)
+        .select(col("doc_id"), col("frame_offset"))
+        .orderBy("doc_id", "frame_offset")
+    },
+    Some("SELECT doc_id, unnest(generate_series(0, " +
+      "(octet_length(text::BLOB) % 120)::INT, 10)) AS frame_offset " +
+      "FROM documents ORDER BY doc_id, frame_offset"))
+
+  /** Event-time tumbling-window aggregation — the batch twin of
+    * StreamingPipeline.windowedEventCounts (same plan, bounded input).
+    */
+  val evWindowed: QueryDef = QueryDef("ev_windowed_agg",
+    (s, dir) => Queries.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").cast("long").as("window_start_epoch"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start_epoch", "event_type"),
+    Some("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS " +
+      "window_start_epoch, event_type, count(*) AS n, sum(value) AS " +
+      "total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
+
+  /** Exact word-trigram Jaccard between consecutive documents — the
+    * verification stage of two-stage near-dedup, bit-mirrored in SQL.
+    */
+  val ngJaccard: QueryDef = QueryDef("ng_jaccard_pairs",
+    (s, dir) => {
+      val g = graft.dedup.NgramJaccard.wordNgrams(col("text"), 3)
+      val docs = Queries.table(s, dir, "documents")
+      val a = docs.select(col("doc_id").as("a"), g.as("ga"))
+      val b = docs.select((col("doc_id") - 1).as("a"), g.as("gb"))
+      a.join(b, Seq("a"))
+        .select(col("a"),
+          graft.dedup.NgramJaccard.jaccard(col("ga"), col("gb"))
+            .as("jaccard"))
+        .orderBy("a")
+    },
+    Some {
+      val grams = (e: String) =>
+        "(CASE WHEN len(list_filter(regexp_split_to_array(lower(" + e +
+          "), '[^a-z0-9_]+'), x -> x <> '')) < 3 THEN [] ELSE " +
+          "list_distinct(list_transform(range(1, len(list_filter(" +
+          "regexp_split_to_array(lower(" + e + "), '[^a-z0-9_]+'), " +
+          "x -> x <> ''))-1), i -> list_filter(regexp_split_to_array(" +
+          "lower(" + e + "), '[^a-z0-9_]+'), x -> x <> '')[i] || ' ' || " +
+          "list_filter(regexp_split_to_array(lower(" + e +
+          "), '[^a-z0-9_]+'), x -> x <> '')[i+1] || ' ' || " +
+          "list_filter(regexp_split_to_array(lower(" + e +
+          "), '[^a-z0-9_]+'), x -> x <> '')[i+2])) END)"
+      "WITH g AS (SELECT doc_id, " + grams("text") + " AS gr FROM " +
+        "documents), p AS (SELECT a.doc_id AS a, a.gr AS ga, b.gr AS gb " +
+        "FROM g a JOIN g b ON b.doc_id = a.doc_id + 1) SELECT a, CASE " +
+        "WHEN len(list_distinct(ga || gb)) = 0 THEN 0.0 ELSE CAST(len(" +
+        "list_filter(list_distinct(ga), x -> list_contains(gb, x))) AS " +
+        "DOUBLE) / len(list_distinct(ga || gb)) END AS jaccard FROM p " +
+        "ORDER BY a"
+    })
+
+  /** SimHash near-dedup — rows-only (procedural signature). */
+  val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
+    (s, dir) => graft.dedup.SimHash.deduplicate(
+      Queries.table(s, dir, "documents"), "text", maxHamming = 3)
+      .select("doc_id").orderBy("doc_id"),
+    None)
+
+  /** Two-stage (LSH + exact Jaccard) near-dedup — rows-only. */
+  val dedupJaccard: QueryDef = QueryDef("dedup_ngram_jaccard",
+    (s, dir) => graft.dedup.NgramJaccard.deduplicate(
+      Queries.table(s, dir, "documents"), "text", n = 3, threshold = 0.5)
+      .select("doc_id").orderBy("doc_id"),
+    None)
+
+  /** Embedding-cosine near-dedup within label blocks — rows-only. */
+  val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
+    (s, dir) => graft.dedup.EmbeddingDedup.deduplicate(
+      Queries.table(s, dir, "embeddings"), "embedding", "label", 0.35)
+      .select("vec_id").orderBy("vec_id"),
+    None)
+
+  val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
+    dedupSimhash, dedupJaccard, dedupEmbedding)
+}

@@ -106,34 +106,60 @@ object Conversations {
   */
 object ChatPipeline {
 
+  /** The flagship runs off a YAML config mirroring
+    * experiments/tiny-example.yaml — exercising the S7/S8 config → operator
+    * resolution path end-to-end.
+    */
+  val FlagshipYaml: String =
+    """response_config:
+      |  cleaners:
+      |    normalize_whitespace: true
+      |    normalize_punctuation: true
+      |    remove_empty_lines: true
+      |  filters:
+      |    check_word_number:
+      |      args:
+      |        min_word_threshold: 5
+      |        max_word_threshold: 128
+      |    check_completion:
+      |    check_char_repetition:
+      |      args:
+      |        char_repetition_len: 10
+      |        char_repetition_threshold: 0.2
+      |    check_lowercase_ratio:
+      |      args:
+      |        lowercase_threshold: 0.75
+      |  deduplication:
+      |    args:
+      |      ngram_size: 5
+      |      num_perm: 256
+      |      threshold: 0.7
+      |      min_ngram_size: 5
+      |instruction_config:
+      |  filters:
+      |    check_lowercase_ratio:
+      |      args:
+      |        lowercase_threshold: 0.55
+      |""".stripMargin
+
   def flagship(spark: SparkSession, dir: String): DataFrame = {
-    import graft.pipeline.Preprocessor
-    import graft.text.Filters
+    import graft.pipeline.{MiniYaml, PipelineConfig, Preprocessor}
+
+    val cfg = MiniYaml.parse(FlagshipYaml)
+    val respCfg = PipelineConfig.columnConfig(
+      cfg("response_config").asInstanceOf[Map[String, Any]])
+    val instrCfg = PipelineConfig.columnConfig(
+      cfg("instruction_config").asInstanceOf[Map[String, Any]])
 
     val conv = Conversations.synthetic(spark, dir)
     val io = Conversations.addContentColumns(
       Conversations.explodeToInputOutput(conv))
 
-    val afterResponse = new Preprocessor(
-      df = io,
-      columnName = "response",
-      cleaners = Seq(
-        "normalize_whitespace" -> graft.text.Cleaners.normalizeWhitespace,
-        "normalize_punctuation" -> graft.text.Cleaners.normalizePunctuation,
-        "remove_empty_lines" -> graft.text.Cleaners.removeEmptyLines),
-      filters = Seq(
-        Filters.checkWordNumber(5, 128),
-        Filters.checkCompletion(),
-        Filters.checkCharRepetition(10, 0.2),
-        Filters.checkLowercaseRatio(0.75)),
-      dedup = Some(graft.dedup.MinHashConfig())).run()
-
-    val afterInstruction = new Preprocessor(
-      df = afterResponse,
-      columnName = "instruction",
+    val afterResponse = new Preprocessor(io, "response",
+      respCfg.cleaners, respCfg.filters, respCfg.dedup).run()
+    val afterInstruction = new Preprocessor(afterResponse, "instruction",
       cleaners = Seq.empty, // main.py:54-56: cleaners never run on instructions
-      filters = Seq(Filters.checkLowercaseRatio(0.55)),
-      dedup = None).run()
+      filters = instrCfg.filters, dedup = instrCfg.dedup).run()
 
     Conversations.convertToChatml(afterInstruction)
       .orderBy(rand(42)) // main.py:73 shuffle(seed=42)

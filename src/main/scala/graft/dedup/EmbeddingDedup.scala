@@ -1,0 +1,59 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-cosine near-duplicate removal: block (coarse cell id or
+  * random-hyperplane LSH bits), compare pairs only within blocks, cluster
+  * above-threshold pairs, keep each cluster's min id.
+  */
+object EmbeddingDedup {
+
+  /** Random-hyperplane LSH sign bits (seeded, deterministic): blocking key
+    * for cosine similarity — near-identical vectors agree on all bits with
+    * high probability.
+    */
+  def hyperplaneBits(dim: Int, nBits: Int, seed: Long = 42): Column => Column = {
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val u = udf { (v: Seq[Float]) =>
+      var key = 0L
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        var i = 0
+        val p = planes(b)
+        while (i < math.min(dim, v.length)) { dot += p(i) * v(i); i += 1 }
+        if (dot >= 0) key |= (1L << b)
+        b += 1
+      }
+      key
+    }
+    c => u(c)
+  }
+
+  /** Dedup `df` keeping one row per cosine-cluster (≥ `threshold` within
+    * `blockCol` blocks). Pass an existing cell column (e.g. an IVF label)
+    * or pre-compute one with [[hyperplaneBits]].
+    */
+  def deduplicate(df: DataFrame, embCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val withId = df
+      .withColumn(MinHashDedup.IdCol, monotonically_increasing_id())
+      .persist()
+    val a = withId.select(col(blockCol).as("blk"),
+      col(MinHashDedup.IdCol).as("xid"), col(embCol).as("ea"))
+    val b = withId.select(col(blockCol).as("blk"),
+      col(MinHashDedup.IdCol).as("yid"), col(embCol).as("eb"))
+    val edges = a.join(b, Seq("blk"))
+      .where(col("xid") < col("yid"))
+      .where(graft.similarity.Ann.cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("yid"), col("xid"))
+      .groupBy("yid").agg(min("xid").as("xid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val roots = ConnectedComponents.unionFindRoots(edges)
+    val bRoots = df.sparkSession.sparkContext.broadcast(roots)
+    val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
+    withId.where(keepUdf(col(MinHashDedup.IdCol))).drop(MinHashDedup.IdCol)
+  }
+}

@@ -1,0 +1,201 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+
+import graft.text.{Cleaners, Filters, TextFilter}
+
+/** S7/S8: YAML pipeline config → resolved operator stacks, mirroring the
+  * reference's config shape (experiments/tiny-example.yaml, utils.py:18-50).
+  * The parser is a minimal purpose-built YAML subset (nested maps, lists,
+  * scalars, comments) — enough for the reference's config language, zero
+  * dependencies.
+  */
+object MiniYaml {
+
+  /** Parse a YAML-subset document into Map[String, Any]
+    * (Any = String | Boolean | Int | Double | Null | Map | List).
+    */
+  def parse(text: String): Map[String, Any] = {
+    val lines = text.linesIterator
+      .map(l => l.takeWhile(_ != '#'))
+      .filter(_.trim.nonEmpty)
+      .toVector
+    val (result, _) = parseBlock(lines, 0, 0)
+    result match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case other => Map("value" -> other)
+    }
+  }
+
+  private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
+
+  private def scalar(s: String): Any = s.trim match {
+    case "" | "null" | "~" => null
+    case "true" => true
+    case "false" => false
+    case v if v.startsWith("\"") && v.endsWith("\"") && v.length >= 2 =>
+      v.substring(1, v.length - 1)
+    case v if v.startsWith("'") && v.endsWith("'") && v.length >= 2 =>
+      v.substring(1, v.length - 1)
+    case v => try { v.toInt } catch {
+      case _: NumberFormatException => try { v.toDouble } catch {
+        case _: NumberFormatException => v
+      }
+    }
+  }
+
+  /** Parse the block starting at `i` with indentation `indent`; returns
+    * (value, next line index).
+    */
+  private def parseBlock(lines: Vector[String], i: Int,
+      indent: Int): (Any, Int) = {
+    if (i >= lines.length) return (null, i)
+    if (lines(i).trim.startsWith("- ") || lines(i).trim == "-") {
+      // list block
+      val items = mutable.ListBuffer.empty[Any]
+      var cur = i
+      while (cur < lines.length && indentOf(lines(cur)) == indent &&
+        lines(cur).trim.startsWith("-")) {
+        val rest = lines(cur).trim.drop(1).trim
+        if (rest.isEmpty) {
+          val (v, next) = parseBlock(lines, cur + 1, indent + 2)
+          items += v
+          cur = next
+        } else {
+          items += scalar(rest)
+          cur += 1
+        }
+      }
+      (items.toList, cur)
+    } else {
+      // map block
+      val m = mutable.LinkedHashMap.empty[String, Any]
+      var cur = i
+      while (cur < lines.length && indentOf(lines(cur)) == indent &&
+        lines(cur).contains(":")) {
+        val line = lines(cur).trim
+        val key = line.takeWhile(_ != ':').trim
+        val rest = line.dropWhile(_ != ':').drop(1).trim
+        if (rest.nonEmpty) {
+          m(key) = scalar(rest)
+          cur += 1
+        } else if (cur + 1 < lines.length &&
+          indentOf(lines(cur + 1)) > indent) {
+          val (v, next) = parseBlock(lines, cur + 1, indentOf(lines(cur + 1)))
+          m(key) = v
+          cur = next
+        } else {
+          m(key) = null
+          cur += 1
+        }
+      }
+      (m.toMap, cur)
+    }
+  }
+}
+
+/** Resolved per-column pipeline configuration (the reference's
+  * `instruction_config` / `response_config` shape).
+  */
+final case class ColumnConfig(
+    cleaners: Seq[(String, Column => Column)],
+    filters: Seq[TextFilter],
+    dedup: Option[graft.dedup.MinHashConfig])
+
+object PipelineConfig {
+
+  /** utils.py:23-33: cleaners are a name→bool map. */
+  def cleanersFrom(config: Map[String, Any]): Seq[(String, Column => Column)] =
+    config.get("cleaners") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.toSeq.collect { case (name, true) =>
+          name -> Cleaners.registry.getOrElse(name,
+            throw new IllegalArgumentException(s"unknown cleaner $name"))
+        }
+      case _ => Seq.empty
+    }
+
+  /** utils.py:36-50: filters are name→{args: {...}} with kwarg binding. */
+  def filtersFrom(config: Map[String, Any]): Seq[TextFilter] =
+    config.get("filters") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.toSeq.map { case (name, v) =>
+          val args = v match {
+            case vm: Map[String @unchecked, Any @unchecked] =>
+              vm.get("args") match {
+                case Some(am: Map[String @unchecked, Any @unchecked]) => am
+                case _ => Map.empty[String, Any]
+              }
+            case _ => Map.empty[String, Any]
+          }
+          Filters.fromConfig(name, args)
+        }
+      case _ => Seq.empty
+    }
+
+  /** minhash_deduplication.py:214-221 defaults. */
+  def dedupFrom(config: Map[String, Any]): Option[graft.dedup.MinHashConfig] =
+    config.get("deduplication") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) if m.nonEmpty =>
+        val args = m.get("args") match {
+          case Some(am: Map[String @unchecked, Any @unchecked]) => am
+          case _ => m
+        }
+        def i(k: String, d: Int) =
+          args.get(k).map(_.toString.toInt).getOrElse(d)
+        def dd(k: String, d: Double) =
+          args.get(k).map(_.toString.toDouble).getOrElse(d)
+        Some(graft.dedup.MinHashConfig(
+          ngramSize = i("ngram_size", 5),
+          numPerm = i("num_perm", 256),
+          threshold = dd("threshold", 0.7),
+          minNgramSize = i("min_ngram_size", 5)))
+      case _ => None
+    }
+
+  def columnConfig(config: Map[String, Any]): ColumnConfig =
+    ColumnConfig(cleanersFrom(config), filtersFrom(config),
+      dedupFrom(config))
+}
+
+/** P11 canonical preset stacks — utils.py:53-139 thresholds. */
+object Presets {
+
+  /** get_output_text_cleaners — utils.py:53-60. */
+  val outputTextCleaners: Seq[(String, Column => Column)] = Seq(
+    "normalize_whitespace" -> Cleaners.normalizeWhitespace,
+    "normalize_punctuation" -> Cleaners.normalizePunctuation,
+    "fix_utf8_encoding" -> Cleaners.fixUtf8Encoding,
+    "remove_empty_lines" -> Cleaners.removeEmptyLines)
+
+  /** get_input_text_cleaners — utils.py:63-68. */
+  val inputTextCleaners: Seq[(String, Column => Column)] = Seq(
+    "normalize_whitespace" -> Cleaners.normalizeWhitespace,
+    "remove_empty_lines" -> Cleaners.removeEmptyLines)
+
+  /** get_output_text_filters — utils.py:71-107 (word 5..128, completion,
+    * char-rep 0.2, lowercase 0.75, optional nsfw 0.025 / ppl 300..10000).
+    */
+  def outputTextFilters(filterNsfw: Boolean = false,
+      filterPerplexity: Boolean = false): Seq[TextFilter] = {
+    val base = Seq(
+      Filters.checkWordNumber(5, 128),
+      Filters.checkCompletion(),
+      Filters.checkCharRepetition(10, 0.2),
+      Filters.checkLowercaseRatio(0.75))
+    val nsfw = if (filterNsfw) Seq(Filters.checkNsfwWords(0.025)) else Nil
+    val ppl = if (filterPerplexity)
+      Seq(graft.scoring.Perplexity.filter(300, 10000)) else Nil
+    base ++ nsfw ++ ppl
+  }
+
+  /** get_input_text_filters — utils.py:122-129. */
+  val inputTextFilters: Seq[TextFilter] =
+    Seq(Filters.checkLowercaseRatio(0.55))
+
+  /** get_truncation_filters — utils.py:132-139. */
+  def truncationFilters(splitterToken: String): Seq[TextFilter] =
+    Seq(Filters.checkTruncation(splitterToken))
+}

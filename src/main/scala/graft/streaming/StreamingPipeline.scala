@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (an extension beyond the batch-only
+  * reference — SURVEY §1.4 notes the reference has no streaming):
+  * the same clean/filter operators run unchanged on streams (stateless
+  * projections/predicates), plus watermarked windowed aggregation and a
+  * stateful sessionizer over the `events` table shape.
+  */
+object StreamingPipeline {
+
+  /** The cleaners/filters are stateless Column expressions — identical
+    * code path for batch and streaming DataFrames.
+    */
+  def cleanFilter(stream: DataFrame, column: String,
+      cleaners: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)],
+      filters: Seq[graft.text.TextFilter]): DataFrame =
+    graft.pipeline.Preprocessor.applyFilters(
+      graft.pipeline.Preprocessor.clean(stream, column, cleaners),
+      column, filters)
+
+  /** Watermarked tumbling-window counts per event type. Output columns:
+    * (window_start_epoch, event_type, n, total_value).
+    */
+  def windowedEventCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").cast("long").as("window_start_epoch"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+  final case class Session(user_id: Long, events: Long, totalValue: Double,
+      closed: Boolean)
+
+  /** Stateful sessionization via mapGroupsWithState: accumulate per-user
+    * counts, close the session on processing-time timeout.
+    */
+  def sessionize(events: Dataset[Event],
+      timeout: String = "30 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.copy(closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(Session(uid, 0L, 0.0, closed = false))
+            var n = prev.events
+            var v = prev.totalValue
+            it.foreach { e => n += 1; v += e.value }
+            val next = Session(uid, n, v, closed = false)
+            state.update(next)
+            state.setTimeoutDuration(timeout)
+            next
+          }
+      }
+  }
+
+  /** Read the events table as a (bounded) stream — lets every batch test
+    * drive the streaming path synchronously with `processAllAvailable`.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-source streams take a directory; glob down to the one table
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the scale extras: dedup variants, ANN recall, multimodal
+  * plumbing, streaming parity, YAML config resolution.
+  */
+class ExtrasSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("mini-yaml parses the reference config shape") {
+    val cfg = graft.pipeline.MiniYaml.parse(
+      """datasets:
+        |  - dataset_path: some/path
+        |  - dataset_path: other/path
+        |output_dataset_path: out/path
+        |verbose: true
+        |response_config:
+        |  cleaners:
+        |    normalize_whitespace: true
+        |    fix_utf8_encoding: false
+        |  filters:
+        |    check_word_number:
+        |      args:
+        |        min_word_threshold: 5
+        |        max_word_threshold: 128
+        |    check_completion:
+        |  deduplication:
+        |    args:
+        |      ngram_size: 5
+        |      threshold: 0.7
+        |""".stripMargin)
+    assert(cfg("verbose") === true)
+    assert(cfg("datasets").asInstanceOf[List[Any]].size === 2)
+    val rc = cfg("response_config").asInstanceOf[Map[String, Any]]
+    val col = graft.pipeline.PipelineConfig.columnConfig(rc)
+    assert(col.cleaners.map(_._1) === Seq("normalize_whitespace"))
+    assert(col.filters.map(_.name) ===
+      Seq("check_word_number", "check_completion"))
+    assert(col.dedup === Some(graft.dedup.MinHashConfig(5, 256, 0.7, 5)))
+  }
+
+  test("simhash: identical docs collapse, distinct survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "spark catalyst tungsten codegen shuffle partitions broadcast join strategy")
+    ).toDF("id", "text")
+    val kept = graft.dedup.SimHash.deduplicate(docs, "text", 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(1L)) // exact dup collapses
+    // near-dup collapses iff its actual signature distance is ≤ 3
+    val d02 = java.lang.Long.bitCount(
+      graft.dedup.SimHash.simhash64(
+        "the quick brown fox jumps over the lazy dog near the river bank") ^
+        graft.dedup.SimHash.simhash64(
+          "the quick brown fox jumps over the lazy dog near the river bend"))
+    assert(kept.contains(2L) === (d02 > 3), s"hamming=$d02")
+    assert(kept.contains(3L))
+  }
+
+  test("ngram jaccard column math and two-stage dedup") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e", "a b c d e"),
+      ("a b c d e", "f g h i j"),
+      ("a b c d e f", "b c d e f g")
+    ).toDF("x", "y")
+    val j = df.select(graft.dedup.NgramJaccard.jaccard(
+      graft.dedup.NgramJaccard.wordNgrams(col("x"), 3),
+      graft.dedup.NgramJaccard.wordNgrams(col("y"), 3)).as("j"))
+      .as[Double].collect()
+    assert(j(0) === 1.0)
+    assert(j(1) === 0.0)
+    // x grams: abc bcd cde def; y grams: bcd cde def efg → 3/5
+    assert(math.abs(j(2) - 0.6) < 1e-12)
+
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val docs = Seq((0L, base), (1L, base), (2L, "totally different content here about query engines and columnar formats"))
+      .toDF("id", "text")
+    val kept = graft.dedup.NgramJaccard.deduplicate(docs, "text", 3, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L))
+  }
+
+  test("embedding dedup collapses near-identical vectors in a block") {
+    import spark.implicits._
+    val v = Array.fill(8)(0.5f)
+    val v2 = v.clone(); v2(0) = 0.5001f          // cos ≈ 1
+    val w = Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f) // cos ≈ 0
+    val df = Seq((0L, 1, v.toSeq), (1L, 1, v2.toSeq), (2L, 1, w.toSeq),
+      (3L, 2, v.toSeq)) // same vector, different block → survives
+      .toDF("vec_id", "label", "embedding")
+    val kept = graft.dedup.EmbeddingDedup
+      .deduplicate(df, "embedding", "label", 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 3L))
+  }
+
+  test("hyperplane LSH bits agree for identical vectors") {
+    import spark.implicits._
+    val bits = graft.dedup.EmbeddingDedup.hyperplaneBits(4, 16)
+    val df = Seq((0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(1f, 2f, 3f, 4f)))
+      .toDF("id", "e")
+    val keys = df.select(bits(col("e"))).as[Long].collect()
+    assert(keys(0) === keys(1))
+  }
+
+  test("ivf ann reaches brute-force results when probing the right cell") {
+    val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.orderBy("vec_id").limit(1)
+    val brute = graft.similarity.Ann
+      .bruteForceTopK(emb, query, "embedding", "vec_id", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivfAll = graft.similarity.Ann
+      .ivfTopK(emb, query, "embedding", "vec_id", "label", 10, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfAll === brute) // nprobe = all cells → exact
+    val ivf3 = graft.similarity.Ann
+      .ivfTopK(emb, query, "embedding", "vec_id", "label", 10, 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf3.size === 10) // recall < 1 allowed, shape correct
+  }
+
+  test("multimodal decode plumbing: batch path == udf path") {
+    import spark.implicits._
+    val bin = Seq((1L, "hello world"), (2L, "x"), (3L, ""))
+      .toDF("id", "t")
+      .select(col("id"), col("t").cast("binary").as("media"))
+    val viaBatch = graft.multimodal.Multimodal.decodeMeta(bin, "media")
+      .select("id", "meta.width", "meta.height", "meta.codec")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val viaUdf = bin.withColumn("meta",
+      graft.multimodal.Multimodal.decodeMetaUdf(col("media")))
+      .select("id", "meta.width", "meta.height", "meta.codec")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(viaBatch === viaUdf)
+    assert(viaBatch.size === 3)
+    // resize keeps aspect-ish floor semantics
+    val resized = bin.withColumn("meta",
+      graft.multimodal.Multimodal.decodeMetaUdf(col("media")))
+      .select(graft.multimodal.Multimodal.resizeMeta(col("meta"), 10))
+      .collect()
+    resized.foreach { r =>
+      val m = r.getStruct(0)
+      assert(m.getInt(0) <= 10 && m.getInt(1) <= 10)
+    }
+  }
+
+  test("streaming windowed agg matches its batch twin") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = QueriesExtra2.evWindowed.run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.StreamingPipeline.windowedEventCounts(
+      graft.streaming.StreamingPipeline.eventsStream(spark, dir)
+        .withColumn("ts",
+          timestamp_micros((col("ts") / 1000).cast("long"))))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("winagg")
+      .orderBy("window_start_epoch", "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(got === batch)
+  }
+
+  test("streaming clean+filter runs the same operators as batch") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val cleaned = graft.streaming.StreamingPipeline.cleanFilter(
+      stream, "text",
+      Seq("normalize_whitespace" -> graft.text.Cleaners.normalizeWhitespace),
+      Seq(graft.text.Filters.checkWordNumber(20, 60)))
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("cf").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cf").count()
+    val batch = Queries.table(spark, dir, "documents")
+      .where(graft.text.Filters.checkWordNumber(20, 60).keep(col("text")))
+      .count()
+    assert(streamed === batch)
+  }
+
+  test("renames: dry-run prefixing skips protected and prefixed columns") {
+    import spark.implicits._
+    val df = Seq((1, "a", "b", 0.5)).toDF("user_id", "output_text",
+      "other", "score__x")
+    val out = graft.pipeline.Renames.renameDryRunColumns(df, "resp")
+    assert(out.columns.toSet ===
+      Set("user_id", "output_text", "resp__other", "score__x"))
+  }
+}
