@@ -41,13 +41,19 @@ object EmbeddingDedup {
     val withId = df
       .withColumn(MinHashDedup.IdCol, monotonically_increasing_id())
       .persist()
-    val a = withId.select(col(blockCol).as("blk"),
-      col(MinHashDedup.IdCol).as("xid"), col(embCol).as("ea"))
-    val b = withId.select(col(blockCol).as("blk"),
-      col(MinHashDedup.IdCol).as("yid"), col(embCol).as("eb"))
+    import graft.similarity.Ann
+    // norms once per row, NOT per pair
+    val normed = withId.select(col(blockCol).as("blk"),
+      col(MinHashDedup.IdCol).as("nid"), col(embCol).as("e"),
+      Ann.norm(col(embCol)).as("nn"))
+    val a = normed.select(col("blk"), col("nid").as("xid"),
+      col("e").as("ea"), col("nn").as("na"))
+    val b = normed.select(col("blk"), col("nid").as("yid"),
+      col("e").as("eb"), col("nn").as("nb"))
     val edges = a.join(b, Seq("blk"))
       .where(col("xid") < col("yid"))
-      .where(graft.similarity.Ann.cosine(col("ea"), col("eb")) >= threshold)
+      .where(Ann.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+        >= threshold)
       .select(col("yid"), col("xid"))
       .groupBy("yid").agg(min("xid").as("xid"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))

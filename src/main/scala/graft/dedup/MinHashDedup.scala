@@ -115,8 +115,17 @@ object OptimalParam {
     s * h / 3.0
   }
 
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Int, Double, Double),
+      (Int, Int)]()
+
   def apply(threshold: Double, numPerm: Int,
-      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) =
+    memo.computeIfAbsent((threshold, numPerm, fpWeight, fnWeight),
+      _ => compute(threshold, numPerm, fpWeight, fnWeight))
+
+  private def compute(threshold: Double, numPerm: Int,
+      fpWeight: Double, fnWeight: Double): (Int, Int) = {
     var best = (0, 0)
     var minError = Double.PositiveInfinity
     var b = 1

@@ -39,22 +39,27 @@ object NgramJaccard {
       .persist()
     val sig = MinHashDedup.signatureColumn(cfg.copy(ngramSize = n,
       minNgramSize = n, threshold = threshold))
-    val grams = withId.select(col(MinHashDedup.IdCol).as("id"),
-      wordNgrams(col(column), n).as("g"),
+    // Candidate edges are STAR-SHAPED per bucket (each member vs the bucket
+    // min — the reference's own union-to-min shape): O(bucket) edges, not
+    // O(bucket²) pairs, and only bare id pairs shuffle — the n-gram arrays
+    // are joined back just for the verification stage.
+    val banded = withId.select(col(MinHashDedup.IdCol).as("id"),
       posexplode(sig(col(column))).as(Seq("band", "bsig")))
-    val candidates = grams.groupBy("band", "bsig")
-      .agg(collect_list(struct(col("id"), col("g"))).as("bucket"))
-      .where(size(col("bucket")) > 1)
-      .select(explode(col("bucket")).as("a"), col("bucket"))
-      .select(col("a"), explode(col("bucket")).as("b"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("x"), col("b.id").as("y"),
-        col("a.g").as("ga"), col("b.g").as("gb"))
-      .dropDuplicates("x", "y")
+    val candidates = banded.groupBy("band", "bsig")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("x"), array_min(col("ids")).as("y"))
+      .where(col("x") =!= col("y"))
+      .distinct()
+    val grams = withId.select(col(MinHashDedup.IdCol).as("gid"),
+      wordNgrams(col(column), n).as("g")).persist()
     val verified = candidates
+      .join(grams.select(col("gid").as("x"), col("g").as("ga")), Seq("x"))
+      .join(grams.select(col("gid").as("y"), col("g").as("gb")), Seq("y"))
       .where(jaccard(col("ga"), col("gb")) >= threshold)
-      .select(col("y"), col("x")).groupBy("y").agg(min("x").as("x"))
+      .select(col("x"), col("y")).groupBy("x").agg(min("y").as("y"))
     val edges = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+    grams.unpersist()
     val roots = ConnectedComponents.unionFindRoots(edges)
     val bRoots = df.sparkSession.sparkContext.broadcast(roots)
     val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }

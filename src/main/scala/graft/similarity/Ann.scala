@@ -18,26 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Elementwise-double cosine: cast floats up FIRST (mirrors DuckDB's
+  /** Double-precision dot product: cast floats up FIRST (mirrors DuckDB's
     * `::DOUBLE[]`), sequential left-fold sum.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def dot(a: Column, b: Column): Column = {
     def d(c: Column) = transform(c, x => x.cast("double"))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    val da = d(a)
-    val db = d(b)
-    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+    aggregate(zip_with(d(a), d(b), (p, q) => p * q), lit(0.0),
+      (acc, v) => acc + v)
   }
+
+  /** L2 norm (double). Precompute ONCE per row before a pair join — norms
+    * recomputed per pair are 2/3 of the cosine work.
+    */
+  def norm(c: Column): Column = sqrt(dot(c, c))
+
+  /** Elementwise-double cosine (per-pair norms; prefer dot/norm columns in
+    * join-heavy paths).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k rows by cosine against a single query row (DataFrame with
     * one row holding `embCol`). Deterministic tie-break on `idCol`.
     */
   def bruteForceTopK(corpus: DataFrame, query: DataFrame, embCol: String,
       idCol: String, k: Int): DataFrame = {
-    val q = broadcast(query.select(col(embCol).as("__q__")))
+    val q = broadcast(query.select(col(embCol).as("__q__"),
+      norm(col(embCol)).as("__qn__"))) // query norm computed once
     val scored = corpus.crossJoin(q)
-      .withColumn("__cos__", cosine(col(embCol), col("__q__")))
+      .withColumn("__cos__",
+        dot(col(embCol), col("__q__")) / (norm(col(embCol)) * col("__qn__")))
     val top = scored
       .orderBy(col("__cos__").desc, col(idCol))
       .limit(k)

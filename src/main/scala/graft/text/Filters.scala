@@ -102,23 +102,9 @@ object Filters {
       score = c => keepF(c).cast(IntegerType), keep = keepF)
   }
 
-  // ---- multi-substring filters: one shared Aho–Corasick pass per row ----
-
-  // Automata live in the object: built once per executor JVM on classload,
-  // never shipped in task closures.
-  private lazy val nsfwAC = new AhoCorasick(WordLists.NsfwWords)
-  private lazy val ethicsAC = new AhoCorasick(WordLists.UnwantedWords)
-  private lazy val ethicsHarshAC = new AhoCorasick(WordLists.HarshUnwantedWords)
-
-  private val nsfwCountUdf = udf { (s: String) =>
-    if (s == null) 0L else nsfwAC.countAll(s.toLowerCase)
-  }
-  private val ethicsUdf = udf { (s: String) =>
-    if (s == null) true else !ethicsAC.containsAny(s.toLowerCase)
-  }
-  private val ethicsHarshUdf = udf { (s: String) =>
-    if (s == null) true else !ethicsHarshAC.containsAny(s.toLowerCase)
-  }
+  // ---- multi-substring filters: one shared Aho–Corasick pass per row,
+  // as codegen'd Catalyst expressions (MultiMatchExpr) — they stay inside
+  // WholeStageCodegen, unlike ScalaUDFs ----
 
   /** F3 `check_nsfw_words` — filters.py:83-99: Σ per-needle non-overlapping
     * substring counts ÷ word count (0 if no words); keep when ≤ threshold.
@@ -126,7 +112,9 @@ object Filters {
   def checkNsfwWords(threshold: Double = 0.025): TextFilter = {
     def ratio(c: Column): Column = {
       val words = wordCount(c)
-      when(words > 0, nsfwCountUdf(c).cast(DoubleType) / words)
+      when(words > 0,
+        MultiMatch.countMatches(c, WordLists.NsfwWords).cast(DoubleType) /
+          words)
         .otherwise(lit(0.0))
     }
     TextFilter("check_nsfw_words",
@@ -136,15 +124,20 @@ object Filters {
   /** F10 `check_ethics` — filters.py:270-278: keep when the lowercased doc
     * contains NONE of the effective unwanted phrases.
     */
-  def checkEthics(): TextFilter =
+  def checkEthics(): TextFilter = {
+    def keepF(c: Column): Column =
+      !MultiMatch.containsAny(c, WordLists.UnwantedWords)
     TextFilter("check_ethics",
-      score = c => ethicsUdf(c).cast(IntegerType), keep = ethicsUdf(_))
+      score = c => keepF(c).cast(IntegerType), keep = keepF)
+  }
 
   /** F11 `check_ethics_harsh` — filters.py:281-289. */
-  def checkEthicsHarsh(): TextFilter =
+  def checkEthicsHarsh(): TextFilter = {
+    def keepF(c: Column): Column =
+      !MultiMatch.containsAny(c, WordLists.HarshUnwantedWords)
     TextFilter("check_ethics_harsh",
-      score = c => ethicsHarshUdf(c).cast(IntegerType),
-      keep = ethicsHarshUdf(_))
+      score = c => keepF(c).cast(IntegerType), keep = keepF)
+  }
 
   /** F5 `check_char_repetition` — filters.py:116-128 + utils.py:310-339. */
   def checkCharRepetition(
