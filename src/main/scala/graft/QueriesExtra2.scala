@@ -111,6 +111,49 @@ object QueriesExtra2 {
       .select("vec_id").orderBy("vec_id"),
     None)
 
+  /** P12 criteria `describe()` stats — the exact-aggregate subset (count/
+    * avg/min/max; stddev & percentiles differ across engines' algorithms).
+    */
+  val p12: QueryDef = QueryDef("p12_criteria_stats",
+    (s, dir) => Queries.table(s, dir, "documents")
+      .select(graft.text.Filters.checkLowercaseRatio().score(col("text"))
+        .as("crit"))
+      // mean via integer-scaled sum: double `avg` is partial-sum-order
+      // dependent and not hash-stable across engines
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("crit") * 1e9).cast("long")).as("sum_e9"),
+        min(col("crit")).as("mn"), max(col("crit")).as("mx")),
+    Some("WITH c AS (SELECT CASE WHEN length(text)=0 THEN 0.0 ELSE " +
+      "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)" +
+      "/length(text) END AS crit FROM documents) SELECT count(*) AS cnt, " +
+      "CAST(sum(CAST(floor(crit * 1e9) AS BIGINT)) AS BIGINT) AS sum_e9, " +
+      "min(crit) AS mn, max(crit) AS mx FROM c"))
+
+  /** F2 perplexity scoring via the pluggable TextScorer (default JVM
+    * char-bigram LM — kenlm model files can't ship here) — rows-only.
+    */
+  val f2: QueryDef = QueryDef("f2_check_perplexity",
+    (s, dir) => Queries.table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.scoring.Perplexity.filter(0, 1e9).score(col("text"))
+          .as("text_check_perplexity_criteria"))
+      .orderBy("doc_id"),
+    None)
+
+  /** §2.7 cc_net text normalization (kenlm_model.py:144-184) — rows-only
+    * (NFD accent-strip differs subtly from DuckDB strip_accents).
+    */
+  val ccNet: QueryDef = QueryDef("ccnet_normalize",
+    (s, dir) => {
+      val u = udf { (t: String) =>
+        graft.scoring.CcNetNormalizer.normalize(t)
+      }
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"), u(col("text")).as("normalized"))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
-    dedupSimhash, dedupJaccard, dedupEmbedding)
+    dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet)
 }

@@ -130,6 +130,7 @@ object ChatPipeline {
       |      args:
       |        lowercase_threshold: 0.75
       |  deduplication:
+      |    do_deduplication: true
       |    args:
       |      ngram_size: 5
       |      num_perm: 256
@@ -152,8 +153,13 @@ object ChatPipeline {
       cfg("instruction_config").asInstanceOf[Map[String, Any]])
 
     val conv = Conversations.synthetic(spark, dir)
+    // Pin a total row order before dedup: keep-first semantics depend on
+    // row order, and the groupBy upstream leaves it partition-count-
+    // dependent (SURVEY §7.4). Identical rows are interchangeable, so this
+    // makes the kept SET deterministic across parallelism levels.
     val io = Conversations.addContentColumns(
       Conversations.explodeToInputOutput(conv))
+      .orderBy("source", "response", "instruction")
 
     val afterResponse = new Preprocessor(io, "response",
       respCfg.cleaners, respCfg.filters, respCfg.dedup).run()

@@ -176,9 +176,14 @@ object MinHashDedup {
     * (min id == first in row order, matching the reference's contiguous-id
     * keep-first semantics — monotonically_increasing_id preserves row
     * order, which is all `min` needs).
+    *
+    * `maxDriverEdges`: above this, clustering switches from the driver
+    * UnionFind (reference-faithful) to distributed min-label propagation —
+    * same min-representative semantics, no driver materialization.
     */
   def deduplicate(df: DataFrame, column: String,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+      cfg: MinHashConfig = MinHashConfig(),
+      maxDriverEdges: Long = 10_000_000L): DataFrame = {
     val withId = df.withColumn(IdCol, monotonically_increasing_id())
       .persist()
     val sig = signatureColumn(cfg)
@@ -191,13 +196,25 @@ object MinHashDedup {
       .select(explode(col("__ids__")).as("__x__"),
         array_min(col("__ids__")).as("__min__"))
       .where(col("__x__") =!= col("__min__"))
-    val edges = buckets.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val roots = ConnectedComponents.unionFindRoots(edges)
-    val bRoots = df.sparkSession.sparkContext.broadcast(roots)
-    val keepUdf = udf { (id: Long) =>
-      bRoots.value.getOrElse(id, id) == id
+      .distinct()
+      .persist()
+    val edgeCount = buckets.count()
+    val out = if (edgeCount <= maxDriverEdges) {
+      val edges = buckets.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val roots = ConnectedComponents.unionFindRoots(edges)
+      val bRoots = df.sparkSession.sparkContext.broadcast(roots)
+      val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
+      withId.where(keepUdf(col(IdCol))).drop(IdCol)
+    } else {
+      // 100 TB path: roots computed distributed, dropped rows removed via
+      // broadcast-able anti-join on the (id, root) pairs with root ≠ id
+      val roots = ConnectedComponents.distributed(
+        buckets.toDF("id", "root"))
+      val dropped = roots.where(col("root") =!= col("id")).select("id")
+      withId.join(dropped.withColumnRenamed("id", IdCol),
+        Seq(IdCol), "left_anti").drop(IdCol)
     }
-    val out = withId.where(keepUdf(col(IdCol))).drop(IdCol)
+    buckets.unpersist()
     out
   }
 }
@@ -234,36 +251,41 @@ object ConnectedComponents {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  /** 100 TB-scale path: min-label propagation over the edge DataFrame —
-    * no driver materialization. Converges in O(log(cluster diameter))
-    * shuffles; LSH clusters are star-shaped (everything unions to the
-    * bucket min) so 2-3 iterations suffice in practice.
-    * Input: (x, root) candidate pairs; output: (id, finalRoot).
+  /** 100 TB-scale path: UNDIRECTED min-label propagation over the edge
+    * DataFrame — no driver materialization, same component-min
+    * representative as the UnionFind. Each round every node takes the min
+    * of its own root and its neighbors' roots; converges within component
+    * diameter rounds (LSH components are star-shaped → 2-3 rounds).
+    * Input: (a, b) candidate pairs (any direction); output: (id, root)
+    * for every node that appears in an edge.
     */
-  def distributed(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    var cur = edges.toDF("id", "root")
-      .groupBy("id").agg(min("root").as("root"))
+  def distributed(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = pairs.toDF("a", "b")
+    val sym = e.union(e.select(col("b"), col("a"))).distinct().persist()
+    var cur = sym.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("root"))
       .persist()
-    var i = 0
     var converged = false
-    while (i < maxIter && !converged) {
-      // join root's own root: root -> min(root.root, root)
-      val next = cur.as("a")
-        .join(cur.as("b"), col("a.root") === col("b.id"), "left")
-        .select(col("a.id"),
-          least(col("a.root"), coalesce(col("b.root"), col("a.root")))
-            .as("root"))
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = sym
+        .join(cur, sym("b") === cur("id"))
+        .select(sym("a").as("id"), col("root"))
+      val next = cur.select(col("id"), col("root"))
+        .union(viaNeighbor)
         .groupBy("id").agg(min("root").as("root"))
         .persist()
-      val changed = next.as("n")
-        .join(cur.as("c"), Seq("id"))
-        .where(col("n.root") =!= col("c.root"))
+      val changed = next
+        .join(cur.withColumnRenamed("root", "prev"), Seq("id"))
+        .where(col("root") =!= col("prev"))
         .limit(1).count()
       cur.unpersist()
       cur = next
       converged = changed == 0
       i += 1
     }
+    sym.unpersist()
     cur
   }
 }

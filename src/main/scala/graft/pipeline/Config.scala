@@ -135,13 +135,19 @@ object PipelineConfig {
       case _ => Seq.empty
     }
 
-  /** minhash_deduplication.py:214-221 defaults. */
+  /** Dedup gate + kwargs, mirroring preprocessor.py:35,73-77 exactly: the
+    * gate is `do_deduplication` and parameters come from `args` ONLY — the
+    * reference's own tiny-example.yaml puts them under `minhash_config`,
+    * which the reference silently ignores (defaults win); we reproduce
+    * that read path (defaults: minhash_deduplication.py:214-221).
+    */
   def dedupFrom(config: Map[String, Any]): Option[graft.dedup.MinHashConfig] =
     config.get("deduplication") match {
-      case Some(m: Map[String @unchecked, Any @unchecked]) if m.nonEmpty =>
+      case Some(m: Map[String @unchecked, Any @unchecked])
+        if m.get("do_deduplication").contains(true) =>
         val args = m.get("args") match {
           case Some(am: Map[String @unchecked, Any @unchecked]) => am
-          case _ => m
+          case _ => Map.empty[String, Any]
         }
         def i(k: String, d: Int) =
           args.get(k).map(_.toString.toInt).getOrElse(d)

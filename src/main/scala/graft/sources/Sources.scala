@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1/S2/S3/S5 source/sink surface (main.py:78-87, utils.py:173): load a
+  * "dataset" from disk in any Spark-supported format, union splits, tag
+  * origins, publish. The reference's HF-hub source becomes a format-
+  * dispatched reader; the hub sink becomes a parquet write.
+  */
+object Sources {
+
+  /** S1 `load_dataset`: format by extension (parquet/json/csv). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val p = path.toLowerCase
+    if (p.endsWith(".json") || p.endsWith(".jsonl"))
+      spark.read.json(path)
+    else if (p.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(path)
+    else spark.read.parquet(path)
+  }
+
+  /** S2 `concatenate_datasets`: union N splits by name. */
+  def concatenate(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** S3 `combine_datasets` — main.py:78-87: union datasets, tagging each
+    * row with its origin path in `source` when the column is absent.
+    */
+  def combine(spark: SparkSession, paths: Seq[String]): DataFrame =
+    concatenate(paths.map { p =>
+      val df = load(spark, p)
+      if (df.columns.contains("source")) df
+      else df.withColumn("source", lit(p))
+    })
+
+  /** S5 `push_to_hub` → publish as parquet. */
+  def publish(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}

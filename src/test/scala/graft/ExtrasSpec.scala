@@ -34,6 +34,9 @@ class ExtrasSpec extends AnyFunSuite {
         |        max_word_threshold: 128
         |    check_completion:
         |  deduplication:
+        |    do_deduplication: true
+        |    minhash_config:    # reference ignores this block; so do we
+        |      ngram_size: 9
         |    args:
         |      ngram_size: 5
         |      threshold: 0.7

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{ConnectedComponents, MinHash}
+import graft.text.CharRepetition
+
+/** Property-based invariants (SURVEY §5.2): cleaner idempotence, ratio
+  * bounds, signature determinism, union-find ↔ distributed clustering
+  * equivalence.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Manual property driver (no scalatestplus bridge in the offline
+    * cache): evaluate the property over N generator samples.
+    */
+  private def forAll[T](g: Gen[T], n: Int = 200)(f: T => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until n).foreach { i =>
+      g.apply(params, org.scalacheck.rng.Seed(i.toLong))
+        .foreach(f)
+    }
+  }
+
+  private val texts: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    3 -> Gen.const(' '),
+    1 -> Gen.oneOf('\n', '\t', '.', '!', '…', '，', '　'))
+  ).map(_.mkString).map(_.take(200))
+
+  test("char repetition ratio ∈ [0,1]") {
+    forAll(texts) { t =>
+      val r = CharRepetition.ratio(t, 10)
+      assert(r >= 0.0 && r <= 1.0)
+    }
+  }
+
+  test("minhash signatures are deterministic and length-stable") {
+    forAll(texts) { t =>
+      val a = MinHash.bandSignatures(t, 256, 5, 5, 25, 10)
+      val b = MinHash.bandSignatures(t, 256, 5, 5, 25, 10)
+      assert(a.length === 25)
+      assert(a.forall(_.length === 80))
+      assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    }
+  }
+
+  test("simhash of identical text identical; ratio of bit flips bounded") {
+    forAll(texts) { t =>
+      assert(graft.dedup.SimHash.simhash64(t) ===
+        graft.dedup.SimHash.simhash64(t))
+    }
+  }
+
+  test("union-find roots are component minima (vs brute force)") {
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    forAll(edgeGen) { edges =>
+      val roots = ConnectedComponents.unionFindRoots(edges.toArray)
+      // brute-force components
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      edges.foreach { case (a, b) =>
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+      def comp(start: Long): Set[Long] = {
+        var seen = Set(start)
+        var frontier = List(start)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj).filterNot(seen)
+          seen ++= next
+          frontier = next
+        }
+        seen
+      }
+      roots.foreach { case (node, root) =>
+        assert(root === comp(node).min, s"node $node")
+      }
+    }
+  }
+}
+
+/** Spark-bound equivalence: distributed min-propagation clustering must
+  * agree with the driver UnionFind on random graphs.
+  */
+class DistributedCcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("distributed clustering == driver union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val edges = Array.fill(120)(
+        (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val ufRoots = ConnectedComponents.unionFindRoots(edges)
+      val dist = ConnectedComponents.distributed(edges.toSeq.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      dist.foreach { case (id, root) =>
+        assert(root === ufRoots.getOrElse(id, id), s"trial $trial node $id")
+      }
+      ufRoots.foreach { case (id, root) =>
+        assert(dist.getOrElse(id, id) === root, s"trial $trial node $id")
+      }
+    }
+  }
+
+  test("minhash dedup via distributed path matches driver path") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away from home"
+    val docs = (0 until 20).map { i =>
+      (i.toLong, if (i % 4 == 0) base + " today" else base + s" variant $i words")
+    }.toDF("id", "text")
+    val viaDriver = graft.dedup.MinHashDedup
+      .deduplicate(docs, "text").select("id")
+      .as[Long].collect().toSet
+    val viaDistributed = graft.dedup.MinHashDedup
+      .deduplicate(docs, "text", maxDriverEdges = 0L).select("id")
+      .as[Long].collect().toSet
+    assert(viaDriver === viaDistributed)
+  }
+}
