@@ -59,8 +59,11 @@ object QueriesExtra2 {
     */
   val ngJaccard: QueryDef = QueryDef("ng_jaccard_pairs",
     (s, dir) => {
-      val g = graft.dedup.NgramJaccard.wordNgrams(col("text"), 3)
       val docs = Queries.table(s, dir, "documents")
+        .withColumn("__w__",
+          filter(split(lower(col("text")), "[^a-z0-9_]+"),
+            w => length(w) > 0))
+      val g = graft.dedup.NgramJaccard.ngramsFromWords(col("__w__"), 3)
       val a = docs.select(col("doc_id").as("a"), g.as("ga"))
       val b = docs.select((col("doc_id") - 1).as("a"), g.as("gb"))
       a.join(b, Seq("a"))
@@ -97,10 +100,13 @@ object QueriesExtra2 {
       .select("doc_id").orderBy("doc_id"),
     None)
 
-  /** Two-stage (LSH + exact Jaccard) near-dedup — rows-only. */
+  /** Two-stage (LSH + exact Jaccard) near-dedup — rows-only. Reference-
+    * default n=5/threshold=0.7: lower thresholds on this tiny-vocabulary
+    * corpus degenerate to R=2 bands that candidate nearly every pair.
+    */
   val dedupJaccard: QueryDef = QueryDef("dedup_ngram_jaccard",
     (s, dir) => graft.dedup.NgramJaccard.deduplicate(
-      Queries.table(s, dir, "documents"), "text", n = 3, threshold = 0.5)
+      Queries.table(s, dir, "documents"), "text", n = 5, threshold = 0.7)
       .select("doc_id").orderBy("doc_id"),
     None)
 

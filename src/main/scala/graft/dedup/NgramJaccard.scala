@@ -10,15 +10,21 @@ import org.apache.spark.sql.functions._
 object NgramJaccard {
 
   /** Distinct word n-grams (lowercased `[a-z0-9_]+` words). Column-only:
-    * `sequence` + `slice` + `concat_ws`, no UDF.
+    * `sequence` + `slice` + `concat_ws`, no UDF. NOTE: the split
+    * subexpression is re-evaluated per lambda element — when applying to
+    * many rows, stage the word array in its own projection first
+    * ([[ngramsFromWords]]) or the cost is O(words²) per row.
     */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val words = filter(split(lower(c), "[^a-z0-9_]+"), w => length(w) > 0)
+  def wordNgrams(c: Column, n: Int): Column =
+    ngramsFromWords(
+      filter(split(lower(c), "[^a-z0-9_]+"), w => length(w) > 0), n)
+
+  /** N-grams from an already-materialized word-array column. */
+  def ngramsFromWords(words: Column, n: Int): Column =
     when(size(words) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + 1, lit(n))))))
-  }
 
   /** |A∩B| / |A∪B| over distinct-element arrays; 0 when both empty. */
   def jaccard(a: Column, b: Column): Column = {
@@ -51,14 +57,27 @@ object NgramJaccard {
       .select(explode(col("ids")).as("x"), array_min(col("ids")).as("y"))
       .where(col("x") =!= col("y"))
       .distinct()
-    val grams = withId.select(col(MinHashDedup.IdCol).as("gid"),
-      wordNgrams(col(column), n).as("g")).persist()
+      .persist()
+    // n-grams ONLY for rows that appear in a candidate pair (usually a
+    // tiny fraction of the corpus), with the word split staged once per
+    // row — not re-evaluated inside the n-gram lambda
+    val candIds = candidates.select(col("x").as("gid"))
+      .union(candidates.select(col("y").as("gid"))).distinct()
+    val grams = withId
+      .select(col(MinHashDedup.IdCol).as("gid"), col(column))
+      .join(candIds, Seq("gid"), "left_semi")
+      .withColumn("__w__",
+        filter(split(lower(col(column)), "[^a-z0-9_]+"),
+          w => length(w) > 0))
+      .select(col("gid"), ngramsFromWords(col("__w__"), n).as("g"))
+      .persist()
     val verified = candidates
       .join(grams.select(col("gid").as("x"), col("g").as("ga")), Seq("x"))
       .join(grams.select(col("gid").as("y"), col("g").as("gb")), Seq("y"))
       .where(jaccard(col("ga"), col("gb")) >= threshold)
       .select(col("x"), col("y")).groupBy("x").agg(min("y").as("y"))
     val edges = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+    candidates.unpersist()
     grams.unpersist()
     val roots = ConnectedComponents.unionFindRoots(edges)
     val bRoots = df.sparkSession.sparkContext.broadcast(roots)

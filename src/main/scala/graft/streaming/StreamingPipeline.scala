@@ -66,6 +66,19 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming exact dedup: fingerprint + watermarked `dropDuplicates` —
+    * Spark keeps state per key and ages it out with the watermark, so the
+    * dedup window is bounded at 100 TB-of-stream scale.
+    */
+  def streamingExactDedup(stream: DataFrame, column: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__fp__",
+        graft.analysis.TextAnalysis.fingerprint(col(column)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__fp__")
+      .drop("__fp__")
+
   /** Read the events table as a (bounded) stream — lets every batch test
     * drive the streaming path synchronously with `processAllAvailable`.
     */
