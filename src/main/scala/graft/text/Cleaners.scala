@@ -65,13 +65,16 @@ object Cleaners {
 
   /** `clean_new_lines` — cleaners.py:76-79: strip, then delete all \n.
     * Python `strip()` removes all whitespace (not just spaces like SQL
-    * `trim`), hence the regexp-based edge trim.
+    * `trim`), hence the custom edge trim; literal (non-regex) replace for
+    * the newline removal.
     */
   val cleanNewLines: Column => Column = c =>
-    regexp_replace(stripWs(c), "\n", "")
+    replace(stripWs(c), lit("\n"), lit(""))
 
-  /** Python-`strip()`-alike: trim ASCII whitespace from both ends. */
-  def stripWs(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  /** Python-`strip()`-alike: trim ASCII whitespace from both ends —
+    * codegen'd byte-scan expression, ≡ `regexp_replace(c,"^\\s+|\\s+$","")`.
+    */
+  def stripWs(c: Column): Column = StripWs(c)
 
   /** `fix_utf8_encoding` — cleaners.py:5-8. ftfy has no JVM port; this is
     * the documented high-value subset: cp1252/latin-1↔utf-8 mojibake repair
