@@ -160,6 +160,23 @@ object QueriesExtra2 {
     },
     None)
 
+  /** P3 dry-run: score columns for a two-filter stack, rows unfiltered,
+    * dry-run column prefixing applied.
+    */
+  val p3DryRun: QueryDef = QueryDef("p3_dry_run_scores",
+    (s, dir) => graft.pipeline.Preprocessor.dryRun(
+      Queries.table(s, dir, "documents").select("doc_id", "text"),
+      "text",
+      Seq(graft.text.Filters.checkWordNumber(20, 60),
+        graft.text.Filters.checkLowercaseRatio()))
+      .drop("text").orderBy("doc_id"),
+    Some("SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+')) AS " +
+      "text__text_check_word_number_criteria, CASE WHEN length(text)=0 " +
+      "THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) " +
+      "AS DOUBLE)/length(text) END AS " +
+      "text__text_check_lowercase_ratio_criteria " +
+      "FROM documents ORDER BY doc_id"))
+
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
-    dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet)
+    dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet, p3DryRun)
 }

@@ -86,6 +86,22 @@ object Preprocessor {
     }
   }
 
+  /** P3 dry-run mode — pipeline.py:52-67 with dry_run=True +
+    * `rename_dry_run_columns` (utils.py:160-169): compute every filter's
+    * SCORE column (named `{column}_{filter}_criteria`), keep all rows,
+    * prefix the new columns with `{column}__`.
+    */
+  def dryRun(df: DataFrame, column: String,
+      filters: Seq[TextFilter]): DataFrame = {
+    val scored = filters.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f.criteriaName(column), f.score(col(column)))
+    }
+    val newCols = filters.map(_.criteriaName(column)).toSet
+    newCols.foldLeft(scored) { (acc, c) =>
+      acc.withColumnRenamed(c, s"${column}__$c")
+    }
+  }
+
   /** P7 `split_dataset_by_filter` — utils.py:239-250: one criteria
     * computation, two filtered views (no id-subtraction round-trip).
     */

@@ -19,9 +19,11 @@ object Cleaners {
   val WhitespaceChars: String =
     "        　￼"
 
-  /** `normalize_whitespace` — cleaners.py:16-19. */
+  /** `normalize_whitespace` — cleaners.py:16-19. CharMap expression: the
+    * table is non-ASCII, where builtin `translate` leaves the fast path.
+    */
   val normalizeWhitespace: Column => Column =
-    c => translate(c, WhitespaceChars, " " * WhitespaceChars.length)
+    c => CharMap(c, WhitespaceChars.map(_ -> " "))
 
   /** 1:1 entries of `unicode_punctuation` (cleaners.py:22-57). */
   val PunctOneToOne: Seq[(Char, Char)] = Seq(
@@ -42,14 +44,13 @@ object Cleaners {
   val PunctOneToMany: Seq[(String, String)] =
     Seq("—" -> " - ", "．" -> ". ", "…" -> "...")
 
-  /** `normalize_punctuation` — cleaners.py:60-63. */
-  val normalizePunctuation: Column => Column = { c =>
-    val from = PunctOneToOne.map(_._1).mkString
-    val to = PunctOneToOne.map(_._2).mkString
-    PunctOneToMany.foldLeft(translate(c, from, to)) { case (col, (f, t)) =>
-      replace(col, lit(f), lit(t))
-    }
-  }
+  /** `normalize_punctuation` — cleaners.py:60-63: ONE per-char map pass
+    * covering both the 1→1 and 1→many entries, exactly like the
+    * reference's dict comprehension.
+    */
+  val normalizePunctuation: Column => Column = c =>
+    CharMap(c, PunctOneToOne.map { case (k, v) => k -> v.toString } ++
+      PunctOneToMany.map { case (k, v) => k.charAt(0) -> v })
 
   /** `remove_empty_lines` — cleaners.py:66-73, implementing the INTENDED
     * semantics: drop lines matching `^\s*$`, re-join with \n. The reference
