@@ -38,6 +38,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("modMersenne equals unsigned remainder on the full 64-bit range") {
+    val gen = Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.oneOf(0L, -1L, Long.MinValue, Long.MaxValue,
+        MinHash.MersennePrime, MinHash.MersennePrime - 1,
+        MinHash.MersennePrime + 1, (1L << 61), -2L))
+    forAll(gen, n = 2000) { x =>
+      assert(MinHash.modMersenne(x) ===
+        java.lang.Long.remainderUnsigned(x, MinHash.MersennePrime),
+        s"x=$x")
+    }
+  }
+
   test("minhash signatures are deterministic and length-stable") {
     forAll(texts) { t =>
       val a = MinHash.bandSignatures(t, 256, 5, 5, 25, 10)
