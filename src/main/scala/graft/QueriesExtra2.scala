@@ -177,6 +177,15 @@ object QueriesExtra2 {
       "text__text_check_lowercase_ratio_criteria " +
       "FROM documents ORDER BY doc_id"))
 
+  /** The full flagship chat pipeline as a bench query (rows-only): the
+    * E2E explode→clean→filter→dedup→chatml dataflow at the bench scale
+    * factor — the headline number for the engine as a whole.
+    */
+  val flagship: QueryDef = QueryDef("flagship_chat_pipeline",
+    (s, dir) => graft.chat.ChatPipeline.flagship(s, dir),
+    None)
+
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
-    dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet, p3DryRun)
+    dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet, p3DryRun,
+    flagship)
 }

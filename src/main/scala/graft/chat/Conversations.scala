@@ -100,6 +100,37 @@ object Conversations {
   }
 }
 
+/** Typed chat data model (SURVEY §1.4: typed `Dataset` at the chat entry
+  * points where the struct schema is fixed; untyped `DataFrame` elsewhere).
+  */
+final case class Message(content: String, do_train: Boolean, role: String)
+final case class ConversationRow(conversation: Seq[Message], source: String)
+final case class IoRow(input: Seq[Message], output: Message, source: String,
+    response: String, instruction: String)
+
+object TypedConversations {
+  import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+  implicit val convEnc: Encoder[ConversationRow] =
+    Encoders.product[ConversationRow]
+  implicit val ioEnc: Encoder[IoRow] = Encoders.product[IoRow]
+
+  def typed(df: DataFrame): Dataset[ConversationRow] = df.as[ConversationRow]
+
+  /** R1+R2 as a typed flatMap — compile-time-checked equivalent of the
+    * Column version (same semantics as main.py:90-117).
+    */
+  def explodeToIo(ds: Dataset[ConversationRow]): Dataset[IoRow] =
+    ds.flatMap { row =>
+      row.conversation.zipWithIndex.collect {
+        case (m, i) if m.do_train =>
+          val prefix = row.conversation.take(i)
+          IoRow(prefix, m, row.source,
+            m.content.trim,
+            prefix.lastOption.map(_.content.trim).getOrElse(""))
+      }
+    }
+}
+
 /** Flagship E2E — the reference's `main.py` dataflow as ONE lazy Spark
   * plan: union/synthesize → explode → project → response clean+filter
   * (+ near-dedup) → instruction filter → chatml → seeded shuffle.

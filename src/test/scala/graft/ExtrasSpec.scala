@@ -201,6 +201,38 @@ class ExtrasSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("sql function registration exposes custom expressions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_strip('  x  ') AS a, " +
+        "graft_char_map_punct('，。') AS b, " +
+        "graft_contains_unwanted('as an ai language model…') AS c, " +
+        "graft_nsfw_count('xxx and more xxx') AS d").head()
+    assert(r.getString(0) === "x")
+    assert(r.getString(1) === ",.")
+    assert(r.getBoolean(2))
+    // lexicon holds both 'xx' and 'xxx': each 'xxx' counts 1+1 (Σ needles)
+    assert(r.getLong(3) === 4L)
+  }
+
+  test("typed conversation api matches column api") {
+    import spark.implicits._
+    val conv = Seq(
+      (Seq(("hi", false, "User"), ("hello!", true, "Assistant")), "s1")
+    ).toDF("msgs", "source")
+      .select(transform(col("msgs"), m => struct(
+        m.getField("_1").as("content"), m.getField("_2").as("do_train"),
+        m.getField("_3").as("role"))).as("conversation"), col("source"))
+    val typed = graft.chat.TypedConversations.explodeToIo(
+      graft.chat.TypedConversations.typed(conv))
+    val viaColumns = graft.chat.Conversations.addContentColumns(
+      graft.chat.Conversations.explodeToInputOutput(conv))
+      .select("instruction", "response").as[(String, String)].collect().toSet
+    val viaTyped = typed.collect()
+      .map(r => (r.instruction, r.response)).toSet
+    assert(viaTyped === viaColumns)
+  }
+
   test("renames: dry-run prefixing skips protected and prefixed columns") {
     import spark.implicits._
     val df = Seq((1, "a", "b", 0.5)).toDF("user_id", "output_text",
