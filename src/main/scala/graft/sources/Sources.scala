@@ -38,4 +38,24 @@ object Sources {
   /** S5 `push_to_hub` → publish as parquet. */
   def publish(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Publish partitioned by a column — downstream scans with a partition
+    * predicate prune at the source (the IVF cell-id layout PERF.md
+    * describes).
+    */
+  def publishPartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(path)
+
+  /** Publish bucketed by a join key (requires a table name / catalog):
+    * repeated joins or dedups on `bucketCol` then read both sides
+    * pre-partitioned — no shuffle at join time.
+    */
+  def publishBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -66,6 +66,22 @@ object StreamingPipeline {
       }
   }
 
+  /** Event-time SESSION windows (gap-based) per user — the built-in
+    * `session_window` replaces hand-rolled state for the common case;
+    * `sessionize` below shows the mapGroupsWithState form for custom
+    * state machines.
+    */
+  def sessionWindowCounts(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").cast("long").as("session_start"),
+        col("session_window.end").cast("long").as("session_end"),
+        col("user_id"), col("n"), col("total_value"))
+
   /** Streaming exact dedup: fingerprint + watermarked `dropDuplicates` —
     * Spark keeps state per key and ages it out with the watermark, so the
     * dedup window is bounded at 100 TB-of-stream scale.

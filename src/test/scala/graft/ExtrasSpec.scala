@@ -13,6 +13,7 @@ class ExtrasSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
@@ -231,6 +232,45 @@ class ExtrasSpec extends AnyFunSuite {
     val viaTyped = typed.collect()
       .map(r => (r.instruction, r.response)).toSet
     assert(viaTyped === viaColumns)
+  }
+
+  test("salted aggregation equals plain groupBy") {
+    import spark.implicits._
+    // power-law keys: one hot key with 900 rows
+    val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"k$i"))
+      .toDF("user_id").withColumn("v", lit(2.5))
+    val plain = df.groupBy("user_id").count()
+      .as[(String, Long)].collect().toMap
+    val salted = graft.pipeline.Skew.saltedCount(df, "user_id")
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+    val sums = graft.pipeline.Skew.saltedAgg(df, "user_id", col("v"),
+      sum, sum, "total").as[(String, Double)].collect().toMap
+    assert(sums("hot") === 900 * 2.5)
+  }
+
+  test("bucketed publish round-trips and joins without shuffle of sides") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    graft.sources.Sources.publishBucketed(df, "graft_bucket_test", "id", 4)
+    val back = spark.table("graft_bucket_test")
+    assert(back.count() === 100)
+    spark.sql("DROP TABLE graft_bucket_test")
+  }
+
+  test("session window counts over the events stream") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.streaming.StreamingPipeline.eventsStream(spark, dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val q = graft.streaming.StreamingPipeline
+      .sessionWindowCounts(stream, gap = "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess").start()
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("sess")
+    assert(sess.count() > 0)
+    assert(sess.where(col("session_end") <= col("session_start")).count() === 0)
   }
 
   test("renames: dry-run prefixing skips protected and prefixed columns") {

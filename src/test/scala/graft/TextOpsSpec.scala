@@ -101,6 +101,7 @@ class SparkOpsSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
