@@ -132,7 +132,31 @@ object QueriesExtra {
       " * sqrt(list_dot_product(b.embedding::DOUBLE[], " +
       "b.embedding::DOUBLE[]))) > 0.35 ORDER BY a, b"))
 
+  /** Blocked kNN join: top-3 same-label neighbors for the first 20
+    * vectors. Rank ties broken on neighbor_id; cosines are order-stable
+    * across engines so ranks hash-match.
+    */
+  val annKnnJoin: QueryDef = QueryDef("ann_knn_join",
+    (s, dir) => {
+      val e = Queries.table(s, dir, "embeddings")
+      graft.similarity.Ann.knnJoin(
+        e.where(col("vec_id") < 20), e, "embedding", "vec_id", "label", 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    },
+    Some("WITH q AS (SELECT label, vec_id AS query_id, " +
+      "embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20), " +
+      "c AS (SELECT label, vec_id AS neighbor_id, embedding::DOUBLE[] AS " +
+      "ce FROM embeddings), s AS (SELECT query_id, neighbor_id, " +
+      "list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * " +
+      "sqrt(list_dot_product(ce, ce))) AS cosine, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY list_dot_product(qe, ce) / " +
+      "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) " +
+      "DESC, neighbor_id) AS rank FROM q JOIN c USING (label) WHERE " +
+      "query_id <> neighbor_id) SELECT query_id, rank, neighbor_id FROM s " +
+      "WHERE rank <= 3 ORDER BY query_id, rank"))
+
   val all: Seq[QueryDef] = Seq(
     taTokens, taQuality, taLangId, taFingerprint, annTopK, annIvf,
-    embNearPairs)
+    embNearPairs, annKnnJoin)
 }

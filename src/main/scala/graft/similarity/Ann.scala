@@ -87,4 +87,32 @@ object Ann {
     val pruned = corpus.join(broadcast(probedCells), Seq(cellCol), "left_semi")
     bruteForceTopK(pruned, query, embCol, idCol, k)
   }
+
+  /** Blocked kNN JOIN: for every row of `queries`, its top-k neighbors in
+    * `corpus` among rows sharing `cellCol` (coarse-quantizer blocking —
+    * same recall trade as ivfTopK with nprobe=1, but set-to-set). Norms
+    * precomputed per side; ranking via a window partitioned by the query
+    * id, so the shuffle key is (cell) for the join and (query id) for the
+    * rank — no global sort.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, embCol: String,
+      idCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(cellCol).as("__cell__"),
+      col(idCol).as("query_id"), col(embCol).as("__qe__"),
+      norm(col(embCol)).as("__qn__"))
+    val c = corpus.select(col(cellCol).as("__cell__"),
+      col(idCol).as("neighbor_id"), col(embCol).as("__ce__"),
+      norm(col(embCol)).as("__cn__"))
+    val scored = q.join(c, Seq("__cell__"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qe__"), col("__ce__")) / (col("__qn__") * col("__cn__")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
 }
