@@ -89,12 +89,13 @@ object Queries {
   private val c4 = QueryDef("c4_remove_empty_lines",
     (s, dir) => docs(s, dir)
       .select(col(d), Cleaners.removeEmptyLines(
-        concat(col("text"), lit("\n   \n\t\n"),
+        concat(col("text"), lit("\n   \r\n\t\r"),
           substring(col("text"), 1, 20), lit("\n\n"))).as("cleaned"))
       .orderBy(d),
-    Some("SELECT doc_id, array_to_string(list_filter(string_split(" +
-      "text || chr(10)||'   '||chr(10)||chr(9)||chr(10) || substr(text,1,20) " +
-      "|| chr(10)||chr(10), chr(10)), x -> NOT regexp_matches(x, " +
+    Some("SELECT doc_id, array_to_string(list_filter(regexp_split_to_array(" +
+      "text || chr(10)||'   '||chr(13)||chr(10)||chr(9)||chr(13) || " +
+      "substr(text,1,20) || chr(10)||chr(10), '\\r\\n|\\r|\\n'), " +
+      "x -> NOT regexp_matches(x, " +
       "'^\\s*$')), chr(10)) AS cleaned FROM documents ORDER BY doc_id"))
 
   private val c5 = QueryDef("c5_clean_new_lines",

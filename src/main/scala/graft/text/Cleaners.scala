@@ -56,12 +56,13 @@ object Cleaners {
     * semantics: drop lines matching `^\s*$`, re-join with \n. The reference
     * has an inverted isinstance check (cleaners.py:71-72) that makes it
     * always return "" — we implement the intent and pin the divergence in
-    * tests. Splits on \n only (Python `splitlines` also splits on \v, \f,
-    *  … — not reproduced; documented).
+    * tests. Line boundaries: \r\n, \r, \n (Python `splitlines` also
+    * splits on \v, \f, \x1c-\x1e, \x85, U+2028/9 - not reproduced;
+    * documented).
     */
   val removeEmptyLines: Column => Column = c =>
     array_join(
-      filter(split(c, "\n"), l => !(l rlike "^\\s*$")),
+      filter(split(c, "\r\n|\r|\n"), l => !(l rlike "^\\s*$")),
       "\n")
 
   /** `clean_new_lines` — cleaners.py:76-79: strip, then delete all \n.
