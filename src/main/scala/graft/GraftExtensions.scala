@@ -21,12 +21,37 @@ import graft.text._
   * `spark.sql.extensions=graft.GraftExtensions` at session build.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft", name),
           (exprs: Seq[Expression]) => builder(exprs)))
+    }
+    ext.injectOptimizerRule(_ => CollapseStripWs)
+  }
+}
+
+/** Optimizer rule: `stripWs` is idempotent, and the flagship plan really
+  * produces nested applications (R2 strips `response`, then cleaners strip
+  * again after Catalyst collapses the projections) — rewrite
+  * StripWs(StripWs(e)) → StripWs(e).
+  */
+object CollapseStripWs
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import graft.text.StripWsExpr
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case StripWsExpr(inner: StripWsExpr) =>
+        // collapse the whole chain in one rewrite (transformDown does not
+        // revisit the replacement node itself)
+        var cur: StripWsExpr = inner
+        while (cur.child.isInstanceOf[StripWsExpr])
+          cur = cur.child.asInstanceOf[StripWsExpr]
+        cur
     }
 }
 
