@@ -86,17 +86,23 @@ object Queries {
       Some(s"SELECT doc_id, $sqlReplaces AS cleaned FROM documents ORDER BY doc_id"))
   }
 
+  /** Injects every Python-`splitlines` boundary class: CRLF/CR/LF plus
+    * \v \x1c, \x85, U+2028/9, \f — with blank and non-blank lines between.
+    */
   private val c4 = QueryDef("c4_remove_empty_lines",
     (s, dir) => docs(s, dir)
       .select(col(d), Cleaners.removeEmptyLines(
         concat(col("text"), lit("\n   \r\n\t\r"),
-          substring(col("text"), 1, 20), lit("\n\n"))).as("cleaned"))
+          substring(col("text"), 1, 20), lit("\u000B"),
+          substring(col("text"), 1, 10),
+          lit("\u001C \u0085\u2028x\u2029\f\n\n"))).as("cleaned"))
       .orderBy(d),
-    Some("SELECT doc_id, array_to_string(list_filter(regexp_split_to_array(" +
+    Some("SELECT doc_id, " + OracleSql.removeEmptyLines(
       "text || chr(10)||'   '||chr(13)||chr(10)||chr(9)||chr(13) || " +
-      "substr(text,1,20) || chr(10)||chr(10), '\\r\\n|\\r|\\n'), " +
-      "x -> NOT regexp_matches(x, " +
-      "'^\\s*$')), chr(10)) AS cleaned FROM documents ORDER BY doc_id"))
+        "substr(text,1,20) || chr(11) || substr(text,1,10) || " +
+        "chr(28)||' '||chr(133)||chr(8232)||'x'||chr(8233)||chr(12)||" +
+        "chr(10)||chr(10)") +
+      " AS cleaned FROM documents ORDER BY doc_id"))
 
   private val c5 = QueryDef("c5_clean_new_lines",
     (s, dir) => docs(s, dir)
@@ -182,20 +188,25 @@ object Queries {
     val sparkA = when(col(d) % 3 === 0, lit("he went home"))
       .when(col(d) % 3 === 1, lit("boy went home"))
       .otherwise(lit("nobody here"))
-    val sparkB = when(col(d) % 2 === 0, lit("she went home"))
-      .otherwise(lit("boy stayed put"))
+    // leading/trailing whitespace around the halves exercises the
+    // Python-`.split()` empty-token drop (ADVICE r1: naive \s+ split keeps
+    // a leading "" token and misaligns every position)
+    val sparkB = when(col(d) % 2 === 0, lit("  she went home"))
+      .otherwise(lit("boy stayed put "))
     val sparkDoc = concat(sparkA, lit(tok), sparkB)
     val sqlDoc = "(CASE WHEN doc_id%3=0 THEN 'he went home' WHEN doc_id%3=1 " +
       "THEN 'boy went home' ELSE 'nobody here' END) || " + q(tok) +
-      " || (CASE WHEN doc_id%2=0 THEN 'she went home' ELSE 'boy stayed put' END)"
+      " || (CASE WHEN doc_id%2=0 THEN '  she went home' ELSE 'boy stayed put ' END)"
     val g = "['he','she','him','her','girl','boy']"
     QueryDef("f8_check_gender",
       (s, dir) => docs(s, dir)
         .where(Filters.checkGender(tok).keep(sparkDoc))
         .select(col(d)).orderBy(d),
       Some("SELECT doc_id FROM (SELECT doc_id, " +
-        s"regexp_split_to_array(lower(string_split($sqlDoc, ${q(tok)})[1]), '\\s+') AS wa, " +
-        s"regexp_split_to_array(lower(string_split($sqlDoc, ${q(tok)})[2]), '\\s+') AS wb " +
+        s"list_filter(regexp_split_to_array(lower(string_split($sqlDoc, " +
+        s"${q(tok)})[1]), '\\s+'), x -> x <> '') AS wa, " +
+        s"list_filter(regexp_split_to_array(lower(string_split($sqlDoc, " +
+        s"${q(tok)})[2]), '\\s+'), x -> x <> '') AS wb " +
         "FROM documents) WHERE len(list_filter(range(1, least(len(wa), len(wb))+1), " +
         s"i -> list_contains($g, wa[i]) AND list_contains($g, wb[i]) AND wa[i] <> wb[i])) > 0 " +
         "ORDER BY doc_id"))
@@ -269,12 +280,20 @@ object Queries {
         "/words ELSE 0.0 END AS nsfw_ratio FROM cc ORDER BY doc_id"))
   }
 
+  /** F5 oracle: the top-⌊√distinct⌋ char-ngram mass IS SQL-expressible —
+    * unnest ngrams → frequencies → descending-rank window → capped top-k
+    * mass over total (also pinned by scalatest golden vectors).
+    */
   private val f5 = QueryDef("f5_check_char_repetition",
     (s, dir) => docs(s, dir)
       .select(col(d), Filters.checkCharRepetition(10).score(col("text"))
         .as("char_rep_ratio"))
       .orderBy(d),
-    None) // procedural top-√n frequency mass — verified by scalatest vectors
+    Some("WITH src AS (SELECT doc_id, text FROM documents), " +
+      OracleSql.charRepetitionCtes("src", Seq("doc_id"), "text", 10) +
+      " SELECT d.doc_id, coalesce(r.ratio, 0.0) AS char_rep_ratio " +
+      "FROM documents d LEFT JOIN __cr_ratio r USING (doc_id) " +
+      "ORDER BY doc_id"))
 
   val all: Seq[QueryDef] = Seq(
     c1, c2, c3, c4, c5,

@@ -179,13 +179,22 @@ object QueriesExtra2 {
 
   /** The full flagship chat pipeline as a bench query (rows-only): the
     * E2E explode→clean→filter→dedup→chatml dataflow at the bench scale
-    * factor — the headline number for the engine as a whole.
+    * factor — the headline number for the engine as a whole. The
+    * harness-facing output is SCALAR-only (the driver loads parquet into
+    * pandas and sorts rows for hashing — an array<struct> column raises
+    * "unhashable type: numpy.ndarray" even for the rows-only check); the
+    * array-typed chatml API stays internal.
     */
   val flagship: QueryDef = QueryDef("flagship_chat_pipeline",
-    (s, dir) => graft.chat.ChatPipeline.flagship(s, dir),
+    (s, dir) => graft.chat.ChatPipeline.flagship(s, dir)
+      .select(
+        array_join(transform(col("conversation"), m => concat_ws(":",
+          m.getField("role"), m.getField("content"),
+          m.getField("do_train").cast("string"))), "|").as("rendered"),
+        col("source")),
     None)
 
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
     dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet, p3DryRun,
-    flagship)
+    flagship, QueriesFlagshipOracle.flagshipOracle)
 }

@@ -140,8 +140,10 @@ object QueriesPipeline {
       "s2 AS (SELECT user_id, count(*) AS cnt, CASE WHEN count(*) < 5 THEN " +
       "count(*) ELSE floor(count(*) * ((SELECT t FROM eff)*0.7/(SELECT " +
       "count(*) FROM d2)))::BIGINT END AS kept FROM d2 GROUP BY user_id) " +
-      "SELECT user_id, sum(kept) AS kept FROM (SELECT * FROM s1 UNION ALL " +
-      "SELECT * FROM s2) GROUP BY user_id ORDER BY user_id"))
+      // CAST: DuckDB sum(BIGINT) returns HUGEINT → pandas float64 → the
+      // driver would hash 4.0 against Spark's int64 4 (r1 failure mode)
+      "SELECT user_id, CAST(sum(kept) AS BIGINT) AS kept FROM (SELECT * " +
+      "FROM s1 UNION ALL SELECT * FROM s2) GROUP BY user_id ORDER BY user_id"))
 
   /** Exact dedup (hash-groupBy, keep smallest id) on a prefix key. */
   val dedupExact: QueryDef = QueryDef("dedup_exact",

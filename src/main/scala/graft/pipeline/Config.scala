@@ -91,7 +91,10 @@ object MiniYaml {
           cur += 1
         }
       }
-      (m.toMap, cur)
+      // ListMap: insertion order IS semantics (cleaner/filter application
+      // order comes from YAML declaration order, like Python's dicts);
+      // m.toMap would silently reorder maps with >4 keys.
+      (scala.collection.immutable.ListMap(m.toSeq: _*), cur)
     }
   }
 }

@@ -52,17 +52,26 @@ object Cleaners {
     CharMap(c, PunctOneToOne.map { case (k, v) => k -> v.toString } ++
       PunctOneToMany.map { case (k, v) => k.charAt(0) -> v })
 
+  /** Python-`splitlines` boundary regex (Java flavor): \r\n as ONE
+    * boundary, then each single-char boundary of str.splitlines —
+    * \n \v \f \r \x1c \x1d \x1e \x85 U+2028 U+2029. The DuckDB mirror is
+    * [[graft.OracleSql.SplitlinesRegexSql]] — keep in lock-step.
+    */
+  val LineBoundaryRegex: String =
+    "\r\n|[\n\u000B\f\r\u001C-\u001E\u0085\u2028\u2029]"
+
   /** `remove_empty_lines` — cleaners.py:66-73, implementing the INTENDED
     * semantics: drop lines matching `^\s*$`, re-join with \n. The reference
     * has an inverted isinstance check (cleaners.py:71-72) that makes it
     * always return "" — we implement the intent and pin the divergence in
-    * tests. Line boundaries: \r\n, \r, \n (Python `splitlines` also
-    * splits on \v, \f, \x1c-\x1e, \x85, U+2028/9 - not reproduced;
-    * documented).
+    * tests. Line boundaries: the full Python `splitlines` set (blank-line
+    * detection stays ASCII `\s`, where Java and RE2 agree; Python
+    * `str.strip` additionally treats U+00A0 etc. as blank — documented
+    * divergence).
     */
   val removeEmptyLines: Column => Column = c =>
     array_join(
-      filter(split(c, "\r\n|\r|\n"), l => !(l rlike "^\\s*$")),
+      filter(split(c, LineBoundaryRegex), l => !(l rlike "^\\s*$")),
       "\n")
 
   /** `clean_new_lines` — cleaners.py:76-79: strip, then delete all \n.

@@ -86,16 +86,21 @@ object Filters {
 
   /** F8 `check_gender` — filters.py:159-175: positional compare of
     * whitespace tokens of the two halves up to the shorter length; true iff
-    * some position has two DIFFERENT gendered words (`zip_with` truncates to
-    * min length exactly like the reference loop). dry_run has no effect.
+    * some position has two DIFFERENT gendered words. Python `.split()`
+    * drops empty tokens (leading/trailing whitespace), so we filter them;
+    * `zip_with` null-pads to the LONGER array, so both sides are sliced to
+    * the min length first (the reference loop stops at the shorter half).
     */
   def checkGender(splitter: String = "<|gender_splitter|>"): TextFilter = {
     def keepF(c: Column): Column = {
       val parts = split(c, java.util.regex.Pattern.quote(splitter))
       val g = WordLists.GenderedWords.toIndexedSeq
-      val a = split(lower(element_at(parts, 1)), "\\s+")
-      val b = split(lower(element_at(parts, 2)), "\\s+")
-      exists(zip_with(a, b, (x, y) =>
+      def toks(half: Column): Column =
+        filter(split(lower(half), "\\s+"), w => length(w) > 0)
+      val a = toks(element_at(parts, 1))
+      val b = toks(element_at(parts, 2))
+      val n = least(size(a), size(b))
+      exists(zip_with(slice(a, lit(1), n), slice(b, lit(1), n), (x, y) =>
         x.isin(g: _*) && y.isin(g: _*) && x =!= y), p => p)
     }
     TextFilter("check_gender",

@@ -13,10 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class AhoHolder(val needles: Array[String]) extends Serializable {
   @transient private lazy val ac = new AhoCorasick(needles)
+  // Locale.ROOT: default-locale toLowerCase diverges under tr-TR ('I' →
+  // dotless 'ı'), which would stop ASCII needles like "ai" from matching.
   def containsAnyLower(s: UTF8String): Boolean =
-    ac.containsAny(s.toString.toLowerCase)
+    ac.containsAny(s.toString.toLowerCase(java.util.Locale.ROOT))
   def countAllLower(s: UTF8String): Long =
-    ac.countAll(s.toString.toLowerCase)
+    ac.countAll(s.toString.toLowerCase(java.util.Locale.ROOT))
 }
 
 /** Codegen'd Catalyst expressions for the multi-substring filters — unlike
