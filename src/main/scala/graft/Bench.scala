@@ -25,6 +25,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = qs.map { case (name, fn) =>
+      // per-query isolation, OUTSIDE the timer: drop cached blocks leaked
+      // by earlier queries (dedup persists live as long as their result
+      // plans) and compact the heap, so query N's time doesn't depend on
+      // what ran before it (r2 driver bench showed 2-4× cross-query
+      // contamination in the tail of the alphabetical order)
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

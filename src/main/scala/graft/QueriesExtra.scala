@@ -114,14 +114,15 @@ object QueriesExtra {
       import graft.similarity.Ann
       val e = Queries.table(s, dir, "embeddings")
         .select(col("label"), col("vec_id"), col("embedding"),
-          Ann.norm(col("embedding")).as("nn")) // norms once per row
+          Ann.normFast(col("embedding")).as("nn")) // norms once per row
       val a = e.select(col("label"), col("vec_id").as("a"),
         col("embedding").as("ea"), col("nn").as("na"))
       val b = e.select(col("label"), col("vec_id").as("b"),
         col("embedding").as("eb"), col("nn").as("nb"))
       a.join(b, Seq("label"))
         .where(col("a") < col("b"))
-        .where(Ann.dot(col("ea"), col("eb")) / (col("na") * col("nb")) > 0.35)
+        .where(Ann.dotFast(col("ea"), col("eb"))
+          / (col("na") * col("nb")) > 0.35)
         .select(col("a"), col("b"))
         .orderBy("a", "b")
     },

@@ -34,32 +34,32 @@ object EmbeddingDedup {
 
   /** Dedup `df` keeping one row per cosine-cluster (≥ `threshold` within
     * `blockCol` blocks). Pass an existing cell column (e.g. an IVF label)
-    * or pre-compute one with [[hyperplaneBits]].
+    * or pre-compute one with [[hyperplaneBits]]. Clustering goes through
+    * [[MinHashDedup.keepFirst]] — driver UnionFind for small edge lists,
+    * distributed min-label propagation beyond `maxDriverEdges`.
     */
   def deduplicate(df: DataFrame, embCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDriverEdges: Long = 10_000_000L): DataFrame = {
     val withId = df
       .withColumn(MinHashDedup.IdCol, monotonically_increasing_id())
       .persist()
     import graft.similarity.Ann
-    // norms once per row, NOT per pair
+    // norms once per row, NOT per pair (primitive kernel — the Column HOF
+    // version is CodegenFallback, ~100× slower on the pair scan)
     val normed = withId.select(col(blockCol).as("blk"),
       col(MinHashDedup.IdCol).as("nid"), col(embCol).as("e"),
-      Ann.norm(col(embCol)).as("nn"))
+      Ann.normFast(col(embCol)).as("nn"))
     val a = normed.select(col("blk"), col("nid").as("xid"),
       col("e").as("ea"), col("nn").as("na"))
     val b = normed.select(col("blk"), col("nid").as("yid"),
       col("e").as("eb"), col("nn").as("nb"))
     val edges = a.join(b, Seq("blk"))
       .where(col("xid") < col("yid"))
-      .where(Ann.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+      .where(Ann.dotFast(col("ea"), col("eb")) / (col("na") * col("nb"))
         >= threshold)
-      .select(col("yid"), col("xid"))
-      .groupBy("yid").agg(min("xid").as("xid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val roots = ConnectedComponents.unionFindRoots(edges)
-    val bRoots = df.sparkSession.sparkContext.broadcast(roots)
-    val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
-    withId.where(keepUdf(col(MinHashDedup.IdCol))).drop(MinHashDedup.IdCol)
+      .select(col("yid").as("__x__"), col("xid").as("__y__"))
+      .groupBy("__x__").agg(min("__y__").as("__y__"))
+    MinHashDedup.keepFirst(withId, edges, maxDriverEdges)
   }
 }

@@ -6,6 +6,7 @@ import java.security.MessageDigest
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-deduplication with the reference's exact hash family
@@ -71,6 +72,37 @@ object MinHash {
     if (r >= MersennePrime) r - MersennePrime else r
   }
 
+  // Per-JVM shingle → 256-permutation-value cache. Real corpora are Zipfian
+  // (shingles repeat across near-dup docs and templated text), so the
+  // sha1 + 256-multiply work per shingle is paid once per executor, not
+  // once per occurrence. Bounded: above the cap new shingles are computed
+  // but not stored (no eviction churn); values are pure functions of the
+  // token bytes, so the cache never affects results.
+  private val PermCacheCap = 1 << 16
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]](1 << 12)
+
+  /** All 256 permuted hash values for one shingle (first `numPerm` are
+    * used). Cached per JVM — see [[PermCacheCap]].
+    */
+  def permValues(token: String): Array[Long] = {
+    val hit = permCache.get(token)
+    if (hit != null) return hit
+    val h = sha1Hash32(token.getBytes("UTF-8"))
+    val a = Permutations.A
+    val b = Permutations.B
+    val out = new Array[Long](a.length)
+    var p = 0
+    while (p < out.length) {
+      // numpy uint64 wraps mod 2^64 — Java Long * and + do the same;
+      // the Mersenne reduction then equals `% (2^61-1)` unsigned.
+      out(p) = modMersenne(h * a(p) + b(p)) & MaxHash
+      p += 1
+    }
+    if (permCache.size < PermCacheCap) permCache.putIfAbsent(token, out)
+    out
+  }
+
   /** Full minhash signature then banded bytes: B bands of R big-endian
     * uint64s (minhash_deduplication.py:109-116).
     */
@@ -80,17 +112,12 @@ object MinHash {
       bands: Int, rows: Int): Array[Array[Byte]] = {
     val hv = new Array[Long](numPerm)
     java.util.Arrays.fill(hv, MaxHash)
-    val a = Permutations.A
-    val b = Permutations.B
     tokens(if (content == null) "" else content, ngramSize, minNgramSize)
       .foreach { t =>
-        val h = sha1Hash32(t.getBytes("UTF-8"))
+        val v = permValues(t)
         var p = 0
         while (p < numPerm) {
-          // numpy uint64 wraps mod 2^64 — Java Long * and + do the same;
-          // the Mersenne reduction then equals `% (2^61-1)` unsigned.
-          val v = modMersenne(h * a(p) + b(p)) & MaxHash
-          if (v < hv(p)) hv(p) = v
+          if (v(p) < hv(p)) hv(p) = v(p)
           p += 1
         }
       }
@@ -163,12 +190,23 @@ final case class MinHashConfig(
     threshold: Double = 0.7,
     minNgramSize: Int = 5)
 
-/** Spark dataflow for the dedup (SURVEY.md §2.6): narrow fingerprint map →
-  * one shuffle on (band, signature) → tiny edge list to the driver →
-  * UnionFind → broadcast roots → narrow filter. Only duplicate-bucket
-  * edges cross to the driver (≪ rows); the scale-out path for edge lists
-  * beyond driver memory is iterative min-propagation over the edge
-  * DataFrame (implemented in [[ConnectedComponents.distributed]]).
+/** Spark dataflow for the dedup (SURVEY.md §2.6), de-skewed for 100 TB:
+  *
+  *  1. identical-text pre-pass — window `min(id)` per text value links
+  *     exact copies to their first row and leaves ONE representative per
+  *     distinct text, so signatures are computed once per distinct text
+  *     (web corpora are ~30% exact dups; LSH clusters identical texts
+  *     anyway — every band matches — so this is a pure cost cut);
+  *  2. short docs (< `minNgramSize` tokens — empty shingle set, all-MAX_HASH
+  *     signature, minhash_deduplication.py:50-51,109) short-circuit into one
+  *     cluster via a single-row `min` aggregate instead of flooding 25 bands
+  *     with one identical hot key (the r1/r2 mega-bucket);
+  *  3. banding emits per-(band, signature) star edges via a streaming
+  *     window `min(id)` — no `collect_list` array, so a hot bucket spills
+  *     instead of materializing one giant reducer-side array;
+  *  4. clustering: driver UnionFind (reference-faithful) below
+  *     `maxDriverEdges`, distributed min-label propagation above — shared by
+  *     every dedup variant through [[MinHashDedup.keepFirst]].
   */
 object MinHashDedup {
 
@@ -181,6 +219,48 @@ object MinHashDedup {
         cfg.minNgramSize, b, r)
     }
     c => u(c)
+  }
+
+  /** Star edges (member, bucket-min) per duplicate bucket from an
+    * exploded (id, band, bsig) frame. Streaming window aggregate — one
+    * shuffle on (band, bsig), no per-bucket array; hot buckets spill.
+    */
+  private[dedup] def bucketMinEdges(banded: DataFrame): DataFrame = {
+    val w = Window.partitionBy("band", "bsig")
+    banded.withColumn("__min__", min(col("id")).over(w))
+      .where(col("id") =!= col("__min__"))
+      .select(col("id").as("__x__"), col("__min__").as("__y__"))
+      .distinct()
+  }
+
+  /** Shared clustering tail for every dedup variant: edge list →
+    * component-min roots → keep rows that are their own root. Driver
+    * UnionFind (mirrors minhash_deduplication.py:179-193,273-280) below
+    * `maxDriverEdges`; distributed min-label propagation above — no
+    * unconditional driver materialization anywhere.
+    */
+  private[dedup] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
+      maxDriverEdges: Long): DataFrame = {
+    val edges = edgesRaw.toDF("__x__", "__y__").persist()
+    val edgeCount = edges.count()
+    val out = if (edgeCount == 0) {
+      withId.drop(IdCol)
+    } else if (edgeCount <= maxDriverEdges) {
+      val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val roots = ConnectedComponents.unionFindRoots(pairs)
+      val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
+      val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
+      withId.where(keepUdf(col(IdCol))).drop(IdCol)
+    } else {
+      // 100 TB path: roots computed distributed, dropped rows removed via
+      // broadcast-able anti-join on the (id, root) pairs with root ≠ id
+      val roots = ConnectedComponents.distributed(edges.toDF("id", "root"))
+      val dropped = roots.where(col("root") =!= col("id")).select("id")
+      withId.join(dropped.withColumnRenamed("id", IdCol),
+        Seq(IdCol), "left_anti").drop(IdCol)
+    }
+    edges.unpersist()
+    out
   }
 
   /** Near-dedup `df` on `column`, keeping each cluster's first row
@@ -197,36 +277,40 @@ object MinHashDedup {
       maxDriverEdges: Long = 10_000_000L): DataFrame = {
     val withId = df.withColumn(IdCol, monotonically_increasing_id())
       .persist()
+    val text = coalesce(col(column), lit(""))
+
+    // 1) ONE streaming window does two jobs at once. Key = the text
+    //    itself, except short docs (< minNgramSize tokens — empty shingle
+    //    set, all-MAX_HASH signature, minhash_deduplication.py:50-51,109)
+    //    which all share a sentinel key. Identical texts share every LSH
+    //    band and short docs share the one degenerate bucket, so in both
+    //    cases the reference clusters the whole class — the window's
+    //    star edges to the class min reproduce that without materializing
+    //    the r2 hot-key array, and leave ONE representative per class for
+    //    the (now much smaller, evenly re-partitioned) banding stage.
+    //    The sentinel " " is itself a short text, so a real doc
+    //    equal to it lands in the same class it belongs to anyway.
+    val isShort =
+      size(split(text, "[^A-Za-z_0-9]", -1)) < cfg.minNgramSize
+    val classKey = when(isShort, lit(" ")).otherwise(text)
+    val withClassMin = withId
+      .select(col(IdCol).as("id"), text.as("__t__"), classKey.as("__k__"))
+      .withColumn("__kmin__",
+        min(col("id")).over(Window.partitionBy(col("__k__"))))
+    val identEdges = withClassMin.where(col("id") =!= col("__kmin__"))
+      .select(col("id").as("__x__"), col("__kmin__").as("__y__"))
+    val reps = withClassMin.where(col("id") === col("__kmin__"))
+      .select(col("id"), col("__t__"))
+
+    // 2) LSH banding over representatives (the lone short-class rep
+    //    hashes to an all-MAX_HASH singleton bucket — no edges)
     val sig = signatureColumn(cfg)
-    val buckets = withId
-      .select(col(IdCol), posexplode(sig(col(column)))
-        .as(Seq("__band__", "__sig__")))
-      .groupBy("__band__", "__sig__")
-      .agg(collect_list(IdCol).as("__ids__"))
-      .where(size(col("__ids__")) > 1)
-      .select(explode(col("__ids__")).as("__x__"),
-        array_min(col("__ids__")).as("__min__"))
-      .where(col("__x__") =!= col("__min__"))
-      .distinct()
-      .persist()
-    val edgeCount = buckets.count()
-    val out = if (edgeCount <= maxDriverEdges) {
-      val edges = buckets.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val roots = ConnectedComponents.unionFindRoots(edges)
-      val bRoots = df.sparkSession.sparkContext.broadcast(roots)
-      val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
-      withId.where(keepUdf(col(IdCol))).drop(IdCol)
-    } else {
-      // 100 TB path: roots computed distributed, dropped rows removed via
-      // broadcast-able anti-join on the (id, root) pairs with root ≠ id
-      val roots = ConnectedComponents.distributed(
-        buckets.toDF("id", "root"))
-      val dropped = roots.where(col("root") =!= col("id")).select("id")
-      withId.join(dropped.withColumnRenamed("id", IdCol),
-        Seq(IdCol), "left_anti").drop(IdCol)
-    }
-    buckets.unpersist()
-    out
+    val banded = reps
+      .select(col("id"), posexplode(sig(col("__t__")))
+        .as(Seq("band", "bsig")))
+    val lshEdges = bucketMinEdges(banded)
+
+    keepFirst(withId, lshEdges.union(identEdges), maxDriverEdges)
   }
 }
 

@@ -33,55 +33,106 @@ object NgramJaccard {
       .otherwise(size(array_intersect(a, b)).cast("double") / uni)
   }
 
+  private val WordRe = java.util.regex.Pattern.compile("[a-z0-9_]+")
+
+  /** Distinct word n-grams as a JVM set — single tokenization pass.
+    * Same semantics as [[wordNgrams]] (lowercase `[a-z0-9_]+` words,
+    * empty below `n` words).
+    */
+  def gramSet(s: String, n: Int): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    if (s == null) return out
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    val m = WordRe.matcher(s.toLowerCase(java.util.Locale.ROOT))
+    while (m.find()) words += m.group()
+    if (words.length < n) return out
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Exact Jaccard of two docs' distinct n-gram sets — the verification
+    * kernel. A procedural UDF on purpose: the `Column` HOF version
+    * re-evaluates the word split inside the n-gram lambda (Catalyst
+    * inlines the staged array), making it O(words²) per side — measured
+    * 16 ms/pair vs ~50 µs here. Runs only on candidate pairs, so it is
+    * never the scan hot path.
+    */
+  def jaccardDocs(a: String, b: String, n: Int): Double = {
+    val ga = gramSet(a, n)
+    val gb = gramSet(b, n)
+    val (small, big) = if (ga.size <= gb.size) (ga, gb) else (gb, ga)
+    var inter = 0
+    val it = small.iterator()
+    while (it.hasNext) if (big.contains(it.next())) inter += 1
+    val uni = ga.size + gb.size - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
   /** Near-dedup via MinHash candidates + exact-Jaccard verification at
     * `threshold`, keep-first. More precise than banding alone (LSH false
     * positives are filtered by the exact check).
+    *
+    * Scale shape: docs with fewer than `n` tokens are excluded from
+    * banding up front — their shingle set is empty, so the reference LSH
+    * would flood them into ONE all-MAX_HASH bucket (the r2 24.8 s hot key)
+    * only for exact verification to reject every pair (empty gram sets
+    * have Jaccard 0). Candidate edges are STAR-SHAPED per bucket (member
+    * vs bucket-min, via a streaming window — no per-bucket array), and
+    * verification joins the candidate ids back against the corpus, staging
+    * the word arrays in their own projection so the split isn't
+    * re-evaluated inside the n-gram lambda. Clustering goes through
+    * [[MinHashDedup.keepFirst]]: driver UnionFind for small edge lists,
+    * distributed min-label propagation beyond `maxDriverEdges`.
     */
   def deduplicate(df: DataFrame, column: String, n: Int = 5,
       threshold: Double = 0.7,
-      cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+      cfg: MinHashConfig = MinHashConfig(),
+      maxDriverEdges: Long = 10_000_000L): DataFrame = {
+    val spark = df.sparkSession
     val withId = df
       .withColumn(MinHashDedup.IdCol, monotonically_increasing_id())
       .persist()
+    val text = coalesce(col(column), lit(""))
     val sig = MinHashDedup.signatureColumn(cfg.copy(ngramSize = n,
       minNgramSize = n, threshold = threshold))
-    // Candidate edges are STAR-SHAPED per bucket (each member vs the bucket
-    // min — the reference's own union-to-min shape): O(bucket) edges, not
-    // O(bucket²) pairs, and only bare id pairs shuffle — the n-gram arrays
-    // are joined back just for the verification stage.
-    val banded = withId.select(col(MinHashDedup.IdCol).as("id"),
-      posexplode(sig(col(column))).as(Seq("band", "bsig")))
-    val candidates = banded.groupBy("band", "bsig")
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("x"), array_min(col("ids")).as("y"))
-      .where(col("x") =!= col("y"))
-      .distinct()
-      .persist()
-    // n-grams ONLY for rows that appear in a candidate pair (usually a
-    // tiny fraction of the corpus), with the word split staged once per
-    // row — not re-evaluated inside the n-gram lambda
-    val candIds = candidates.select(col("x").as("gid"))
-      .union(candidates.select(col("y").as("gid"))).distinct()
-    val grams = withId
-      .select(col(MinHashDedup.IdCol).as("gid"), col(column))
-      .join(candIds, Seq("gid"), "left_semi")
-      .withColumn("__w__",
-        filter(split(lower(col(column)), "[^a-z0-9_]+"),
-          w => length(w) > 0))
-      .select(col("gid"), ngramsFromWords(col("__w__"), n).as("g"))
-      .persist()
+    // Short docs can never verify (empty gram set ⇒ Jaccard 0 < threshold):
+    // skip banding for them instead of materializing the degenerate bucket.
+    val shingleable = size(split(text, "[^A-Za-z_0-9]", -1)) >= n
+    val base = withId.where(shingleable)
+    // the signature UDF is the CPU hot path; a small parquet input arrives
+    // as 1-2 splits, which would serialize it — spread AFTER id assignment
+    // (ids anchor keep-first order) when the source is under-parallel
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (withId.rdd.getNumPartitions * 2 < par) base.repartition(par)
+      else base
+    val banded = spread
+      .select(col(MinHashDedup.IdCol).as("id"),
+        posexplode(sig(text)).as(Seq("band", "bsig")))
+    val candidates = MinHashDedup.bucketMinEdges(banded)
+    // exact verification: only candidate pairs pull their texts back in
+    // (broadcast-able candidate side at bench scale, shuffle join on id
+    // at cluster scale); single-pass JVM kernel — see [[jaccardDocs]]
+    val jac = udf { (a: String, b: String) => jaccardDocs(a, b, n) }
     val verified = candidates
-      .join(grams.select(col("gid").as("x"), col("g").as("ga")), Seq("x"))
-      .join(grams.select(col("gid").as("y"), col("g").as("gb")), Seq("y"))
-      .where(jaccard(col("ga"), col("gb")) >= threshold)
-      .select(col("x"), col("y")).groupBy("x").agg(min("y").as("y"))
-    val edges = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
-    candidates.unpersist()
-    grams.unpersist()
-    val roots = ConnectedComponents.unionFindRoots(edges)
-    val bRoots = df.sparkSession.sparkContext.broadcast(roots)
-    val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
-    withId.where(keepUdf(col(MinHashDedup.IdCol))).drop(MinHashDedup.IdCol)
+      .join(withId.select(col(MinHashDedup.IdCol).as("__x__"),
+        col(column).as("__ta__")), Seq("__x__"))
+      .join(withId.select(col(MinHashDedup.IdCol).as("__y__"),
+        col(column).as("__tb__")), Seq("__y__"))
+      .where(jac(col("__ta__"), col("__tb__")) >= threshold)
+      .groupBy("__x__").agg(min("__y__").as("__y__"))
+    MinHashDedup.keepFirst(withId, verified, maxDriverEdges)
   }
 }

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SimHash near-deduplication (Charikar 2002 / Manku et al. WWW'07 shape):
@@ -8,11 +9,14 @@ import org.apache.spark.sql.functions._
   * pigeonhole band trick (hamming ≤ k ⇒ at least one of k+1 bands equal);
   * verification via `bit_count(xor)`; cluster → keep-first.
   *
-  * Dataflow at scale: narrow signature map → explode k+1 small band keys →
-  * shuffle on (band, chunk) → self-join inside buckets (bounded by bucket
-  * size) → edge list → min-label clustering. No driver state needed except
-  * the final root map (swap for ConnectedComponents.distributed beyond
-  * ~10^7 edges).
+  * Dataflow at scale: narrow signature map → IDENTICAL signatures collapse
+  * to one representative first (hamming 0 — star edges via a streaming
+  * window, which removes the all-zero-signature hot key from the band
+  * join) → explode k+1 small band keys over the distinct signatures →
+  * shuffle on (band, chunk) → self-join inside buckets (bounded by
+  * distinct-signature bucket size) → edge list → min-label clustering
+  * through [[MinHashDedup.keepFirst]] (driver UnionFind small, distributed
+  * min-label propagation beyond `maxDriverEdges`).
   */
 object SimHash {
 
@@ -56,10 +60,14 @@ object SimHash {
   def signature(c: Column): Column = simhashUdf(c)
 
   /** Near-dedup rows whose signatures are within `maxHamming` bits,
-    * keeping each cluster's first row (min id in row order).
+    * keeping each cluster's first row (min id in row order). Components
+    * are unchanged by the identical-signature collapse: ham(a, b) depends
+    * only on the signatures, so any ≤k pair is represented by its
+    * representatives' edge plus the hamming-0 star edges.
     */
   def deduplicate(df: DataFrame, column: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxDriverEdges: Long = 10_000_000L): DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands
     val withId = df
@@ -67,7 +75,15 @@ object SimHash {
       .persist()
     val sigs = withId.select(col(MinHashDedup.IdCol).as("id"),
       signature(col(column)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    // hamming-0 collapse: one streaming window, star edges to the first
+    // row of each identical-signature class
+    val wSig = Window.partitionBy("sig")
+    val withMin = sigs.withColumn("__smin__", min(col("id")).over(wSig))
+    val identEdges = withMin.where(col("id") =!= col("__smin__"))
+      .select(col("id").as("__x__"), col("__smin__").as("__y__"))
+    val reps = withMin.where(col("id") === col("__smin__"))
+      .select("id", "sig")
+    val banded = reps.select(col("id"), col("sig"),
       explode(array((0 until bands).map(lit): _*)).as("band"))
       .withColumn("chunk",
         expr(s"shiftrightunsigned(sig, band * $width)")
@@ -76,12 +92,9 @@ object SimHash {
       .join(banded.as("b"), Seq("band", "chunk"))
       .where(col("a.id") < col("b.id"))
       .where(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
-      .select(col("b.id").as("x"), col("a.id").as("y"))
-      .groupBy("x").agg(min("y").as("y"))
-    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val roots = ConnectedComponents.unionFindRoots(edges)
-    val bRoots = df.sparkSession.sparkContext.broadcast(roots)
-    val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
-    withId.where(keepUdf(col(MinHashDedup.IdCol))).drop(MinHashDedup.IdCol)
+      .select(col("b.id").as("__x__"), col("a.id").as("__y__"))
+    val edges = pairs.union(identEdges)
+      .groupBy("__x__").agg(min("__y__").as("__y__"))
+    MinHashDedup.keepFirst(withId, edges, maxDriverEdges)
   }
 }

@@ -32,6 +32,35 @@ object Ann {
     */
   def norm(c: Column): Column = sqrt(dot(c, c))
 
+  /** Primitive dot kernel with BIT-IDENTICAL math to [[dot]] (float→double
+    * casts, then a sequential left-fold sum — same rounding at every step),
+    * as a UDF. Spark's higher-order functions are CodegenFallback
+    * (interpreted per element), which is ~100× this loop on a 128-dim pair
+    * scan; use the kernel in pair joins, keep the `Column` version where a
+    * single narrow pass is bit-mirrored in oracle SQL.
+    */
+  private def dotKernel(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  val dotFast: (Column, Column) => Column = {
+    val u = udf { (a: Seq[Float], b: Seq[Float]) =>
+      if (a == null || b == null) None else Some(dotKernel(a, b))
+    }
+    (a, b) => u(a, b)
+  }
+
+  val normFast: Column => Column = {
+    val u = udf { (a: Seq[Float]) =>
+      if (a == null) None else Some(math.sqrt(dotKernel(a, a)))
+    }
+    c => u(c)
+  }
+
   /** Elementwise-double cosine (per-pair norms; prefer dot/norm columns in
     * join-heavy paths).
     */
@@ -44,10 +73,11 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, query: DataFrame, embCol: String,
       idCol: String, k: Int): DataFrame = {
     val q = broadcast(query.select(col(embCol).as("__q__"),
-      norm(col(embCol)).as("__qn__"))) // query norm computed once
+      normFast(col(embCol)).as("__qn__"))) // query norm computed once
     val scored = corpus.crossJoin(q)
       .withColumn("__cos__",
-        dot(col(embCol), col("__q__")) / (norm(col(embCol)) * col("__qn__")))
+        dotFast(col(embCol), col("__q__"))
+          / (normFast(col(embCol)) * col("__qn__")))
     val top = scored
       .orderBy(col("__cos__").desc, col(idCol))
       .limit(k)
@@ -99,14 +129,15 @@ object Ann {
       idCol: String, cellCol: String, k: Int): DataFrame = {
     val q = queries.select(col(cellCol).as("__cell__"),
       col(idCol).as("query_id"), col(embCol).as("__qe__"),
-      norm(col(embCol)).as("__qn__"))
+      normFast(col(embCol)).as("__qn__"))
     val c = corpus.select(col(cellCol).as("__cell__"),
       col(idCol).as("neighbor_id"), col(embCol).as("__ce__"),
-      norm(col(embCol)).as("__cn__"))
+      normFast(col(embCol)).as("__cn__"))
     val scored = q.join(c, Seq("__cell__"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        dot(col("__qe__"), col("__ce__")) / (col("__qn__") * col("__cn__")))
+        dotFast(col("__qe__"), col("__ce__"))
+          / (col("__qn__") * col("__cn__")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
