@@ -174,6 +174,41 @@ object ChatPipeline {
       |        lowercase_threshold: 0.55
       |""".stripMargin
 
+  /** Flat per-message view of the synthetic corpus: one row per order with
+    * (custkey, pos0 = position in the conversation, content, do_train,
+    * role, source, prev = previous message's content). The window pair
+    * (row_number, lag) over (custkey, orderkey) replaces assembling and
+    * re-exploding conversation arrays.
+    */
+  private def syntheticMessages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val w = Window.partitionBy(col("custkey")).orderBy(col("okey"))
+    orders.select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("okey"),
+        concat(lit("please handle "), lower(col("o_orderpriority")),
+          lit(" order number "), (col("o_orderkey") % 1000),
+          lit(" with care.")).as("content"),
+        (col("o_orderkey") % 2 === 0).as("do_train"),
+        when(col("o_orderkey") % 2 === 0, lit("Assistant"))
+          .otherwise(lit("User")).as("role"),
+        concat(lit("synthetic/"), col("o_custkey") % 20).as("source"))
+      .withColumn("pos0", row_number().over(w) - 1)
+      .withColumn("prev", lag(col("content"), 1).over(w))
+      .drop("okey")
+  }
+
+  /** The flagship composes the same R1→R9 operator semantics, re-planned
+    * shuffle-lean: the R1 prefix-explode would carry an O(conversation)
+    * `input` array through the sort, the clean/filter trunk and the dedup
+    * shuffle, only for ≈1% of rows to survive — instead the trunk runs on
+    * flat scalar message rows (instruction = window `lag`, exactly the
+    * "last input message" of R2), and the chatml prefix arrays are rebuilt
+    * at the END by joining the tiny kept set back against the flat
+    * messages. Output rows are identical to the explode-first plan (the
+    * pre-dedup total order and keep-first semantics are unchanged).
+    */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.{MiniYaml, PipelineConfig, Preprocessor}
 
@@ -183,13 +218,19 @@ object ChatPipeline {
     val instrCfg = PipelineConfig.columnConfig(
       cfg("instruction_config").asInstanceOf[Map[String, Any]])
 
-    val conv = Conversations.synthetic(spark, dir)
+    val msgs = syntheticMessages(spark, dir)
+    // R1+R2 on flat rows: trained messages only; response = stripped
+    // content, instruction = stripped previous content ("" at pos 0).
     // Pin a total row order before dedup: keep-first semantics depend on
-    // row order, and the groupBy upstream leaves it partition-count-
-    // dependent (SURVEY §7.4). Identical rows are interchangeable, so this
-    // makes the kept SET deterministic across parallelism levels.
-    val io = Conversations.addContentColumns(
-      Conversations.explodeToInputOutput(conv))
+    // row order, and the window shuffle upstream leaves it partition-
+    // count-dependent (SURVEY §7.4). Rows tying on all three sort keys
+    // share source/response/instruction, so the kept SET (and every
+    // filter decision after dedup) is deterministic across parallelism.
+    val io = msgs.where(col("do_train"))
+      .select(col("custkey"), col("pos0"), col("role"), col("source"),
+        stripWs(col("content")).as("response"),
+        when(col("pos0") > 0, stripWs(col("prev")))
+          .otherwise(lit("")).as("instruction"))
       .orderBy("source", "response", "instruction")
 
     val afterResponse = new Preprocessor(io, "response",
@@ -198,7 +239,32 @@ object ChatPipeline {
       cleaners = Seq.empty, // main.py:54-56: cleaners never run on instructions
       filters = instrCfg.filters, dedup = instrCfg.dedup).run()
 
-    Conversations.convertToChatml(afterInstruction)
+    // R3 chatml: rebuild each kept row's prefix (messages before pos0,
+    // do_train forced false) from the flat view — the join output is
+    // O(kept × prefix), a few thousand structs, not 75k arrays
+    val kept = afterInstruction
+    val prefixParts = kept.select(col("custkey").as("k"), col("pos0").as("p"))
+      .join(msgs.select(col("custkey").as("k"), col("pos0").as("mp"),
+        col("content").as("mc"), col("role").as("mr")), Seq("k"))
+      .where(col("mp") < col("p"))
+      .groupBy(col("k"), col("p"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("mp"),
+          struct(col("mc").as("content"), lit(false).as("do_train"),
+            col("mr").as("role")).as("m")))),
+        s => s.getField("m")).as("__prefix__"))
+    val emptyPrefix = array().cast(
+      org.apache.spark.sql.types.ArrayType(Conversations.MessageType))
+    kept
+      .join(prefixParts,
+        col("custkey") === col("k") && col("pos0") === col("p"), "left")
+      .select(
+        concat(
+          coalesce(col("__prefix__"), emptyPrefix),
+          array(struct(col("response").as("content"),
+            lit(true).as("do_train"), col("role").as("role"))))
+          .as("conversation"),
+        col("source"))
       .orderBy(rand(42)) // main.py:73 shuffle(seed=42)
   }
 }
