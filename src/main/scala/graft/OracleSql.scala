@@ -12,9 +12,16 @@ object OracleSql {
   /** Escape a string for a single-quoted DuckDB literal. */
   def q(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** ASCII-whitespace class, spelled out: bundled-DuckDB RE2 `\s` does NOT
+    * match `\x0b` (vertical tab), while the Spark-side [[Cleaners.stripWs]]
+    * trims the full 0x09-0x0D + space range — an explicit class keeps both
+    * engines identical on every input.
+    */
+  val WsClass: String = "[ \\t\\n\\x0b\\f\\r]"
+
   /** Python-`strip()` mirror of [[Cleaners.stripWs]]. */
   def strip(e: String): String =
-    "regexp_replace(" + e + ", '^\\s+|\\s+$', '', 'g')"
+    s"regexp_replace($e, '^$WsClass+|$WsClass+$$', '', 'g')"
 
   /** `get_words` count mirror of [[graft.text.Filters.wordCount]]. */
   def wordCount(e: String): String =
@@ -48,8 +55,8 @@ object OracleSql {
     */
   def removeEmptyLines(e: String): String =
     s"array_to_string(list_filter(regexp_split_to_array($e, " +
-      s"'$SplitlinesRegexSql'), x -> NOT regexp_matches(x, '^\\s*$$')), " +
-      "chr(10))"
+      s"'$SplitlinesRegexSql'), x -> NOT regexp_matches(x, " +
+      s"'^$WsClass*$$')), chr(10))"
 
   /** F4 lowercase-ratio score (empty → 0.0). */
   def lowercaseRatio(e: String): String =
@@ -67,6 +74,12 @@ object OracleSql {
   /** F5 char-repetition ratio as a CTE chain (utils.py:310-339 semantics:
     * frequency of all length-`n` char ngrams; ratio = mass of the
     * top-⌊√distinct⌋ (capped at distinct − singletons) over total mass).
+    *
+    * BMP-only assumption: DuckDB `length`/`substr` count Unicode
+    * codepoints while the Spark-side CharRepetition UDF indexes the Java
+    * String by UTF-16 code units — ngram windows diverge on astral-plane
+    * characters (emoji, surrogate pairs). All oracle corpora are BMP (in
+    * fact ASCII); non-BMP documents would score differently per engine.
     *
     * Consumes a CTE named `src` exposing key columns `keys` plus a text
     * column `textCol`; emits CTEs ending in `__cr_ratio(keys..., ratio)`.

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
 object QueriesExtra2 {
 
   /** Multimodal decode: text→binary payloads through the REAL batched
-    * mapPartitions decode path; the stub's arithmetic is mirrored in SQL.
+    * mapPartitions decode path (PNG/JPEG/GIF headers are parsed for real;
+    * these text payloads match no magic, so they hit the deterministic
+    * stub fallback whose arithmetic is mirrored in SQL).
     */
   val mmDecode: QueryDef = QueryDef("mm_decode_meta",
     (s, dir) => {
@@ -135,8 +137,10 @@ object QueriesExtra2 {
       "CAST(sum(CAST(floor(crit * 1e9) AS BIGINT)) AS BIGINT) AS sum_e9, " +
       "min(crit) AS mn, max(crit) AS mx FROM c"))
 
-  /** F2 perplexity scoring via the pluggable TextScorer (default JVM
-    * char-bigram LM — kenlm model files can't ship here) — rows-only.
+  /** F2 perplexity scoring via the pluggable TextScorer (default: the
+    * shipped ARPA word-bigram LM, kenlm-style backoff + the reference's
+    * document semantics) — rows-only (scores depend on the bundled model,
+    * not expressible in ANSI SQL).
     */
   val f2: QueryDef = QueryDef("f2_check_perplexity",
     (s, dir) => Queries.table(s, dir, "documents")
@@ -146,8 +150,13 @@ object QueriesExtra2 {
       .orderBy("doc_id"),
     None)
 
-  /** §2.7 cc_net text normalization (kenlm_model.py:144-184) — rows-only
-    * (NFD accent-strip differs subtly from DuckDB strip_accents).
+  /** §2.7 cc_net text normalization (kenlm_model.py:144-184), now with a
+    * real DuckDB oracle: trim → lower → strip accents → digits→0 → punct
+    * map → drop non-printing, mirrored step for step. The injected prefix/
+    * suffix exercise every stage on chars where Java-NFD and DuckDB
+    * `strip_accents` agree (combining-mark decompositions; NFD leaves
+    * compat-only chars like ½ № alone in both engines — astral/ambiguous
+    * chars like ø deliberately not injected).
     */
   val ccNet: QueryDef = QueryDef("ccnet_normalize",
     (s, dir) => {
@@ -155,10 +164,23 @@ object QueriesExtra2 {
         graft.scoring.CcNetNormalizer.normalize(t)
       }
       Queries.table(s, dir, "documents")
-        .select(col("doc_id"), u(col("text")).as("normalized"))
+        .select(col("doc_id"),
+          u(concat(lit("  Élan… "), col("text"),
+            lit(" Déjà №½ 42\u0007—  "))).as("normalized"))
         .orderBy("doc_id")
     },
-    None)
+    Some {
+      import OracleSql._
+      val doc = "'  Élan… ' || text || ' Déjà №½ 42' || chr(7) || '—  '"
+      val normalized =
+        "regexp_replace(" +
+          normalizePunctuation(
+            s"regexp_replace(strip_accents(lower(${strip(doc)})), " +
+              "'[0-9]', '0', 'g')") +
+          ", '[\\x00-\\x09\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')"
+      s"SELECT doc_id, $normalized AS normalized FROM documents " +
+        "ORDER BY doc_id"
+    })
 
   /** P3 dry-run: score columns for a two-filter stack, rows unfiltered,
     * dry-run column prefixing applied.

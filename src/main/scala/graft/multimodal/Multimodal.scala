@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
-  * metadata. The decode step is a clearly-marked deterministic STUB (no
-  * media libs in this container) — everything Spark-side is real: schema,
-  * batched mapPartitions plumbing (the Scala analogue of `mapInPandas`:
-  * process rows in fixed-size batches so a vectorized decoder amortizes
-  * per-call overhead), partition sizing, and the explode shape for frame
-  * sampling.
+  * metadata. Header decode is REAL for the container formats whose
+  * dimensions live in fixed header fields — PNG (IHDR), JPEG (SOFn
+  * segment scan), GIF (logical screen descriptor) — parsed straight off
+  * the bytes with no media library. Payloads that match no magic fall
+  * back to a clearly-marked deterministic stub (full-frame pixel decode
+  * needs codec libs this container doesn't ship). Everything Spark-side
+  * is real either way: schema, batched mapPartitions plumbing (the Scala
+  * analogue of `mapInPandas`: process rows in fixed-size batches so a
+  * vectorized decoder amortizes per-call overhead), partition sizing, and
+  * the explode shape for frame sampling.
   */
 object Multimodal {
 
@@ -18,6 +22,56 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("codec", StringType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first):
+    * length(4) "IHDR" width(4 BE) height(4 BE).
+    */
+  private[multimodal] def decodePng(b: Array[Byte]): Option[(Int, Int, String)] = {
+    if (b.length < 24) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if (u8(b, i) != (sig(i) & 0xff)) return None; i += 1 }
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return None
+    Some((be32(b, 16), be32(b, 20), "png"))
+  }
+
+  /** JPEG: FFD8, then marker segments FF xx len(2 BE, includes itself);
+    * dimensions live in the first SOFn (C0-CF except C4/C8/CC):
+    * precision(1) height(2 BE) width(2 BE).
+    */
+  private[multimodal] def decodeJpeg(b: Array[Byte]): Option[(Int, Int, String)] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced — not a marker
+      var m = u8(b, i + 1)
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+      if (m == 0xd9 || m == 0xda) return None // EOI/SOS before any SOF
+      val len = be16(b, i + 2)
+      if (len < 2) return None
+      val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+      if (isSof) {
+        if (i + 9 >= b.length) return None
+        return Some((be16(b, i + 7), be16(b, i + 5), "jpeg"))
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** GIF87a/GIF89a: logical screen width/height, 2 bytes each, LE. */
+  private[multimodal] def decodeGif(b: Array[Byte]): Option[(Int, Int, String)] = {
+    if (b.length < 10) return None
+    val h = new String(b, 0, 6, "US-ASCII")
+    if (h != "GIF87a" && h != "GIF89a") return None
+    Some((le16(b, 6), le16(b, 8), "gif"))
+  }
 
   /** STUB decoder — deterministic fake metadata derived from the payload
     * (swap for a real image/audio decoder: the call site contract —
@@ -34,6 +88,15 @@ object Multimodal {
     ((len % 640) + 16, ((len / 3) % 480) + 16, codec)
   }
 
+  /** Real header decode with stub fallback for unrecognized payloads. */
+  def decodeBytes(media: Array[Byte]): (Int, Int, String) = {
+    if (media == null || media.length == 0) return decodeStub(media)
+    decodePng(media)
+      .orElse(decodeJpeg(media))
+      .orElse(decodeGif(media))
+      .getOrElse(decodeStub(media))
+  }
+
   /** Decode metadata for a binary column via BATCHED mapPartitions — the
     * batch (default 1024 rows) is the unit a vectorized decoder would
     * process at once; output schema = input ++ meta struct.
@@ -46,7 +109,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // a real decoder gets the whole batch (GPU/SIMD amortization)
         batch.iterator.map { r =>
-          val (w, h, c) = decodeStub(r.getAs[Array[Byte]](idx))
+          val (w, h, c) = decodeBytes(r.getAs[Array[Byte]](idx))
           Row.fromSeq(r.toSeq :+ Row(w, h, c))
         }
       }
@@ -59,7 +122,7 @@ object Multimodal {
     */
   val decodeMetaUdf: Column => Column = {
     val u = udf { (media: Array[Byte]) =>
-      val (w, h, c) = decodeStub(media)
+      val (w, h, c) = decodeBytes(media)
       (w, h, c)
     }
     c => u(c).cast(MetaType)

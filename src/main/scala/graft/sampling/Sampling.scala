@@ -32,7 +32,14 @@ object Sampling {
   def sampleDatasets(datasets: Seq[DataFrame], proportions: Seq[Double],
       targetSize: Double, userCol: String, seed: Long = 42): DataFrame = {
     require(datasets.nonEmpty && datasets.size == proportions.size)
-    val sizes = datasets.map(_.count().toDouble) // driver arithmetic, as ref
+    // ONE sizing job over the tagged union (map-side-combined counts)
+    // instead of a count() action per input dataset
+    val counts = datasets.zipWithIndex
+      .map { case (df, i) => df.select(lit(i).as("__ds__")) }
+      .reduce(_.union(_))
+      .groupBy("__ds__").agg(count(lit(1)).as("__n__"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sizes = datasets.indices.map(i => counts.getOrElse(i, 0L).toDouble)
     val effective = (targetSize +: sizes.zip(proportions).map {
       case (len, p) => len / p
     }).min

@@ -87,8 +87,38 @@ object CcNetNormalizer extends Serializable {
   }
 }
 
+/** Word-bigram ARPA scorer with the reference's exact document semantics
+  * (kenlm_model.py:122-142): cc_net-normalize, per-line
+  * `model.score(line)` with length `len(line.split()) + 1`, document
+  * perplexity `round(10^(−Σlog10P/Σlength), 1)`. Model loaded once per
+  * JVM from the shipped resource (executors each parse it on first use —
+  * ~1 MB, trained by [[TrainArpa]]).
+  */
+object ArpaScorer extends TextScorer {
+  val ResourcePath = "graft/graft-en.arpa"
+
+  @transient lazy val model: ArpaModel =
+    ArpaModel.fromResource(ResourcePath).getOrElse(
+      throw new IllegalStateException(s"missing LM resource $ResourcePath"))
+
+  def score(doc: String): Double = {
+    val norm = CcNetNormalizer.normalize(if (doc == null) "" else doc)
+    var logSum = 0.0
+    var length = 0L
+    norm.split('\n').foreach { line =>
+      logSum += model.score(line)
+      length += line.split("\\s+").count(_.nonEmpty) + 1
+    }
+    if (length == 0) 0.0
+    else math.rint(math.pow(10.0, -logSum / length) * 10.0) / 10.0
+  }
+}
+
 object Perplexity {
-  @volatile var scorer: TextScorer = BigramScorer
+  @volatile var scorer: TextScorer =
+    if (getClass.getClassLoader.getResource(ArpaScorer.ResourcePath) != null)
+      ArpaScorer
+    else BigramScorer // defensive: resource stripped from the classpath
 
   private val scoreUdf = udf { (s: String) =>
     scorer.score(if (s == null) "" else s)

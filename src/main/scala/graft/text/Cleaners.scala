@@ -64,10 +64,11 @@ object Cleaners {
     * semantics: drop lines matching `^\s*$`, re-join with \n. The reference
     * has an inverted isinstance check (cleaners.py:71-72) that makes it
     * always return "" — we implement the intent and pin the divergence in
-    * tests. Line boundaries: the full Python `splitlines` set (blank-line
-    * detection stays ASCII `\s`, where Java and RE2 agree; Python
-    * `str.strip` additionally treats U+00A0 etc. as blank — documented
-    * divergence).
+    * tests. Line boundaries: the full Python `splitlines` set. Blank-line
+    * detection is ASCII `\s` = [ \t\n\x0b\f\r] — NOTE the bundled-DuckDB
+    * RE2 `\s` does NOT match \x0b, so the oracle mirror spells the class
+    * out ([[graft.OracleSql.WsClass]]); Python `str.strip` additionally
+    * treats U+00A0 etc. as blank — documented divergence.
     */
   val removeEmptyLines: Column => Column = c =>
     array_join(

@@ -161,6 +161,40 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("real header decode: png ihdr, jpeg sofn, gif screen, stub fallback") {
+    import graft.multimodal.Multimodal
+    // PNG: signature + IHDR(width=640, height=360)
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* 640 */ 0, 0, 0x01, 0x68, /* 360 */
+      8, 6, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.decodeBytes(png) === ((640, 360, "png")))
+    // JPEG: SOI, APP0 (skipped), SOF0 with height=480 width=320
+    val jpeg = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 'J', 'F', // APP0, len 4 => 2 payload bytes
+      0xff, 0xc0, 0x00, 0x0b, 8,
+      0x01, 0xe0, /* h=480 */ 0x01, 0x40, /* w=320 */ 1, 0x11, 0, 0
+    ).map(_.toByte)
+    assert(Multimodal.decodeBytes(jpeg) === ((320, 480, "jpeg")))
+    // progressive marker C2 is a SOF too
+    val jpegC2 = jpeg.clone(); jpegC2(9) = 0xc2.toByte
+    assert(Multimodal.decodeBytes(jpegC2) === ((320, 480, "jpeg")))
+    // GIF89a logical screen 100x50 (little-endian)
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x64, 0x00, 0x32, 0x00).map(_.toByte))
+    assert(Multimodal.decodeBytes(gif) === ((100, 50, "gif")))
+    // unrecognized bytes fall back to the deterministic stub
+    val text = "hello world".getBytes("UTF-8")
+    assert(Multimodal.decodeBytes(text) === Multimodal.decodeStub(text))
+    // truncated magic prefixes never throw
+    assert(Multimodal.decodeBytes(Array[Byte](0xff.toByte, 0xd8.toByte))
+      === Multimodal.decodeStub(Array[Byte](0xff.toByte, 0xd8.toByte)))
+    assert(Multimodal.decodeBytes("GIF89a".getBytes("US-ASCII"))
+      === Multimodal.decodeStub("GIF89a".getBytes("US-ASCII")))
+  }
+
   test("streaming windowed agg matches its batch twin") {
     val dir = "/root/testdata/sf0.001"
     val batch = QueriesExtra2.evWindowed.run(spark, dir)

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.scoring.{ArpaModel, ArpaScorer, CcNetNormalizer}
+
+/** F2 perplexity scoring: ARPA backoff arithmetic (hand-checked golden
+  * model), the reference's document-scoring semantics
+  * (kenlm_model.py:122-142), and plausibility of the shipped model.
+  */
+class ScoringSpec extends AnyFunSuite {
+
+  // tiny hand-written model: vocab {a, b}, one bigram
+  private val tiny = ArpaModel.parse(
+    """\data\
+      |ngram 1=5
+      |ngram 2=2
+      |
+      |\1-grams:
+      |-99.000000	<s>	-0.300000
+      |-0.900000	</s>	0.000000
+      |-0.500000	a	-0.200000
+      |-0.800000	b	-0.100000
+      |-2.000000	<unk>	0.000000
+      |
+      |\2-grams:
+      |-0.400000	a b
+      |-0.250000	<s> a
+      |
+      |\end\
+      |""".stripMargin.linesIterator)
+
+  test("arpa backoff query arithmetic") {
+    // listed bigram wins
+    assert(math.abs(tiny.logProb("a", "b") - (-0.4)) < 1e-12)
+    // unlisted: backoff(h) + p1(w)
+    assert(math.abs(tiny.logProb("b", "a") - (-0.1 + -0.5)) < 1e-12)
+    // OOV event maps to <unk>
+    assert(math.abs(tiny.logProb("a", "zzz") - (-0.2 + -2.0)) < 1e-12)
+    // sentence: P(a|<s>) + P(b|a) + P(</s>|b)
+    val want = -0.25 + -0.4 + (-0.1 + -0.9)
+    assert(math.abs(tiny.score("a b") - want) < 1e-12)
+    // leading/trailing whitespace tokens are dropped
+    assert(tiny.score("  a   b  ") === tiny.score("a b"))
+  }
+
+  test("shipped model loads and is non-trivial") {
+    val m = ArpaScorer.model
+    assert(m.vocabSize > 5000, "vocab")
+    assert(m.bigramCount > 20000, "bigrams")
+  }
+
+  test("document perplexity semantics match the reference") {
+    // one line: 10^(−score/(words+1)), rounded to 1 dp
+    val line = "the software is provided without warranty"
+    val m = ArpaScorer.model
+    val norm = CcNetNormalizer.normalize(line)
+    val words = norm.split("\\s+").count(_.nonEmpty)
+    val want = math.rint(
+      math.pow(10.0, -m.score(norm) / (words + 1)) * 10.0) / 10.0
+    assert(ArpaScorer.score(line) === want)
+    // scores are deterministic and 1-dp rounded
+    val s = ArpaScorer.score(line)
+    assert(s === ArpaScorer.score(line))
+    assert(math.abs(s * 10.0 - math.rint(s * 10.0)) < 1e-9)
+    // cc_net normalization is applied before scoring: digits collapse to 0
+    assert(ArpaScorer.score("version 42 of license 1999")
+      === ArpaScorer.score("version 77 of license 3333"))
+  }
+
+  test("natural in-domain text scores far below gibberish") {
+    val natural = ArpaScorer.score(
+      "This software is provided without warranty of any kind. " +
+        "You may redistribute it under the terms of the license.")
+    val gibberish = ArpaScorer.score(
+      "xq zvkw jjj qqq zzz glarp wug blick snark fneep")
+    assert(natural < 100, s"natural=$natural")
+    assert(gibberish > 1000, s"gibberish=$gibberish")
+    assert(natural * 50 < gibberish)
+  }
+
+  test("perplexity filter wiring uses the arpa scorer") {
+    assert(graft.scoring.Perplexity.scorer eq ArpaScorer)
+  }
+}

@@ -204,4 +204,49 @@ class SparkOpsSpec extends AnyFunSuite {
     // keep-first dedup representatives are order-pinned → stable count
     assert(n1 === n2)
   }
+
+  test("check_gender drops empty tokens and stops at the shorter half") {
+    import graft.text.Filters
+    val f = Filters.checkGender("<S>")
+    def keep(s: String): Boolean =
+      spark.range(1).select(f.keep(lit(s)).as("k")).head().getBoolean(0)
+    // Python .split() drops the empty token from the leading whitespace:
+    // positions align as [he,went] vs [she,went] → gendered pair differs
+    assert(keep("he went<S>  she went"))
+    // a naive \s+ split would keep "" at position 0 and misalign — the
+    // gendered words would then compare at different positions
+    assert(keep("he went home<S>\tshe went home "))
+    // comparison stops at the shorter half: the gendered word in the
+    // longer tail is never reached
+    assert(!keep("nobody<S>stays she"))
+    // same gendered word at the same position is NOT a flip
+    assert(!keep("he went<S>he stayed"))
+  }
+
+  test("line boundary regex covers every python splitlines class") {
+    // \r\n is ONE boundary; each single char splits; blanks are dropped
+    val doc = "a\r\nb\rc\nd\u000Be\ff\u001Cg\u001Dh\u001Ei\u0085j\u2028k\u2029l"
+    assert(one(doc, Cleaners.removeEmptyLines)
+      === "a\nb\nc\nd\ne\nf\ng\nh\ni\nj\nk\nl")
+    assert(one("a\r\n\r\nb", Cleaners.removeEmptyLines) === "a\nb")
+    assert(one("x\r\ny", Cleaners.removeEmptyLines) === "x\ny")
+  }
+
+  test("sampleDropped returns seeded examples from the dropped set only") {
+    import spark.implicits._
+    val original = (0L until 20L).map(i => (i, s"doc $i")).toDF("ids", "t")
+    val kept = original.where(col("ids") < 13)
+    val dropped = graft.pipeline.Preprocessor
+      .sampleDropped(original, kept, "ids", numSamples = 5)
+    assert(dropped.length === 5)
+    assert(dropped.forall(_.getLong(0) >= 13), "only dropped rows")
+    // seeded → deterministic
+    val again = graft.pipeline.Preprocessor
+      .sampleDropped(original, kept, "ids", numSamples = 5)
+    assert(dropped.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // fewer dropped than requested → all of them
+    val few = graft.pipeline.Preprocessor
+      .sampleDropped(original, original.where(col("ids") < 18), "ids")
+    assert(few.map(_.getLong(0)).toSet === Set(18L, 19L))
+  }
 }
