@@ -19,10 +19,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup: cheapest scan-shaped query, untimed
-    qs.find(_._1 == "ta_fingerprint").orElse(qs.headOption).foreach {
-      case (_, fn) => try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    // warmup, untimed: one narrow scan + one filter/sort-shaped query, so
+    // whole-stage-codegen/JIT compilation of the common plan shapes is
+    // paid before the clock starts (first execution of a filter+sort plan
+    // measures ~1.4s of JIT on top of ~0.5s of query)
+    Seq("ta_fingerprint", "f1_check_word_number").foreach { w =>
+      qs.find(_._1 == w).orElse(qs.headOption).foreach {
+        case (_, fn) => try fn(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     }
     val results = qs.map { case (name, fn) =>
       // per-query isolation, OUTSIDE the timer: drop cached blocks leaked

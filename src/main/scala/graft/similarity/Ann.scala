@@ -32,34 +32,17 @@ object Ann {
     */
   def norm(c: Column): Column = sqrt(dot(c, c))
 
-  /** Primitive dot kernel with BIT-IDENTICAL math to [[dot]] (float→double
-    * casts, then a sequential left-fold sum — same rounding at every step),
-    * as a UDF. Spark's higher-order functions are CodegenFallback
-    * (interpreted per element), which is ~100× this loop on a 128-dim pair
-    * scan; use the kernel in pair joins, keep the `Column` version where a
-    * single narrow pass is bit-mirrored in oracle SQL.
+  /** Primitive dot/norm kernels with BIT-IDENTICAL math to [[dot]]/[[norm]]
+    * (float→double casts, then a sequential left-fold sum — same rounding
+    * at every step), as codegen'd Catalyst expressions
+    * ([[FloatDotExpr]]/[[FloatNormExpr]]): no per-element interpretation
+    * (the HOFs are CodegenFallback) and no ScalaUDF `Seq[Float]` boxing.
+    * Use in pair joins; keep the `Column` versions where a single narrow
+    * pass is bit-mirrored in oracle SQL.
     */
-  private def dotKernel(a: Seq[Float], b: Seq[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
+  val dotFast: (Column, Column) => Column = (a, b) => FloatDot(a, b)
 
-  val dotFast: (Column, Column) => Column = {
-    val u = udf { (a: Seq[Float], b: Seq[Float]) =>
-      if (a == null || b == null) None else Some(dotKernel(a, b))
-    }
-    (a, b) => u(a, b)
-  }
-
-  val normFast: Column => Column = {
-    val u = udf { (a: Seq[Float]) =>
-      if (a == null) None else Some(math.sqrt(dotKernel(a, a)))
-    }
-    c => u(c)
-  }
+  val normFast: Column => Column = c => FloatNorm(c)
 
   /** Elementwise-double cosine (per-pair norms; prefer dot/norm columns in
     * join-heavy paths).
