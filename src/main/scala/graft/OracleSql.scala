@@ -23,9 +23,11 @@ object OracleSql {
   def strip(e: String): String =
     s"regexp_replace($e, '^$WsClass+|$WsClass+$$', '', 'g')"
 
-  /** `get_words` count mirror of [[graft.text.Filters.wordCount]]. */
+  /** `get_words` count mirror of [[graft.text.Filters.wordCount]] —
+    * unicode word class, spelled out identically on both engines.
+    */
   def wordCount(e: String): String =
-    s"len(regexp_extract_all(lower($e), '\\w+'))"
+    s"len(regexp_extract_all(lower($e), '[\\p{L}\\p{N}_]+'))"
 
   /** C2 normalize_whitespace: same char table as the Spark CharMap. */
   def normalizeWhitespace(e: String): String = {

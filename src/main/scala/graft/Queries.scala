@@ -118,8 +118,7 @@ object Queries {
 
   // ---- filters (SURVEY §2.4): keep-mode + dry-run score-mode ----
 
-  private val sqlWords = (e: String) =>
-    s"len(regexp_extract_all(lower($e), '\\w+'))"
+  private val sqlWords = (e: String) => OracleSql.wordCount(e)
 
   private val f1 = QueryDef("f1_check_word_number",
     (s, dir) => docs(s, dir)

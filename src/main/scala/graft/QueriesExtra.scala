@@ -13,8 +13,7 @@ object QueriesExtra {
   /** Shared SQL fragments mirroring TextAnalysis expression shapes. */
   private def cntSql(e: String, w: String): String =
     s"CAST((length($e)-length(replace($e,'$w','')))//${w.length} AS BIGINT)"
-  private def wordsSql(e: String): String =
-    s"len(regexp_extract_all(lower($e), '\\w+'))"
+  private def wordsSql(e: String): String = OracleSql.wordCount(e)
 
   val taTokens: QueryDef = QueryDef("ta_token_count",
     (s, dir) => Queries.table(s, dir, "documents")

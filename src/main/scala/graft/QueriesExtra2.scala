@@ -192,7 +192,7 @@ object QueriesExtra2 {
       Seq(graft.text.Filters.checkWordNumber(20, 60),
         graft.text.Filters.checkLowercaseRatio()))
       .drop("text").orderBy("doc_id"),
-    Some("SELECT doc_id, len(regexp_extract_all(lower(text), '\\w+')) AS " +
+    Some("SELECT doc_id, " + OracleSql.wordCount("text") + " AS " +
       "text__text_check_word_number_criteria, CASE WHEN length(text)=0 " +
       "THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) " +
       "AS DOUBLE)/length(text) END AS " +

@@ -82,7 +82,7 @@ object QueriesPipeline {
       failed.select("doc_id").orderBy("doc_id")
     },
     Some("SELECT doc_id FROM documents WHERE NOT " +
-      "(len(regexp_extract_all(lower(text), '\\w+')) BETWEEN 20 AND 60) " +
+      "(" + OracleSql.wordCount("text") + " BETWEEN 20 AND 60) " +
       "ORDER BY doc_id"))
 
   /** P8 `_dataset_subtraction` — left-anti join on id (the reference's only

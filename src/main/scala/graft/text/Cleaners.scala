@@ -89,8 +89,12 @@ object Cleaners {
   def stripWs(c: Column): Column = StripWs(c)
 
   /** `fix_utf8_encoding` — cleaners.py:5-8. ftfy has no JVM port; this is
-    * the documented high-value subset: cp1252/latin-1↔utf-8 mojibake repair
-    * (ftfy's core heuristic) + NFC normalization + null → "".
+    * the documented high-value subset in ftfy's own pipeline order: HTML
+    * entity unescape (auto heuristic) → terminal-escape removal →
+    * cp1252/latin-1↔utf-8 mojibake repair (ftfy's core heuristic, up to 3
+    * passes) → C1-control reinterpretation → latin ligatures → fullwidth
+    * folding → quote uncurling → line-break unification → lone-surrogate
+    * replacement → control-char removal → NFC + null → "".
     */
   val fixUtf8Encoding: Column => Column = { c =>
     val u = udf { (s: String) => FtfyLite.fix(s) }
@@ -107,9 +111,9 @@ object Cleaners {
   )
 }
 
-/** Minimal ftfy-subset: repair text that was decoded as cp1252 (or latin-1)
-  * when it was actually UTF-8 (classic "Ã©"-style mojibake), then NFC-
-  * normalize. Pure JVM, deterministic, executor-side singleton.
+/** ftfy-subset (ftfy 6 `fix_text` defaults, JVM re-implementation of the
+  * steps that matter for chat corpora), applied in ftfy's pipeline order.
+  * Pure JVM, deterministic, executor-side singleton.
   */
 object FtfyLite extends Serializable {
   private val cp1252 = Charset.forName("windows-1252")
@@ -131,9 +135,114 @@ object FtfyLite extends Serializable {
     } catch { case _: Exception => None }
   }
 
+  /** ftfy `unescape_html="auto"`: only when the text has entity-looking
+    * `&...;` runs and no raw markup `<` (then it is actual HTML whose
+    * entities are intentional). Named basics + numeric forms.
+    */
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "middot" -> "·", "laquo" -> "«", "raquo" -> "»")
+  private val EntityRe =
+    java.util.regex.Pattern.compile("&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+
+  private def unescapeHtml(s: String): String = {
+    if (s.indexOf('&') < 0 || s.indexOf('<') >= 0) return s
+    val m = EntityRe.matcher(s)
+    val sb = new java.lang.StringBuffer
+    while (m.find()) {
+      val body = m.group(1)
+      val rep =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+          catch { case _: Exception => m.group(0) }
+        else if (body.startsWith("#"))
+          try new String(Character.toChars(Integer.parseInt(body.drop(1))))
+          catch { case _: Exception => m.group(0) }
+        else NamedEntities.getOrElse(body, m.group(0))
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private val TerminalEscapeRe =
+    java.util.regex.Pattern.compile("\\u001B\\[[0-9;?]*[a-zA-Z]")
+
+  /** ftfy `fix_c1_controls`: stray C1 codepoints (U+0080-U+009F) are
+    * almost always cp1252 bytes read as latin-1 — reinterpret the mapped
+    * ones (\x85→…, \x91→', \x93→" …); the five cp1252 holes stay.
+    */
+  private def fixC1Controls(s: String): String = {
+    if (!s.exists(c => c >= '\u0080' && c <= '\u009F')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      if (c >= '\u0080' && c <= '\u009F') {
+        val decoded = new String(Array((c & 0xff).toByte), cp1252)
+        sb.append(if (decoded.charAt(0) == '�') c else decoded.charAt(0))
+      } else sb.append(c)
+    }
+    sb.toString
+  }
+
+  private val Ligatures = Map(
+    'Ĳ' -> "IJ", 'ĳ' -> "ij", 'ﬀ' -> "ff", 'ﬁ' -> "fi", 'ﬂ' -> "fl",
+    'ﬃ' -> "ffi", 'ﬄ' -> "ffl", 'ﬅ' -> "st", 'ﬆ' -> "st")
+
+  private val CurlyQuotes = Map(
+    '‘' -> '\'', '’' -> '\'', '“' -> '"', '”' -> '"')
+
+  private def mapChars(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      Ligatures.get(c) match {
+        case Some(r) => sb.append(r)
+        case None =>
+          CurlyQuotes.get(c) match {
+            case Some(q) => sb.append(q)
+            // fullwidth forms → ASCII; ideographic space → space
+            case None if c >= '！' && c <= '～' =>
+              sb.append((c - 0xfee0).toChar)
+            case None if c == '　' => sb.append(' ')
+            case None => sb.append(c)
+          }
+      }
+    }
+    sb.toString
+  }
+
+  /** \r\n, \r, NEL, LS, PS → \n (ftfy `fix_line_breaks`). */
+  private def fixLineBreaks(s: String): String =
+    s.replace("\r\n", "\n").map {
+      case '\r' | '\u0085' | '\u2028' | '\u2029' => '\n'
+      case c => c
+    }
+
+  private def fixSurrogatesAndControls(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) {
+          sb.append(c).append(s.charAt(i + 1)); i += 1
+        } else sb.append('�') // lone high surrogate
+      } else if (Character.isLowSurrogate(c)) sb.append('�')
+      else if (c < ' ' && c != '\t' && c != '\n' && c != '\f' && c != '\r') ()
+      else if (c == '\u007F') () // DEL is Cc too
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   def fix(s: String): String = {
     if (s == null) return ""
-    var cur = s
+    var cur = unescapeHtml(s)
+    cur = TerminalEscapeRe.matcher(cur).replaceAll("")
     var i = 0
     // ftfy also iterates: doubly-encoded text needs several passes.
     while (i < 3) {
@@ -142,6 +251,10 @@ object FtfyLite extends Serializable {
         case None => i = 3
       }
     }
+    cur = fixC1Controls(cur)
+    cur = mapChars(cur)
+    cur = fixLineBreaks(cur)
+    cur = fixSurrogatesAndControls(cur)
     Normalizer.normalize(cur, Normalizer.Form.NFC)
   }
 }

@@ -21,12 +21,18 @@ final case class TextFilter(
   */
 object Filters {
 
-  /** `get_words` — utils.py:304-305. ASCII `\w` (Java/RE2 default); the
-    * reference's Python `\w` is unicode-aware — divergence documented, both
-    * oracle engines (Spark, DuckDB) agree on ASCII.
+  /** `get_words` — utils.py:304-305. The reference's Python `\w` is
+    * unicode-aware; Java/RE2 `\w` is ASCII-only, so both engines spell the
+    * unicode class out: `[\p{L}\p{N}_]+` (letters, digits, underscore —
+    * supported identically by Java regex and DuckDB's RE2; mirror in
+    * [[graft.OracleSql.wordCount]], keep in lock-step). Remaining
+    * divergence from Python: combining marks inside words (Python `\w`
+    * matches Mn; both engines here break on them) — documented, rare.
     */
+  val WordClassRegex: String = "[\\p{L}\\p{N}_]+"
+
   def wordCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("\\w+"), lit(0)))
+    size(regexp_extract_all(lower(c), lit(WordClassRegex), lit(0)))
 
   /** F1 `check_word_number` — filters.py:6-15. */
   def checkWordNumber(minWords: Int = 5, maxWords: Int = 512): TextFilter =

@@ -75,6 +75,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(graft.text.FtfyLite.fix("plain ascii") === "plain ascii")
   }
 
+  test("ftfy-lite extended pipeline: entities, c1, ligatures, quotes") {
+    import graft.text.FtfyLite.fix
+    // html entities — only when no raw markup present
+    assert(fix("ben &amp; jerry&#39;s &hellip;") === "ben & jerry's …")
+    assert(fix("<b>&amp;</b>") === "<b>&amp;</b>") // looks like HTML: keep
+    assert(fix("&#x27;x&#x27;") === "'x'")
+    // stray C1 controls are cp1252 leftovers:  -> ellipsis
+    assert(fix("wait\u0085") === "wait\u2026")
+    // latin ligatures and fullwidth forms fold to ascii
+    assert(fix("ﬁle ﬂow") === "file flow")
+    assert(fix("ＡＢＣ！") === "ABC!")
+    // curly quotes uncurl
+    assert(fix("‘a’ “b”") === "'a' \"b\"")
+    // line breaks unify; ansi escapes and lone surrogates cleaned
+    assert(fix("a\r\nb\rc\u2028d") === "a\nb\nc\nd")
+    assert(fix("red\u001B[31mtext\u001B[0m") === "redtext")
+    assert(fix("ok\uD800end") === "ok�end")
+    // mojibake repair still composes with the new steps
+    assert(fix("cafÃ©\r\n") === "café\n")
+  }
+
   test("whitespace char table matches reference codepoints") {
     assert(Cleaners.WhitespaceChars.map(_.toInt).toSet ===
       Set(0x20, 0x84, 0x2002, 0x2003, 0x2005, 0x2008, 0x2009, 0x200a,
@@ -203,6 +224,17 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(n1 > 0)
     // keep-first dedup representatives are order-pinned → stable count
     assert(n1 === n2)
+  }
+
+  test("word count matches python unicode \\w on non-latin text") {
+    import graft.text.Filters
+    def wc(s: String): Int =
+      spark.range(1).select(Filters.wordCount(lit(s)).as("n"))
+        .head().getInt(0)
+    assert(wc("héllo wörld") === 2) // unicode letters are word chars
+    assert(wc("你好 世界") === 2)
+    assert(wc("a-b c_d") === 3) // underscore joins, hyphen splits
+    assert(wc("½ broken") === 2) // \p{N} includes No (like python \w)
   }
 
   test("check_gender drops empty tokens and stops at the shorter half") {
