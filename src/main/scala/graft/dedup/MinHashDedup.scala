@@ -221,13 +221,25 @@ object MinHashDedup {
     c => u(c)
   }
 
+  /** Explicit partition count for the shuffles feeding expensive per-row
+    * work (signature UDFs, window sorts): AQE sizes coalescing by shuffle
+    * BYTES, so a small corpus collapses to 1-2 partitions and serializes
+    * the CPU-heavy stage that reads it (measured: the sf0.1 signature
+    * stage ran on ONE core). An explicit `repartition(n, keys)` is never
+    * coalesced, and the window reuses its clustering — no extra exchange.
+    */
+  private[dedup] def parallelism(df: DataFrame): Int =
+    math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
   /** Star edges (member, bucket-min) per duplicate bucket from an
     * exploded (id, band, bsig) frame. Streaming window aggregate — one
     * shuffle on (band, bsig), no per-bucket array; hot buckets spill.
     */
   private[dedup] def bucketMinEdges(banded: DataFrame): DataFrame = {
     val w = Window.partitionBy("band", "bsig")
-    banded.withColumn("__min__", min(col("id")).over(w))
+    banded.repartition(parallelism(banded), col("band"), col("bsig"))
+      .withColumn("__min__", min(col("id")).over(w))
       .where(col("id") =!= col("__min__"))
       .select(col("id").as("__x__"), col("__min__").as("__y__"))
       .distinct()
@@ -288,13 +300,17 @@ object MinHashDedup {
     //    star edges to the class min reproduce that without materializing
     //    the r2 hot-key array, and leave ONE representative per class for
     //    the (now much smaller, evenly re-partitioned) banding stage.
-    //    The sentinel " " is itself a short text, so a real doc
+    //    The sentinel "\u0000" is itself a short text, so a real doc
     //    equal to it lands in the same class it belongs to anyway.
     val isShort =
       size(split(text, "[^A-Za-z_0-9]", -1)) < cfg.minNgramSize
-    val classKey = when(isShort, lit(" ")).otherwise(text)
+    val classKey = when(isShort, lit("\u0000")).otherwise(text)
+    // explicit key repartition: pins the signature stage's parallelism
+    // (AQE would coalesce this small shuffle to 1-2 partitions and run
+    // the UDF serially) and doubles as the window's clustering
     val withClassMin = withId
       .select(col(IdCol).as("id"), text.as("__t__"), classKey.as("__k__"))
+      .repartition(parallelism(withId), col("__k__"))
       .withColumn("__kmin__",
         min(col("id")).over(Window.partitionBy(col("__k__"))))
     val identEdges = withClassMin.where(col("id") =!= col("__kmin__"))

@@ -139,4 +139,39 @@ class DistributedCcSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(viaDriver === viaDistributed)
   }
+
+  test("simhash/ngram/embedding dedup distributed paths match driver paths") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away from home"
+    val docs = (0 until 20).map { i =>
+      (i.toLong, if (i % 4 == 0) base + " today" else base + s" variant $i words")
+    }.toDF("id", "text")
+
+    val sh = graft.dedup.SimHash
+    assert(
+      sh.deduplicate(docs, "text").select("id").as[Long].collect().toSet ===
+        sh.deduplicate(docs, "text", maxDriverEdges = 0L)
+          .select("id").as[Long].collect().toSet, "simhash")
+
+    val nj = graft.dedup.NgramJaccard
+    assert(
+      nj.deduplicate(docs, "text").select("id").as[Long].collect().toSet ===
+        nj.deduplicate(docs, "text", maxDriverEdges = 0L)
+          .select("id").as[Long].collect().toSet, "ngram jaccard")
+
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 24).map { i =>
+      val v = if (i % 3 == 0) Array.fill(8)(1.0f)
+        else Array.fill(8)(rng.nextGaussian().toFloat)
+      (i.toLong, i % 2, v.toSeq)
+    }.toDF("id", "label", "embedding")
+      .selectExpr("id", "label", "cast(embedding as array<float>) as embedding")
+    val ed = graft.dedup.EmbeddingDedup
+    assert(
+      ed.deduplicate(vecs, "embedding", "label", 0.95)
+        .select("id").as[Long].collect().toSet ===
+        ed.deduplicate(vecs, "embedding", "label", 0.95,
+          maxDriverEdges = 0L).select("id").as[Long].collect().toSet,
+      "embedding")
+  }
 }
