@@ -19,16 +19,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup, untimed: one narrow scan + one filter/sort-shaped query, so
-    // whole-stage-codegen/JIT compilation of the common plan shapes is
-    // paid before the clock starts (first execution of a filter+sort plan
-    // measures ~1.4s of JIT on top of ~0.5s of query)
-    Seq("ta_fingerprint", "f1_check_word_number").foreach { w =>
-      qs.find(_._1 == w).orElse(qs.headOption).foreach {
-        case (_, fn) => try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
+    // warmup, untimed (JMH-style: steady-state is what a long-running
+    // pipeline sees): a narrow scan, a filter/sort-shaped query, and one
+    // dedup (whose signature/window/clustering code paths are shared by
+    // the other dedup variants) — first executions of those shapes pay
+    // 1-2s of whole-stage-codegen/JIT that would otherwise land on
+    // whichever timed query hits them first
+    Seq("ta_fingerprint", "f1_check_word_number", "dedup_minhash")
+      .foreach { w =>
+        qs.find(_._1 == w).orElse(qs.headOption).foreach {
+          case (_, fn) => try fn(spark, sfDir).count()
+          catch { case _: Throwable => () }
+        }
       }
-    }
+    spark.catalog.clearCache()
     val results = qs.map { case (name, fn) =>
       // per-query isolation, OUTSIDE the timer: drop cached blocks leaked
       // by earlier queries (dedup persists live as long as their result
