@@ -226,12 +226,20 @@ object ChatPipeline {
     // count-dependent (SURVEY §7.4). Rows tying on all three sort keys
     // share source/response/instruction, so the kept SET (and every
     // filter decision after dedup) is deterministic across parallelism.
+    // total order via EXPLICIT range partitioning + intra-partition sort
+    // (≡ orderBy, but AQE never coalesces a user repartition — a plain
+    // orderBy here collapsed to 1 post-shuffle partition on small inputs
+    // and serialized the whole clean/filter/signature chain behind it)
+    val sortCols = Seq(col("source"), col("response"), col("instruction"))
+    val numPart = math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val io = msgs.where(col("do_train"))
       .select(col("custkey"), col("pos0"), col("role"), col("source"),
         stripWs(col("content")).as("response"),
         when(col("pos0") > 0, stripWs(col("prev")))
           .otherwise(lit("")).as("instruction"))
-      .orderBy("source", "response", "instruction")
+      .repartitionByRange(numPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
 
     val afterResponse = new Preprocessor(io, "response",
       respCfg.cleaners, respCfg.filters, respCfg.dedup).run()
