@@ -71,7 +71,15 @@ object TrainArpa {
     println(s"[train] ${sentences.length} lines, " +
       s"${rawCount.size} raw word types, ${rawCount.valuesIterator.sum} tokens")
 
-    val vocab = rawCount.iterator.filter(_._2 >= MinCount).map(_._1).toSet
+    // vocab: frequent tokens, minus addresses/URL-ish strings (emails and
+    // long paths are frequent in copyright files but are noise as language
+    // model events — they fold into <unk> like any rare token)
+    val vocab = rawCount.iterator
+      .filter { case (w, c) =>
+        c >= MinCount && w.length <= 30 &&
+          !w.contains('@') && !w.contains('/')
+      }
+      .map(_._1).toSet
     def map(w: String): String = if (vocab(w)) w else "<unk>"
 
     // final-vocab unigram + bigram counts (<s> only as context; </s> as event)
