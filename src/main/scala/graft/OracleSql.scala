@@ -77,11 +77,10 @@ object OracleSql {
     * frequency of all length-`n` char ngrams; ratio = mass of the
     * top-⌊√distinct⌋ (capped at distinct − singletons) over total mass).
     *
-    * BMP-only assumption: DuckDB `length`/`substr` count Unicode
-    * codepoints while the Spark-side CharRepetition UDF indexes the Java
-    * String by UTF-16 code units — ngram windows diverge on astral-plane
-    * characters (emoji, surrogate pairs). All oracle corpora are BMP (in
-    * fact ASCII); non-BMP documents would score differently per engine.
+    * Codepoint-indexed on both engines: DuckDB `length`/`substr` count
+    * Unicode codepoints and the Spark-side CharRepetition UDF iterates
+    * codepoints too, so ngram windows agree on astral-plane characters
+    * (emoji, surrogate pairs) — pinned by the emoji golden vector.
     *
     * Consumes a CTE named `src` exposing key columns `keys` plus a text
     * column `textCol`; emits CTEs ending in `__cr_ratio(keys..., ratio)`.

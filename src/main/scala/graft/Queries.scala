@@ -107,14 +107,15 @@ object Queries {
   private val c5 = QueryDef("c5_clean_new_lines",
     (s, dir) => docs(s, dir)
       .select(col(d), Cleaners.cleanNewLines(
-        concat(lit(" \t"),
+        concat(lit(" \t"),
           when(col(d) % 2 === 0, replace(col("text"), lit(" "), lit("\n")))
             .otherwise(col("text")),
-          lit("\n "))).as("cleaned"))
+          lit("\n "))).as("cleaned"))
       .orderBy(d),
-    Some("SELECT doc_id, replace(regexp_replace(' '||chr(9)|| CASE WHEN " +
-      "doc_id%2=0 THEN replace(text,' ',chr(10)) ELSE text END ||chr(10)||' ', " +
-      "'^\\s+|\\s+$', '', 'g'), chr(10), '') AS cleaned FROM documents ORDER BY doc_id"))
+    Some("SELECT doc_id, replace(" + OracleSql.strip(
+      "' '||chr(9)||chr(11)|| CASE WHEN doc_id%2=0 THEN " +
+        "replace(text,' ',chr(10)) ELSE text END ||chr(10)||chr(11)||' '") +
+      ", chr(10), '') AS cleaned FROM documents ORDER BY doc_id"))
 
   // ---- filters (SURVEY §2.4): keep-mode + dry-run score-mode ----
 
@@ -169,17 +170,21 @@ object Queries {
   }
 
   private val f7 = {
+    // the \x0B suffixes exercise stripWs vs RE2-\s at the string edge
+    // (ADVICE r3): '.\x0B' must strip to a completed doc, '\x0B' to an
+    // uncompleted one — on BOTH engines
     val sparkDoc = concat(col("text"),
-      element_at(array(lit("."), lit("!"), lit(""), lit("?"), lit(" ")),
-        (col(d) % 5 + 1).cast("int")))
-    val sqlDoc = "text || (['.', '!', '', '?', ' '])[(doc_id%5+1)::INT]"
+      element_at(array(lit("."), lit("!"), lit(""), lit("?"), lit(" "),
+        lit("."), lit("")),
+        (col(d) % 7 + 1).cast("int")))
+    val sqlDoc = "text || (['.', '!', '', '?', ' ', '.'||chr(11), " +
+      "chr(11)])[(doc_id%7+1)::INT]"
     QueryDef("f7_check_completion",
       (s, dir) => docs(s, dir)
         .where(Filters.checkCompletion().keep(sparkDoc))
         .select(col(d)).orderBy(d),
-      Some(s"SELECT doc_id FROM documents WHERE regexp_replace($sqlDoc, " +
-        "'^\\s+|\\s+$', '', 'g')[-1:] IN ('.', '!', '?', '*', '\"', '”', '~', " +
-        "'…', '''', ']', ')', '`', ';') ORDER BY doc_id"))
+      Some(s"SELECT doc_id FROM documents WHERE " +
+        OracleSql.completionKeep(sqlDoc) + " ORDER BY doc_id"))
   }
 
   private val f8 = {
@@ -203,24 +208,27 @@ object Queries {
         .select(col(d)).orderBy(d),
       Some("SELECT doc_id FROM (SELECT doc_id, " +
         s"list_filter(regexp_split_to_array(lower(string_split($sqlDoc, " +
-        s"${q(tok)})[1]), '\\s+'), x -> x <> '') AS wa, " +
+        s"${q(tok)})[1]), '${OracleSql.WsClass}+'), x -> x <> '') AS wa, " +
         s"list_filter(regexp_split_to_array(lower(string_split($sqlDoc, " +
-        s"${q(tok)})[2]), '\\s+'), x -> x <> '') AS wb " +
+        s"${q(tok)})[2]), '${OracleSql.WsClass}+'), x -> x <> '') AS wb " +
         "FROM documents) WHERE len(list_filter(range(1, least(len(wa), len(wb))+1), " +
         s"i -> list_contains($g, wa[i]) AND list_contains($g, wb[i]) AND wa[i] <> wb[i])) > 0 " +
         "ORDER BY doc_id"))
   }
 
   private val f9 = {
-    val sparkDoc = when(col(d) % 7 === 0, lit("... …  \t ")).otherwise(col("text"))
-    val sqlDoc = "CASE WHEN doc_id%7=0 THEN '... …  '||chr(9)||' ' ELSE text END"
+    // the \x0B-only doc must be empty after strip on BOTH engines
+    val sparkDoc = when(col(d) % 7 === 0, lit("... …  \t "))
+      .otherwise(col("text"))
+    val sqlDoc = "CASE WHEN doc_id%7=0 THEN '... …  '||chr(9)||chr(11)||' ' " +
+      "ELSE text END"
     QueryDef("f9_check_empty",
       (s, dir) => docs(s, dir)
         .where(Filters.checkEmpty().keep(sparkDoc))
         .select(col(d)).orderBy(d),
-      Some(s"SELECT doc_id FROM documents WHERE length(regexp_replace(" +
-        s"replace(replace($sqlDoc, '...', ''), '…', ''), '^\\s+|\\s+$$', '', 'g')) <> 0 " +
-        "ORDER BY doc_id"))
+      Some(s"SELECT doc_id FROM documents WHERE length(" + OracleSql.strip(
+        s"replace(replace($sqlDoc, '...', ''), '…', '')") +
+        ") <> 0 ORDER BY doc_id"))
   }
 
   private def containsAnySql(expr: String, phrases: Array[String]): String =
@@ -283,16 +291,24 @@ object Queries {
     * unnest ngrams → frequencies → descending-rank window → capped top-k
     * mass over total (also pinned by scalatest golden vectors).
     */
-  private val f5 = QueryDef("f5_check_char_repetition",
-    (s, dir) => docs(s, dir)
-      .select(col(d), Filters.checkCharRepetition(10).score(col("text"))
-        .as("char_rep_ratio"))
-      .orderBy(d),
-    Some("WITH src AS (SELECT doc_id, text FROM documents), " +
-      OracleSql.charRepetitionCtes("src", Seq("doc_id"), "text", 10) +
-      " SELECT d.doc_id, coalesce(r.ratio, 0.0) AS char_rep_ratio " +
-      "FROM documents d LEFT JOIN __cr_ratio r USING (doc_id) " +
-      "ORDER BY doc_id"))
+  private val f5 = {
+    // every 17th doc gets an astral-plane (surrogate-pair) tail —
+    // exercises the codepoint-indexed windows on both engines
+    val sparkDoc = when(col(d) % 17 === 0, concat(col("text"), lit("😀" * 12)))
+      .otherwise(col("text"))
+    val sqlDoc = "CASE WHEN doc_id%17=0 THEN text || repeat(" +
+      q("😀") + ", 12) ELSE text END"
+    QueryDef("f5_check_char_repetition",
+      (s, dir) => docs(s, dir)
+        .select(col(d), Filters.checkCharRepetition(10).score(sparkDoc)
+          .as("char_rep_ratio"))
+        .orderBy(d),
+      Some(s"WITH src AS (SELECT doc_id, $sqlDoc AS t FROM documents), " +
+        OracleSql.charRepetitionCtes("src", Seq("doc_id"), "t", 10) +
+        " SELECT d.doc_id, coalesce(r.ratio, 0.0) AS char_rep_ratio " +
+        "FROM documents d LEFT JOIN __cr_ratio r USING (doc_id) " +
+        "ORDER BY doc_id"))
+  }
 
   val all: Seq[QueryDef] = Seq(
     c1, c2, c3, c4, c5,

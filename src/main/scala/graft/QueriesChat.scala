@@ -40,8 +40,8 @@ object QueriesChat {
       "ELSE 'User' END) ORDER BY o_orderkey) AS conversation " +
       "FROM orders GROUP BY o_custkey"
 
-  private val sqlStrip = (e: String) =>
-    s"regexp_replace($e, '^\\s+|\\s+$$', '', 'g')"
+  // full ASCII-ws class (RE2 \s misses \x0B) — keep in sync with stripWs
+  private val sqlStrip = (e: String) => OracleSql.strip(e)
 
   /** R1+R2: prefix-explode to (instruction, response) scalars. */
   val r1r2: QueryDef = QueryDef("r1_r2_explode_io",

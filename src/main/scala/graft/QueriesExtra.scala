@@ -22,11 +22,11 @@ object QueriesExtra {
         TextAnalysis.tokenCountBpe(col("text")).as("bpe_tokens"),
         TextAnalysis.wordCount(col("text")).as("words"))
       .orderBy("doc_id"),
-    Some("SELECT doc_id, CASE WHEN length(regexp_replace(text, " +
-      "'^\\s+|\\s+$', '', 'g'))=0 THEN 0 ELSE len(regexp_split_to_array(" +
-      "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS " +
+    Some("SELECT doc_id, CASE WHEN length(" + OracleSql.strip("text") +
+      ")=0 THEN 0 ELSE len(regexp_split_to_array(" + OracleSql.strip("text") +
+      s", '${OracleSql.WsClass}+')) END AS " +
       "ws_tokens, len(regexp_extract_all(text, " +
-      "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_tokens, " +
+      s"'[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS bpe_tokens, " +
       s"${wordsSql("text")} AS words FROM documents ORDER BY doc_id"))
 
   val taQuality: QueryDef = QueryDef("ta_quality_score",
@@ -67,7 +67,8 @@ object QueriesExtra {
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id"),
-    Some("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) " +
+    Some("SELECT doc_id, md5(regexp_replace(lower(text), " +
+      s"'${OracleSql.WsClass}+', ' ', 'g')) " +
       "AS fp FROM documents ORDER BY doc_id"))
 
   /** Brute-force cosine top-10 against the min-vec_id query vector; ranks

@@ -59,7 +59,7 @@ object QueriesPipeline {
         .orderBy("p_partkey")
     },
     Some("SELECT p_partkey, p_name AS response, ' ' || " +
-      "replace(regexp_replace(p_type, '^\\s+|\\s+$', '', 'g'), chr(10), '')" +
+      "replace(" + OracleSql.strip("p_type") + ", chr(10), '')" +
       " || chr(10) AS output_text, p_name || '<|tok|>' || p_type AS merged " +
       "FROM part ORDER BY p_partkey"))
 

@@ -206,8 +206,10 @@ object ChatPipeline {
     * flat scalar message rows (instruction = window `lag`, exactly the
     * "last input message" of R2), and the chatml prefix arrays are rebuilt
     * at the END by joining the tiny kept set back against the flat
-    * messages. Output rows are identical to the explode-first plan (the
-    * pre-dedup total order and keep-first semantics are unchanged).
+    * messages. The kept (source, response, instruction) set is identical
+    * to the explode-first plan's, and the (custkey, pos0) trailing sort
+    * keys below make the surviving rows — and their rebuilt prefixes —
+    * fully deterministic too.
     */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.{MiniYaml, PipelineConfig, Preprocessor}
@@ -223,14 +225,17 @@ object ChatPipeline {
     // content, instruction = stripped previous content ("" at pos 0).
     // Pin a total row order before dedup: keep-first semantics depend on
     // row order, and the window shuffle upstream leaves it partition-
-    // count-dependent (SURVEY §7.4). Rows tying on all three sort keys
-    // share source/response/instruction, so the kept SET (and every
-    // filter decision after dedup) is deterministic across parallelism.
+    // count-dependent (SURVEY §7.4). (custkey, pos0) is a unique key, so
+    // the trailing sort keys make the order TOTAL: not just the kept
+    // (source, response, instruction) set but the surviving row — and
+    // hence its rebuilt conversation prefix — is deterministic across
+    // parallelism (ADVICE r3).
     // total order via EXPLICIT range partitioning + intra-partition sort
     // (≡ orderBy, but AQE never coalesces a user repartition — a plain
     // orderBy here collapsed to 1 post-shuffle partition on small inputs
     // and serialized the whole clean/filter/signature chain behind it)
-    val sortCols = Seq(col("source"), col("response"), col("instruction"))
+    val sortCols = Seq(col("source"), col("response"), col("instruction"),
+      col("custkey"), col("pos0"))
     val numPart = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val io = msgs.where(col("do_train"))

@@ -54,12 +54,14 @@ object EmbeddingDedup {
       col("e").as("ea"), col("nn").as("na"))
     val b = normed.select(col("blk"), col("nid").as("yid"),
       col("e").as("eb"), col("nn").as("nb"))
+    // ALL above-threshold pairs feed clustering (multi-edges are fine);
+    // a per-node min-reduction would drop cross-links and over-keep vs
+    // transitive clustering, and cost an extra shuffle
     val edges = a.join(b, Seq("blk"))
       .where(col("xid") < col("yid"))
       .where(Ann.dotFast(col("ea"), col("eb")) / (col("na") * col("nb"))
         >= threshold)
       .select(col("yid").as("__x__"), col("xid").as("__y__"))
-      .groupBy("__x__").agg(min("__y__").as("__y__"))
     MinHashDedup.keepFirst(withId, edges, maxDriverEdges)
   }
 }

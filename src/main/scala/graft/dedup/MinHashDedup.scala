@@ -77,10 +77,22 @@ object MinHash {
   // sha1 + 256-multiply work per shingle is paid once per executor, not
   // once per occurrence. Bounded: above the cap new shingles are computed
   // but not stored (no eviction churn); values are pure functions of the
-  // token bytes, so the cache never affects results.
-  private val PermCacheCap = 1 << 16
+  // token bytes, so the cache never affects results. Retained footprint at
+  // the cap is ~35 MB/executor (16k entries × (256×8 B values + ~60 B
+  // key/CHM overhead)) and is NOT released after dedup — an accepted
+  // steady-state cost for a long-running pipeline JVM; call
+  // [[clearPermCache]] to drop it. The size-check-then-putIfAbsent below
+  // is racy, so concurrent tasks can overshoot the cap by a few entries —
+  // benign (the cap is a soft bound, values are deterministic).
+  private val PermCacheCap = 1 << 14
   private val permCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]](1 << 12)
+
+  /** Drop the shingle cache (benchmarks use this between warmup and timed
+    * runs so dedup numbers measure cold-shingle throughput; local-mode only
+    * — on a cluster each executor JVM has its own cache).
+    */
+  def clearPermCache(): Unit = permCache.clear()
 
   /** All 256 permuted hash values for one shingle (first `numPerm` are
     * used). Cached per JVM — see [[PermCacheCap]].

@@ -113,10 +113,13 @@ object NgramJaccard {
     val base = withId.where(shingleable)
     // the signature UDF is the CPU hot path; a small parquet input arrives
     // as 1-2 splits, which would serialize it — spread AFTER id assignment
-    // (ids anchor keep-first order) when the source is under-parallel
+    // (ids anchor keep-first order) when the source is under-parallel.
+    // Probe via the scan's file list, NOT df.rdd.getNumPartitions: touching
+    // .rdd forces plan→RDD conversion (an extra job) in this constructor.
     val par = spark.sparkContext.defaultParallelism
+    val srcFiles = withId.inputFiles.length
     val spread =
-      if (withId.rdd.getNumPartitions * 2 < par) base.repartition(par)
+      if (srcFiles == 0 || srcFiles * 2 < par) base.repartition(par)
       else base
     val banded = spread
       .select(col(MinHashDedup.IdCol).as("id"),
@@ -126,13 +129,16 @@ object NgramJaccard {
     // (broadcast-able candidate side at bench scale, shuffle join on id
     // at cluster scale); single-pass JVM kernel — see [[jaccardDocs]]
     val jac = udf { (a: String, b: String) => jaccardDocs(a, b, n) }
+    // ALL verified pairs go to clustering (multi-edges are fine for both
+    // union-find and min-label propagation); a per-node min-reduction
+    // would drop cross-links and over-keep vs transitive clustering
     val verified = candidates
       .join(withId.select(col(MinHashDedup.IdCol).as("__x__"),
         col(column).as("__ta__")), Seq("__x__"))
       .join(withId.select(col(MinHashDedup.IdCol).as("__y__"),
         col(column).as("__tb__")), Seq("__y__"))
       .where(jac(col("__ta__"), col("__tb__")) >= threshold)
-      .groupBy("__x__").agg(min("__y__").as("__y__"))
+      .select(col("__x__"), col("__y__"))
     MinHashDedup.keepFirst(withId, verified, maxDriverEdges)
   }
 }

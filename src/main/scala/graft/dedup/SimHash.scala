@@ -93,8 +93,12 @@ object SimHash {
       .where(col("a.id") < col("b.id"))
       .where(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
       .select(col("b.id").as("__x__"), col("a.id").as("__y__"))
+    // ALL verified pairs feed the clustering (union-find and the
+    // distributed min-label path both absorb multi-edges/duplicates):
+    // a per-node min-reduction here would drop cross-links (A-C, B-C with
+    // A<B<C keeps only C→A) and over-keep vs transitive clustering —
+    // and it cost an extra shuffle (ADVICE r3)
     val edges = pairs.union(identEdges)
-      .groupBy("__x__").agg(min("__y__").as("__y__"))
     MinHashDedup.keepFirst(withId, edges, maxDriverEdges)
   }
 }

@@ -13,9 +13,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * and a ScalaUDF boxes every element into a `Seq[Float]` — on a blocked
   * self-join scoring 10^5+ pairs both dominate the query. These codegen
   * expressions call a static primitive loop on the raw `ArrayData`:
-  * no boxing, no interpreter, bit-identical math to [[Ann.dot]]
-  * (float→double casts, sequential left-fold sum — same rounding at every
-  * step, so oracle hash-compares are unaffected).
+  * no boxing, no interpreter, bit-identical math to [[Ann.dot]] — for
+  * WELL-FORMED embeddings (equal-length arrays, no null elements). On
+  * malformed input the two diverge: `dot` truncates to the shorter array
+  * where the HOF's `zip_with` null-pads, and `toFloatArray` throws on
+  * null elements where the HOF null-propagates. Embedding columns in this
+  * engine are fixed-dimension non-null by construction, so the fast
+  * kernels are used only on such columns.
   */
 object FloatVec {
   def dot(a: ArrayData, b: ArrayData): Double = {

@@ -198,12 +198,17 @@ object Filters {
   */
 object CharRepetition extends Serializable {
   def ratio(doc: String, n: Int): Double = {
-    val total = doc.length - n + 1
+    // n-gram windows advance by CODEPOINT, not UTF-16 unit — Python
+    // `doc[i:i+n]` and DuckDB `substr` are codepoint-indexed, so astral
+    // chars (emoji, surrogate pairs) must count as one position on every
+    // engine (ADVICE r3; pinned by the emoji golden in GoldenVectors)
+    val cps = doc.codePoints().toArray
+    val total = cps.length - n + 1
     if (total <= 0) return 0.0
     val freq = new java.util.HashMap[String, Int](total * 2)
     var i = 0
     while (i < total) {
-      freq.merge(doc.substring(i, i + n), 1, (a, b) => a + b)
+      freq.merge(new String(cps, i, n), 1, (a, b) => a + b)
       i += 1
     }
     val values = new Array[Int](freq.size)

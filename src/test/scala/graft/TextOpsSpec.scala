@@ -48,6 +48,16 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("char repetition ratio is codepoint-indexed on astral planes") {
+    // 12 identical astral codepoints → 3 identical windows of 10 → 1.0
+    // (UTF-16-unit indexing would split surrogate pairs: 15 windows, <1.0)
+    assert(CharRepetition.ratio("😀" * 12, 10) === 1.0)
+    // 12 codepoints, all 3 windows distinct singletons → top cap 0 → 0.0
+    assert(CharRepetition.ratio("🎉🎂🎈" * 4, 10) === 0.0)
+    // below n codepoints (but ≥ n UTF-16 units) → no windows → 0.0
+    assert(CharRepetition.ratio("😀" * 9, 10) === 0.0)
+  }
+
   test("aho-corasick count matches python str.count semantics") {
     val ac = new AhoCorasick(Array("xx", "ab", "abc"))
     // 'xx' in 'xxx' → 1 (non-overlapping, like str.count)
