@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.chat.Conversations
 import graft.pipeline.Preprocessor
 import graft.text.{Cleaners, Filters}
 
@@ -19,10 +18,33 @@ import graft.text.{Cleaners, Filters}
   */
 object QueriesFlagshipOracle {
 
+  /** Flat-row plan (r3 verdict: the explode-first version carried
+    * O(conversation) `input` arrays through clean/filter/window only to
+    * render them to ONE string at the end). The rank-window dedup the
+    * oracle mirrors only needs scalars (response, source, instruction,
+    * rendered), so the prefix is rendered to its final string form
+    * INSIDE the same custkey window that computes pos0/prev — no arrays
+    * ever enter the heavy stages. Output is row-for-row identical.
+    */
   private def run(s: SparkSession, dir: String): DataFrame = {
-    val conv = Conversations.synthetic(s, dir)
-    val io = Conversations.addContentColumns(
-      Conversations.explodeToInputOutput(conv))
+    val msgs = graft.chat.ChatPipeline.syntheticMessages(s, dir)
+    // ONE window pass (already ordered by okey via pos0's window) renders
+    // each row's prefix "role:content:false|..." — the string the chatml
+    // transform produced from the `input` array in the explode-first plan
+    val wAll = Window.partitionBy(col("custkey"))
+      .orderBy(col("pos0"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val io = msgs
+      .withColumn("__prefix__",
+        array_join(collect_list(
+          concat_ws(":", col("role"), col("content"), lit("false")))
+          .over(wAll), "|"))
+      .where(col("do_train"))
+      .select(col("source"), col("role").as("__outrole__"),
+        col("__prefix__"), (col("pos0") > 0).as("__hasprefix__"),
+        when(col("pos0") > 0, Cleaners.stripWs(col("prev")))
+          .otherwise(lit("")).as("instruction"),
+        Cleaners.stripWs(col("content")).as("response"))
     val cleaners = Seq(
       "normalize_whitespace" -> Cleaners.normalizeWhitespace,
       "normalize_punctuation" -> Cleaners.normalizePunctuation,
@@ -34,17 +56,10 @@ object QueriesFlagshipOracle {
       Filters.checkCharRepetition(10, 0.2),
       Filters.checkLowercaseRatio(0.75))
     val filtered = Preprocessor.applyFilters(cleaned, "response", filters)
-    val chatml = concat(
-      transform(col("input"), m => struct(
-        m.getField("content").as("content"),
-        lit(false).as("do_train"),
-        m.getField("role").as("role"))),
-      array(struct(col("response").as("content"), lit(true).as("do_train"),
-        col("output.role").as("role"))))
     val rendered = filtered.withColumn("rendered",
-      array_join(transform(chatml, m => concat_ws(":",
-        m.getField("role"), m.getField("content"),
-        m.getField("do_train").cast("string"))), "|"))
+      concat(col("__prefix__"),
+        when(col("__hasprefix__"), lit("|")).otherwise(lit("")),
+        col("__outrole__"), lit(":"), col("response"), lit(":true")))
     val w = Window.partitionBy(col("response"))
       .orderBy(col("source"), col("instruction"), col("rendered"))
     val deduped = rendered.withColumn("__rn__", row_number().over(w))

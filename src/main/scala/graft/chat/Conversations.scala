@@ -180,7 +180,7 @@ object ChatPipeline {
     * (row_number, lag) over (custkey, orderkey) replaces assembling and
     * re-exploding conversation arrays.
     */
-  private def syntheticMessages(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def syntheticMessages(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val w = Window.partitionBy(col("custkey")).orderBy(col("okey"))
