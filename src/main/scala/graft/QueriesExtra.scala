@@ -91,16 +91,19 @@ object QueriesExtra {
       " AS cos FROM embeddings e, q) SELECT row_number() OVER (ORDER BY cos " +
       "DESC, vec_id) AS rank, vec_id FROM s ORDER BY rank LIMIT 10"))
 
-  /** IVF-bucketed ANN (scale path) — recall vs brute force asserted in
-    * scalatest; cross-engine centroid float sums aren't bit-stable → rows-
-    * only here.
+  /** IVF-bucketed ANN (scale path): cells LEARNED by seeded Lloyd k-means
+    * (not the `label` stand-in — r3 verdict). Recall vs brute force is
+    * asserted in scalatest; cross-engine centroid float sums aren't
+    * bit-stable → rows-only here.
     */
   val annIvf: QueryDef = QueryDef("ann_ivf_topk",
     (s, dir) => {
       val emb = Queries.table(s, dir, "embeddings")
+      val cells = graft.similarity.Ann
+        .kmeansAssign(emb, "embedding", "vec_id", "cell", k = 8, iters = 3)
       val query = emb.orderBy("vec_id").limit(1)
       graft.similarity.Ann
-        .ivfTopK(emb, query, "embedding", "vec_id", "label", 10, 3)
+        .ivfTopK(cells, query, "embedding", "vec_id", "cell", 10, 3)
         .select(col("rank"), col("vec_id"))
         .orderBy("rank")
     },

@@ -2,25 +2,30 @@ package graft.scoring
 
 import java.util.{HashMap => JHashMap}
 
-/** ARPA-format word n-gram language model (order 2) with KenLM-style
+/** ARPA-format word n-gram language model (order 3) with KenLM-style
   * backoff queries — the self-contained stand-in for the reference's
   * native KenLM 5-gram (chat_data_pipeline/kenlm_model.py:122-142; the
   * reference downloads `*.arpa.bin` models at runtime, which a zero-egress
   * build cannot). The shipped resource `graft/graft-en.arpa` is trained by
-  * [[TrainArpa]] on public license/README English text present in the
-  * build image, normalized with the SAME [[CcNetNormalizer]] used at
+  * [[TrainArpa]] on public license/README/manual English text present in
+  * the build image, normalized with the SAME [[CcNetNormalizer]] used at
   * scoring time.
   *
-  * Query semantics (standard ARPA backoff, = kenlm):
-  *   p(w|h) = p2(h, w)                 if the bigram is listed
-  *          = backoff(h) + p1(w)       otherwise (log10 space)
-  * OOV words hit the `<unk>` unigram; sentence score is
-  * log10 P(w1|<s>) + … + log10 P(</s>|w_n).
+  * Query semantics (standard ARPA backoff, = kenlm), log10 space:
+  *   p(w|h₂h₁) = p3(h₂ h₁ w)                    if the trigram is listed
+  *             = backoff₂(h₂ h₁) + p(w|h₁)      otherwise
+  *   p(w|h)    = p2(h w)                        if the bigram is listed
+  *             = backoff₁(h) + p1(w)            otherwise
+  * A missing backoff weight is 0 (log10 1). OOV words hit the `<unk>`
+  * unigram; sentence score is log10 P(w1|<s>) + log10 P(w2|<s> w1) + … +
+  * log10 P(</s>|w_{n-1} w_n).
   */
 final class ArpaModel(
     uniLog: JHashMap[String, java.lang.Double],
     backoffLog: JHashMap[String, java.lang.Double],
-    biLog: JHashMap[String, java.lang.Double]) extends Serializable {
+    biLog: JHashMap[String, java.lang.Double],
+    biBackoffLog: JHashMap[String, java.lang.Double],
+    triLog: JHashMap[String, java.lang.Double]) extends Serializable {
 
   val Unk = "<unk>"
   val Bos = "<s>"
@@ -28,11 +33,12 @@ final class ArpaModel(
 
   def vocabSize: Int = uniLog.size
   def bigramCount: Int = biLog.size
+  def trigramCount: Int = triLog.size
 
   private def inVocab(w: String): String =
     if (uniLog.containsKey(w)) w else Unk
 
-  /** log10 P(w | h); h must already be vocab-mapped. */
+  /** log10 P(w | h) at the bigram level; h must already be vocab-mapped. */
   def logProb(h: String, w0: String): Double = {
     val w = inVocab(w0)
     val bi = biLog.get(h + " " + w)
@@ -44,36 +50,57 @@ final class ArpaModel(
     }
   }
 
+  /** log10 P(w | h2 h1); pass `h2 = null` for the first event after
+    * `<s>` (bigram context only). h2/h1 must already be vocab-mapped.
+    */
+  def logProb(h2: String, h1: String, w0: String): Double = {
+    if (h2 == null) return logProb(h1, w0)
+    val w = inVocab(w0)
+    val tri = triLog.get(h2 + " " + h1 + " " + w)
+    if (tri != null) tri.doubleValue()
+    else {
+      val bo = biBackoffLog.get(h2 + " " + h1)
+      (if (bo == null) 0.0 else bo.doubleValue()) + logProb(h1, w)
+    }
+  }
+
   /** KenLM `model.score(line)`: total log10 probability of the
     * whitespace-tokenized line, `<s>` context, `</s>` included.
     */
   def score(line: String): Double = {
-    var h = Bos
+    var h2: String = null
+    var h1 = Bos
     var sum = 0.0
     val it = line.split("\\s+").iterator.filter(_.nonEmpty)
     while (it.hasNext) {
       val w = it.next()
-      sum += logProb(h, w)
-      h = inVocab(w)
+      sum += logProb(h2, h1, w)
+      h2 = h1
+      h1 = inVocab(w)
     }
-    sum + logProb(h, Eos)
+    sum + logProb(h2, h1, Eos)
   }
 }
 
 object ArpaModel {
 
   /** Parse an ARPA file (`\1-grams:` prob\tword[\tbackoff],
-    * `\2-grams:` prob\tw1 w2), all values log10.
+    * `\2-grams:` prob\t"w1 w2"[\tbackoff], `\3-grams:` prob\t"w1 w2 w3"),
+    * all values log10. Order-2 files (no `\3-grams:` section) load fine —
+    * every trigram query then backs off through the bigram table.
     */
   def parse(lines: Iterator[String]): ArpaModel = {
     val uni = new JHashMap[String, java.lang.Double]()
     val bo = new JHashMap[String, java.lang.Double]()
     val bi = new JHashMap[String, java.lang.Double]()
+    val bo2 = new JHashMap[String, java.lang.Double]()
+    val tri = new JHashMap[String, java.lang.Double]()
     var section = 0
     lines.foreach { raw =>
       val line = raw.trim
       if (line == "\\1-grams:") section = 1
       else if (line == "\\2-grams:") section = 2
+      else if (line == "\\3-grams:") section = 3
       else if (line == "\\end\\") section = 0
       else if (line.nonEmpty && section > 0) {
         val parts = line.split("\t")
@@ -82,10 +109,13 @@ object ArpaModel {
           if (parts.length >= 3) bo.put(parts(1), parts(2).toDouble)
         } else if (section == 2 && parts.length >= 2) {
           bi.put(parts(1), parts(0).toDouble)
+          if (parts.length >= 3) bo2.put(parts(1), parts(2).toDouble)
+        } else if (section == 3 && parts.length >= 2) {
+          tri.put(parts(1), parts(0).toDouble)
         }
       }
     }
-    new ArpaModel(uni, bo, bi)
+    new ArpaModel(uni, bo, bi, bo2, tri)
   }
 
   def fromResource(path: String): Option[ArpaModel] = {

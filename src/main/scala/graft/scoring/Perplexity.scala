@@ -87,7 +87,7 @@ object CcNetNormalizer extends Serializable {
   }
 }
 
-/** Word-bigram ARPA scorer with the reference's exact document semantics
+/** Word-trigram ARPA scorer with the reference's exact document semantics
   * (kenlm_model.py:122-142): cc_net-normalize, per-line
   * `model.score(line)` with length `len(line.split()) + 1`, document
   * perplexity `round(10^(−Σlog10P/Σlength), 1)`. Model loaded once per

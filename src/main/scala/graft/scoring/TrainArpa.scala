@@ -6,30 +6,43 @@ import java.nio.file.{Files, Path, Paths}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-/** Offline generator for the shipped bigram ARPA model
+/** Offline generator for the shipped TRIGRAM ARPA model
   * (`src/main/resources/graft/graft-en.arpa`). Run once, commit the output:
   *
   *   sbt "runMain graft.scoring.TrainArpa"
   *
   * Corpus: English prose already present in the build image — Debian
-  * package copyright files and common licenses plus the Spark
-  * README/LICENSE/NOTICE (all public, redistributable text). Every line is
-  * normalized with the SAME [[CcNetNormalizer]] the scorer applies, so
-  * training and scoring tokenizations cannot diverge.
+  * package copyright files, common licenses, the Spark
+  * README/LICENSE/NOTICE, plus (new in r4, to feed the trigram order)
+  * package READMEs, .txt and .md docs under /usr/share/doc and the vim
+  * user-manual pages (public, redistributable text; per-file and total caps
+  * keep one giant file from dominating). Every line is normalized with the
+  * SAME [[CcNetNormalizer]] the scorer applies, so training and scoring
+  * tokenizations cannot diverge.
   *
-  * Estimation: interpolated absolute discounting (D = 0.75),
-  *   p(w|h) = max(c(hw)−D, 0)/c(h) + λ(h)·p₁(w),  λ(h) = D·K(h)/c(h)
-  * with K(h) = distinct continuations of h; ARPA backoff(h) = log10 λ(h).
-  * Words below `MinCount` fold into `<unk>` BEFORE bigram counting;
-  * bigrams below `MinBigram` are pruned from the table (their mass rides
-  * the backoff — approximately normalized, which is fine for threshold
-  * filtering; this is not a decoder).
+  * Estimation: interpolated absolute discounting (D = 0.75), recursive
+  * over orders (Chen & Goodman 1998's formulation):
+  *   p₂(w|h)  = max(c(hw)−D, 0)/c(h·) + λ₁(h)·p₁(w)
+  *   p₃(w|h₂h₁) = max(c(h₂h₁w)−D, 0)/c(h₂h₁·) + λ₂(h₂h₁)·p₂(w|h₁)
+  * with λ(h) = D·|{w: kept hw}|/c(h·); ARPA backoff(h) = log10 λ(h).
+  * Words below `MinCount` fold into `<unk>` BEFORE n-gram counting;
+  * bigrams below `MinBigram` / trigrams below `MinTrigram` (or whose
+  * context bigram was pruned) are dropped from the table — their mass
+  * rides the backoff (approximately normalized, which is fine for
+  * threshold filtering; this is not a decoder). The `<unk>` event
+  * probability is type-averaged at every order (see below).
   */
 object TrainArpa {
 
   val MinCount = 5
   val MinBigram = 3
+  val MinTrigram = 4
   val D = 0.75
+  /** Per-file / total caps on the EXTRA prose (the copyright + license
+    * core is always read in full).
+    */
+  val MaxFileBytes = 1500000L
+  val MaxExtraBytes = 14L * 1024 * 1024
 
   def corpusFiles(): Seq[Path] = {
     def ls(dir: String, name: String => Boolean): Seq[Path] = {
@@ -45,57 +58,107 @@ object TrainArpa {
           else None
         }
     }
-    ls("/usr/share/doc", _ == "copyright") ++
+    val core = ls("/usr/share/doc", _ == "copyright") ++
       ls("/usr/share/common-licenses", _ => true) ++
       Seq("/opt/spark/README.md", "/opt/spark/LICENSE", "/opt/spark/NOTICE")
         .map(Paths.get(_)).filter(Files.isRegularFile(_))
+
+    // extra prose, deterministic order, capped
+    def walk(dir: String, keep: String => Boolean, depth: Int): Seq[Path] = {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) return Seq.empty
+      Files.walk(d, depth).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && keep(p.getFileName.toString))
+        .toSeq.sortBy(_.toString)
+    }
+    val prose =
+      walk("/usr/share/vim", n => n.endsWith(".txt"), 3) ++
+        walk("/usr/share/doc", n =>
+          (n.startsWith("README") && !n.endsWith(".gz")) ||
+            n.endsWith(".txt") || n.endsWith(".md"), 3)
+    val extra = mutable.ArrayBuffer.empty[Path]
+    var budget = MaxExtraBytes
+    prose.foreach { p =>
+      val sz = Files.size(p)
+      if (sz <= MaxFileBytes && sz <= budget) { extra += p; budget -= sz }
+    }
+    core ++ extra
   }
+
+  private def eachLine(files: Seq[Path])(f: Array[String] => Unit): Unit =
+    files.foreach { p =>
+      val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      text.split('\n').foreach { rawLine =>
+        val words = CcNetNormalizer.normalize(rawLine)
+          .split("\\s+").filter(_.nonEmpty)
+        if (words.length >= 2) f(words)
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val out = Paths.get(args.headOption
       .getOrElse("src/main/resources/graft/graft-en.arpa"))
+    val files = corpusFiles()
 
+    // pass 1: raw word counts (vocab selection)
     val rawCount = mutable.HashMap.empty[String, Long]
-    val sentences = mutable.ArrayBuffer.empty[Array[String]]
-    corpusFiles().foreach { p =>
-      val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      text.split('\n').foreach { rawLine =>
-        val norm = CcNetNormalizer.normalize(rawLine)
-        val words = norm.split("\\s+").filter(_.nonEmpty)
-        if (words.length >= 2) {
-          sentences += words
-          words.foreach(w => rawCount(w) = rawCount.getOrElse(w, 0L) + 1)
-        }
-      }
+    var lines = 0L
+    eachLine(files) { words =>
+      lines += 1
+      words.foreach(w => rawCount(w) = rawCount.getOrElse(w, 0L) + 1)
     }
-    println(s"[train] ${sentences.length} lines, " +
+    println(s"[train] ${files.size} files, $lines lines, " +
       s"${rawCount.size} raw word types, ${rawCount.valuesIterator.sum} tokens")
 
     // vocab: frequent tokens, minus addresses/URL-ish strings (emails and
-    // long paths are frequent in copyright files but are noise as language
-    // model events — they fold into <unk> like any rare token)
-    val vocab = rawCount.iterator
+    // long paths are frequent in doc files but are noise as language
+    // model events — they fold into <unk> like any rare token).
+    // Ids are assigned in sorted order → packed-key order is lexicographic
+    // and the emitted ARPA is deterministic.
+    val vocabWords = rawCount.iterator
       .filter { case (w, c) =>
         c >= MinCount && w.length <= 30 &&
           !w.contains('@') && !w.contains('/')
       }
-      .map(_._1).toSet
-    def map(w: String): String = if (vocab(w)) w else "<unk>"
+      .map(_._1).toSeq.sorted
+    val Bos = 0; val Eos = 1; val Unk = 2
+    val word = Array("<s>", "</s>", "<unk>") ++ vocabWords
+    require(word.length < (1 << 20), "vocab exceeds 20-bit id packing")
+    val id = word.iterator.zipWithIndex.toMap
+    def mapId(w: String): Int = id.getOrElse(w, Unk)
+    @inline def pack2(a: Int, b: Int): Long = (a.toLong << 20) | b
+    @inline def pack3(a: Int, b: Int, c: Int): Long =
+      (a.toLong << 40) | (b.toLong << 20) | c
 
-    // final-vocab unigram + bigram counts (<s> only as context; </s> as event)
-    val uni = mutable.HashMap.empty[String, Long]
-    val bi = mutable.HashMap.empty[(String, String), Long]
-    val ctxTotal = mutable.HashMap.empty[String, Long]
-    sentences.foreach { words =>
-      var h = "<s>"
-      (words.iterator.map(map) ++ Iterator.single("</s>")).foreach { w =>
-        uni(w) = uni.getOrElse(w, 0L) + 1
-        bi((h, w)) = bi.getOrElse((h, w), 0L) + 1
-        ctxTotal(h) = ctxTotal.getOrElse(h, 0L) + 1
-        h = w
+    // pass 2: n-gram counts over id sequences <s> w… </s>
+    val uni = new Array[Long](word.length) // events only (<s> never counts)
+    val ctx1 = new Array[Long](word.length)
+    val bi = mutable.LongMap.empty[Long]
+    val ctx2 = mutable.LongMap.empty[Long]
+    val tri = mutable.LongMap.empty[Long]
+    eachLine(files) { words =>
+      val seq = new Array[Int](words.length + 2)
+      seq(0) = Bos
+      var i = 0
+      while (i < words.length) { seq(i + 1) = mapId(words(i)); i += 1 }
+      seq(words.length + 1) = Eos
+      i = 1
+      while (i < seq.length) {
+        uni(seq(i)) += 1
+        val k2 = pack2(seq(i - 1), seq(i))
+        bi(k2) = bi.getOrElse(k2, 0L) + 1
+        ctx1(seq(i - 1)) += 1
+        if (i >= 2) {
+          val k3 = pack3(seq(i - 2), seq(i - 1), seq(i))
+          tri(k3) = tri.getOrElse(k3, 0L) + 1
+          val kc = pack2(seq(i - 2), seq(i - 1))
+          ctx2(kc) = ctx2.getOrElse(kc, 0L) + 1
+        }
+        i += 1
       }
     }
-    val total = uni.valuesIterator.sum.toDouble
+
+    val total = uni.sum.toDouble
     // Type-averaged <unk>: the folded mass belongs to ~|folded types|
     // distinct unseen words — charging it as ONE type's probability would
     // make OOV soup look more fluent than real prose (measured: all-OOV
@@ -103,41 +166,85 @@ object TrainArpa {
     // probability by the folded type count wherever <unk> is the event.
     val foldedTypes =
       math.max(rawCount.valuesIterator.count(_ < MinCount), 1).toDouble
-    val p1 = uni.view.map { case (w, c) =>
-      w -> (if (w == "<unk>") c / total / foldedTypes else c / total)
-    }.toMap
+    def p1(w: Int): Double =
+      (uni(w) / total) / (if (w == Unk) foldedTypes else 1.0)
 
-    val kept = bi.iterator.filter(_._2 >= MinBigram).toSeq
-    val contBy = kept.groupBy(_._1._1).map { case (h, g) => h -> g.size }
-    def lambda(h: String): Double =
-      ctxTotal.get(h) match {
+    // kept bigrams + order-1 backoff weights
+    val kept2 = bi.iterator.filter(_._2 >= MinBigram).toArray.sortBy(_._1)
+    val kept2Keys = kept2.map(_._1)
+    val cont1 = new Array[Int](word.length)
+    kept2.foreach { case (k, _) => cont1((k >>> 20).toInt) += 1 }
+    def lambda1(h: Int): Double =
+      if (ctx1(h) > 0) math.max(D * cont1(h) / ctx1(h).toDouble, 1e-10)
+      else 1.0
+    // FULL (unpruned) interpolated bigram probability — used both for
+    // emitted entries and as the lower-order term inside p3
+    def p2(h: Int, w: Int): Double = {
+      val c = bi.getOrElse(pack2(h, w), 0L)
+      val disc = if (ctx1(h) > 0) math.max(c - D, 0.0) / ctx1(h) else 0.0
+      val raw = disc + lambda1(h) * (uni(w) / total)
+      raw / (if (w == Unk) foldedTypes else 1.0)
+    }
+
+    // kept trigrams (context bigram must be kept: its ARPA entry carries
+    // the order-2 backoff weight) + order-2 backoff weights
+    val kept3 = tri.iterator.filter { case (k, c) =>
+      c >= MinTrigram &&
+        java.util.Arrays.binarySearch(kept2Keys, k >>> 20) >= 0
+    }.toArray.sortBy(_._1)
+    val cont2 = mutable.LongMap.empty[Int]
+    kept3.foreach { case (k, _) =>
+      val kc = k >>> 20
+      cont2(kc) = cont2.getOrElse(kc, 0) + 1
+    }
+    def lambda2(kc: Long): Double =
+      ctx2.get(kc) match {
         case Some(c) if c > 0 =>
-          math.max(D * contBy.getOrElse(h, 0) / c.toDouble, 1e-10)
+          math.max(D * cont2.getOrElse(kc, 0) / c.toDouble, 1e-10)
         case _ => 1.0
       }
+    def p3(k3: Long, c: Long): Double = {
+      val kc = k3 >>> 20
+      val h1 = ((k3 >>> 20) & 0xFFFFF).toInt
+      val w = (k3 & 0xFFFFF).toInt
+      val cc = ctx2.getOrElse(kc, 0L)
+      val disc = if (cc > 0) math.max(c - D, 0.0) / cc else 0.0
+      // unk events are type-averaged at every order; p2 already divides
+      disc / (if (w == Unk) foldedTypes else 1.0) + lambda2(kc) * p2(h1, w)
+    }
 
-    val sb = new StringBuilder
+    val sb = new StringBuilder(64 << 20)
     def log10(x: Double): String = f"${math.log10(x)}%.6f"
-    val uniWords = (uni.keySet ++ Set("<s>")).toSeq.sorted
     sb ++= "\\data\\\n"
-    sb ++= s"ngram 1=${uniWords.size}\n"
-    sb ++= s"ngram 2=${kept.size}\n\n"
+    sb ++= s"ngram 1=${word.length}\n"
+    sb ++= s"ngram 2=${kept2.length}\n"
+    sb ++= s"ngram 3=${kept3.length}\n\n"
     sb ++= "\\1-grams:\n"
-    uniWords.foreach { w =>
-      val p = if (w == "<s>") "-99.000000" else log10(p1(w))
-      sb ++= s"$p\t$w\t${log10(lambda(w))}\n"
+    word.indices.foreach { w =>
+      val p = if (w == Bos) "-99.000000" else log10(p1(w))
+      sb ++= s"$p\t${word(w)}\t${log10(lambda1(w))}\n"
     }
     sb ++= "\n\\2-grams:\n"
-    kept.sortBy(_._1).foreach { case ((h, w), c) =>
-      val raw = math.max(c - D, 0.0) / ctxTotal(h) + lambda(h) * p1(w)
-      val p = if (w == "<unk>") raw / foldedTypes else raw
-      sb ++= s"${log10(p)}\t$h $w\n"
+    kept2.foreach { case (k, _) =>
+      val h = (k >>> 20).toInt
+      val w = (k & 0xFFFFF).toInt
+      val bo = // order-2 backoff only where a kept trigram context exists
+        if (cont2.contains(k)) s"\t${log10(lambda2(k))}" else ""
+      sb ++= s"${log10(p2(h, w))}\t${word(h)} ${word(w)}$bo\n"
+    }
+    sb ++= "\n\\3-grams:\n"
+    kept3.foreach { case (k, c) =>
+      val h2 = (k >>> 40).toInt
+      val h1 = ((k >>> 20) & 0xFFFFF).toInt
+      val w = (k & 0xFFFFF).toInt
+      sb ++= s"${log10(p3(k, c))}\t${word(h2)} ${word(h1)} ${word(w)}\n"
     }
     sb ++= "\n\\end\\\n"
 
     Files.createDirectories(out.getParent)
     Files.write(out, sb.toString.getBytes(StandardCharsets.UTF_8))
-    println(s"[train] wrote $out: ${uniWords.size} unigrams, " +
-      s"${kept.size} bigrams, ${Files.size(out) / 1024} KiB")
+    println(s"[train] wrote $out: ${word.length} unigrams, " +
+      s"${kept2.length} bigrams, ${kept3.length} trigrams, " +
+      s"${Files.size(out) / 1024} KiB")
   }
 }

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *   the corpus). The per-row math is `Column`-only (`zip_with` +
   *   `aggregate`), bit-mirrorable in the DuckDB oracle.
   * - `ivfTopK`: IVF-style scale path — corpus pre-bucketed by a coarse
-  *   quantizer (here: the `label` cell id, standing in for a k-means
-  *   assignment), probe only the `nprobe` cells whose centroids are nearest
+  *   quantizer (cells learned by [[kmeansAssign]], or any existing cell
+  *   column), probe only the `nprobe` cells whose centroids are nearest
   *   the query. At 100 TB the corpus is written bucketed/partitioned by
   *   cell id so a probe prunes partitions at the source.
   */
@@ -83,6 +83,62 @@ object Ann {
       .agg(transform(
         sort_array(collect_list(struct(col("__i__"), col("__m__")))),
         s => s.getField("__m__")).as("__centroid__"))
+
+  /** Seeded Lloyd k-means over the embedding column — the learned coarse
+    * quantizer for IVF (replaces the earlier `label`-column stand-in).
+    * Deterministic: initial centroids are the `k` rows with the smallest
+    * `idCol`; each of the fixed `iters` rounds assigns rows to their
+    * max-cosine centroid (broadcast k×dim doubles, primitive per-row
+    * kernel) and recomputes centroids with the same (cell × dim)-shuffle
+    * aggregate as [[centroids]] — the driver only ever holds k×dim
+    * doubles, so the loop is a fixed small number of aggregate jobs at
+    * any corpus size. Cosine (not L2) assignment keeps training and probe
+    * geometry identical. Cells that lose all members keep their previous
+    * centroid. Returns the corpus plus `cellCol`.
+    */
+  def kmeansAssign(corpus: DataFrame, embCol: String, idCol: String,
+      cellCol: String, k: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def assignUdf(cs: Array[Array[Double]]) = {
+      val b = spark.sparkContext.broadcast(cs)
+      udf { (v: Seq[Float]) =>
+        val cc = b.value
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cc.length) {
+          val cent = cc(c)
+          val n = math.min(cent.length, v.length)
+          var dot = 0.0; var nv = 0.0; var nc = 0.0
+          var j = 0
+          while (j < n) {
+            val x = v(j).toDouble
+            dot += x * cent(j); nv += x * x; nc += cent(j) * cent(j)
+            j += 1
+          }
+          val sim = if (nv == 0.0 || nc == 0.0) 0.0
+            else dot / math.sqrt(nv * nc)
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    var it = 0
+    while (it < iters - 1) {
+      val assigned = corpus.withColumn(cellCol, assignUdf(cents)(col(embCol)))
+      val next = centroids(assigned, embCol, cellCol)
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = Array.tabulate(k)(c => next.getOrElse(c, cents(c)))
+      it += 1
+    }
+    corpus.withColumn(cellCol, assignUdf(cents)(col(embCol)))
+  }
 
   /** IVF probe: rank cells by centroid similarity to the query, brute-force
     * only the top `nprobe` cells. `cellCol` is the coarse-quantizer cell id.

@@ -120,20 +120,30 @@ class ExtrasSpec extends AnyFunSuite {
     assert(keys(0) === keys(1))
   }
 
-  test("ivf ann reaches brute-force results when probing the right cell") {
+  test("ivf ann with learned k-means cells reaches brute force") {
     val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val cells = graft.similarity.Ann
+      .kmeansAssign(emb, "embedding", "vec_id", "cell", k = 8, iters = 3)
+    // every row lands in exactly one of the k cells
+    val dist = cells.groupBy("cell").count().collect()
+    assert(dist.map(_.getLong(1)).sum === emb.count())
+    assert(dist.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
     val query = emb.orderBy("vec_id").limit(1)
     val brute = graft.similarity.Ann
       .bruteForceTopK(emb, query, "embedding", "vec_id", 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val ivfAll = graft.similarity.Ann
-      .ivfTopK(emb, query, "embedding", "vec_id", "label", 10, 10)
+      .ivfTopK(cells, query, "embedding", "vec_id", "cell", 10, 8)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ivfAll === brute) // nprobe = all cells → exact
     val ivf3 = graft.similarity.Ann
-      .ivfTopK(emb, query, "embedding", "vec_id", "label", 10, 3)
+      .ivfTopK(cells, query, "embedding", "vec_id", "cell", 10, 3)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ivf3.size === 10) // recall < 1 allowed, shape correct
+    // learned cells must put the query's own vector in a probed cell:
+    // the top-1 brute-force hit (the query itself, cos=1) survives IVF
+    assert(ivf3.contains(query.select("vec_id").collect()(0).getLong(0)) ||
+      ivf3.intersect(brute).size >= 5) // ≥50% recall at nprobe=3/8
   }
 
   test("multimodal decode plumbing: batch path == udf path") {

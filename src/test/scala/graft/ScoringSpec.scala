@@ -10,11 +10,13 @@ import graft.scoring.{ArpaModel, ArpaScorer, CcNetNormalizer}
   */
 class ScoringSpec extends AnyFunSuite {
 
-  // tiny hand-written model: vocab {a, b}, one bigram
+  // tiny hand-written order-3 model: vocab {a, b}, two bigrams (with
+  // order-2 backoff weights), one trigram
   private val tiny = ArpaModel.parse(
     """\data\
       |ngram 1=5
       |ngram 2=2
+      |ngram 3=1
       |
       |\1-grams:
       |-99.000000	<s>	-0.300000
@@ -24,21 +26,36 @@ class ScoringSpec extends AnyFunSuite {
       |-2.000000	<unk>	0.000000
       |
       |\2-grams:
-      |-0.400000	a b
-      |-0.250000	<s> a
+      |-0.400000	a b	-0.150000
+      |-0.250000	<s> a	-0.050000
+      |
+      |\3-grams:
+      |-0.200000	<s> a b
       |
       |\end\
       |""".stripMargin.linesIterator)
 
-  test("arpa backoff query arithmetic") {
-    // listed bigram wins
+  test("arpa backoff query arithmetic (hand-computed chains)") {
+    // listed bigram wins at the bigram level
     assert(math.abs(tiny.logProb("a", "b") - (-0.4)) < 1e-12)
-    // unlisted: backoff(h) + p1(w)
+    // unlisted: backoff1(h) + p1(w)
     assert(math.abs(tiny.logProb("b", "a") - (-0.1 + -0.5)) < 1e-12)
     // OOV event maps to <unk>
     assert(math.abs(tiny.logProb("a", "zzz") - (-0.2 + -2.0)) < 1e-12)
-    // sentence: P(a|<s>) + P(b|a) + P(</s>|b)
-    val want = -0.25 + -0.4 + (-0.1 + -0.9)
+    // listed trigram wins
+    assert(math.abs(tiny.logProb("<s>", "a", "b") - (-0.2)) < 1e-12)
+    // unlisted trigram, listed context: backoff2(h2 h1) + p(w|h1)
+    //   p(</s>|a b) = bo2("a b") + [bo1(b) + p1(</s>)]
+    assert(math.abs(tiny.logProb("a", "b", "zzz")
+      - (-0.15 + (-0.1 + -2.0))) < 1e-12)
+    // unlisted trigram, unlisted context: backoff2 = 0
+    assert(math.abs(tiny.logProb("b", "a", "zzz")
+      - (0.0 + (-0.2 + -2.0))) < 1e-12)
+    // null h2 (first event after <s>) degrades to the bigram query
+    assert(tiny.logProb(null, "a", "b") === tiny.logProb("a", "b"))
+    // document chain: P(a|<s>) + P(b|<s> a) + P(</s>|a b)
+    //   = -0.25 + -0.2 + (bo2("a b") + bo1(b) + p1(</s>))
+    val want = -0.25 + -0.2 + (-0.15 + -0.1 + -0.9)
     assert(math.abs(tiny.score("a b") - want) < 1e-12)
     // leading/trailing whitespace tokens are dropped
     assert(tiny.score("  a   b  ") === tiny.score("a b"))
@@ -48,6 +65,7 @@ class ScoringSpec extends AnyFunSuite {
     val m = ArpaScorer.model
     assert(m.vocabSize > 5000, "vocab")
     assert(m.bigramCount > 20000, "bigrams")
+    assert(m.trigramCount > 20000, "trigrams")
   }
 
   test("document perplexity semantics match the reference") {
