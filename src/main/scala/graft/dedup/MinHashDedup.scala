@@ -371,7 +371,13 @@ object ConnectedComponents {
       parent(py) = m
       if (!parent.contains(x)) parent(x) = m
     }
-    parent.keys.map(k => k -> find(k)).toMap
+    // SNAPSHOT the keys before resolving: find()'s path compression
+    // mutates `parent`, and iterating a mutable.HashMap's key view while
+    // writing to the map silently skips entries (observed: ~15% of edge
+    // orders dropped rows from the roots map → over-kept clusters; caught
+    // by the reference-golden spec, r4)
+    val ks = parent.keys.toArray
+    ks.map(k => k -> find(k)).toMap
   }
 
   /** 100 TB-scale path: UNDIRECTED min-label propagation over the edge

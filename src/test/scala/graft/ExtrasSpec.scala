@@ -146,6 +146,27 @@ class ExtrasSpec extends AnyFunSuite {
       ivf3.intersect(brute).size >= 5) // ≥50% recall at nprobe=3/8
   }
 
+  test("minhash dedup kept ids equal the reference's own python (sf0.01)") {
+    // golden derived ONCE from /root/reference's embed_func/UnionFind over
+    // the same parquet by tools/ref_minhash_golden.py (committed JSON) —
+    // id-for-id equality, not just a count
+    val src = scala.io.Source.fromInputStream(
+      getClass.getClassLoader
+        .getResourceAsStream("minhash_golden_sf001.json"), "UTF-8")
+    val js = try src.mkString finally src.close()
+    def longs(key: String): Seq[Long] =
+      "\"kept_doc_ids\": \\[([^\\]]*)\\]".r.findFirstMatchIn(js)
+        .get.group(1).split(",").map(_.trim.toLong).toSeq
+    val expected = longs("kept_doc_ids")
+    assert("\"input_rows\": (\\d+)".r.findFirstMatchIn(js)
+      .get.group(1).toInt === 500)
+    val kept = graft.dedup.MinHashDedup.deduplicate(
+      Queries.table(spark, "/root/testdata/sf0.01", "documents"), "text",
+      graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === expected)
+  }
+
   test("multimodal decode plumbing: batch path == udf path") {
     import spark.implicits._
     val bin = Seq((1L, "hello world"), (2L, "x"), (3L, ""))

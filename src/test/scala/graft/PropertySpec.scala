@@ -38,6 +38,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("unionFindRoots is edge-order independent") {
+    // regression for the r4 bug: resolving roots while path compression
+    // mutated the map skipped entries for ~15% of edge orders
+    val edgeList: Gen[List[(Long, Long)]] = Gen.listOfN(25,
+      for {
+        y <- Gen.choose(0L, 30L)
+        x <- Gen.choose(y + 1, y + 40L)
+      } yield (x, y))
+    forAll(edgeList, n = 100) { edges =>
+      val base = ConnectedComponents.unionFindRoots(edges.toArray)
+        .filter { case (k, v) => k != v }
+      (1 to 5).foreach { s =>
+        val shuffled = new scala.util.Random(s).shuffle(edges).toArray
+        val r = ConnectedComponents.unionFindRoots(shuffled)
+          .filter { case (k, v) => k != v }
+        assert(r === base, s"shuffle seed $s diverged")
+      }
+    }
+  }
+
   test("modMersenne equals unsigned remainder on the full 64-bit range") {
     val gen = Gen.oneOf(
       Gen.choose(Long.MinValue, Long.MaxValue),
