@@ -146,6 +146,39 @@ class ExtrasSpec extends AnyFunSuite {
       ivf3.intersect(brute).size >= 5) // ≥50% recall at nprobe=3/8
   }
 
+  test("every preset stack instantiates and runs over sf0.001 documents") {
+    import graft.pipeline.{Preprocessor, Presets}
+    // '.' suffix so check_completion (terminal punctuation) can pass on
+    // the word-soup corpus
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("response", concat(col("text"), lit(".")))
+      .drop("text")
+    // output stack in all flag combinations (nsfw / perplexity optional):
+    // every stack must run end-to-end, and adding filters can only shrink
+    // the kept set (the ppl band 300..10000 legitimately rejects the
+    // synthetic word soup, so >0 is only asserted for the base stack)
+    val counts = for (nsfw <- Seq(false, true); ppl <- Seq(false, true))
+      yield (nsfw, ppl) -> new Preprocessor(docs, "response",
+        Presets.outputTextCleaners,
+        Presets.outputTextFilters(nsfw, ppl)).run().count()
+    val base = counts.toMap.apply((false, false))
+    assert(base > 0)
+    counts.foreach { case ((nsfw, ppl), c) =>
+      assert(c <= base, s"nsfw=$nsfw ppl=$ppl kept more than base")
+    }
+    // input stack
+    val in = new Preprocessor(docs, "response",
+      Presets.inputTextCleaners, Presets.inputTextFilters).run()
+    assert(in.count() > 0)
+    // truncation stack over a synthesized split column
+    val tok = "<|truncation_splitter|>"
+    val trunc = docs.withColumn("response",
+      concat(col("response"), lit(tok), lit("unrelated edit")))
+    val kept = Preprocessor.applyFilters(
+      trunc, "response", Presets.truncationFilters(tok))
+    assert(kept.count() === docs.count()) // edit never a substring -> all kept
+  }
+
   test("minhash dedup kept ids equal the reference's own python (sf0.01)") {
     // golden derived ONCE from /root/reference's embed_func/UnionFind over
     // the same parquet by tools/ref_minhash_golden.py (committed JSON) —
