@@ -58,6 +58,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(CharRepetition.ratio("😀" * 9, 10) === 0.0)
   }
 
+  test("simhash/fnv1a golden values from an independent implementation") {
+    import graft.dedup.SimHash
+    // pinned against a from-scratch python implementation (fnv1a64 over
+    // UTF-16 units, [a-z0-9_]+ word features, majority bit votes)
+    assert(SimHash.fnv1a64("the") === 6266135566914540924L)
+    assert(SimHash.fnv1a64("hello") === -6615550055289275125L)
+    assert(SimHash.simhash64("the quick brown fox")
+      === 5363936793200807308L)
+    assert(SimHash.simhash64("hello, world! hello again")
+      === -6615550055299760885L)
+    assert(SimHash.simhash64("") === 0L)
+    assert(SimHash.simhash64(null) === 0L)
+    // single repeated word: signature == that word's hash bit pattern
+    assert(SimHash.simhash64("a b a b a") === -5808556873153909620L)
+  }
+
   test("aho-corasick count matches python str.count semantics") {
     val ac = new AhoCorasick(Array("xx", "ab", "abc"))
     // 'xx' in 'xxx' → 1 (non-overlapping, like str.count)
