@@ -206,10 +206,10 @@ object ChatPipeline {
     * flat scalar message rows (instruction = window `lag`, exactly the
     * "last input message" of R2), and the chatml prefix arrays are rebuilt
     * at the END by joining the tiny kept set back against the flat
-    * messages. The kept (source, response, instruction) set is identical
-    * to the explode-first plan's, and the (custkey, pos0) trailing sort
-    * keys below make the surviving rows — and their rebuilt prefixes —
-    * fully deterministic too.
+    * messages. Keep-first dedup orders by a data-derived unique id
+    * (custkey, pos0), so the kept rows — and their rebuilt prefixes —
+    * are fully deterministic under any partitioning, with no global
+    * sort anywhere in the plan.
     */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.{MiniYaml, PipelineConfig, Preprocessor}
@@ -223,34 +223,36 @@ object ChatPipeline {
     val msgs = syntheticMessages(spark, dir)
     // R1+R2 on flat rows: trained messages only; response = stripped
     // content, instruction = stripped previous content ("" at pos 0).
-    // Pin a total row order before dedup: keep-first semantics depend on
-    // row order, and the window shuffle upstream leaves it partition-
-    // count-dependent (SURVEY §7.4). (custkey, pos0) is a unique key, so
-    // the trailing sort keys make the order TOTAL: not just the kept
-    // (source, response, instruction) set but the surviving row — and
-    // hence its rebuilt conversation prefix — is deterministic across
-    // parallelism (ADVICE r3).
-    // total order via EXPLICIT range partitioning + intra-partition sort
-    // (≡ orderBy, but AQE never coalesces a user repartition — a plain
-    // orderBy here collapsed to 1 post-shuffle partition on small inputs
-    // and serialized the whole clean/filter/signature chain behind it)
-    val sortCols = Seq(col("source"), col("response"), col("instruction"),
-      col("custkey"), col("pos0"))
+    // Keep-first dedup order: a DATA-DERIVED unique id (custkey·2^20 +
+    // pos0 — conversations are far shorter than 2^20 messages), not
+    // physical row order. The kept set AND the surviving representatives
+    // are then deterministic under ANY partitioning — no global sort
+    // needed just to pin row order. r3 used repartitionByRange +
+    // sortWithinPartitions for the same guarantee; the sort (plus its
+    // sampling pass over the trunk) is pure overhead once the order key
+    // comes from the data, and at 100 TB a dropped global sort is the
+    // single biggest stage cut in this plan. The explicit repartition
+    // stays for parallelism pinning only (AQE never coalesces a user
+    // repartition; without it the window's small shuffle collapses to 1-2
+    // partitions and serializes the clean/filter/signature chain).
     val numPart = math.max(spark.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val io = msgs.where(col("do_train"))
       .select(col("custkey"), col("pos0"), col("role"), col("source"),
         stripWs(col("content")).as("response"),
         when(col("pos0") > 0, stripWs(col("prev")))
-          .otherwise(lit("")).as("instruction"))
-      .repartitionByRange(numPart, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+          .otherwise(lit("")).as("instruction"),
+        (col("custkey") * (1L << 20) + col("pos0")).as("__mid__"))
+      .repartition(numPart, col("custkey"), col("pos0"))
 
     val afterResponse = new Preprocessor(io, "response",
-      respCfg.cleaners, respCfg.filters, respCfg.dedup).run()
+      respCfg.cleaners, respCfg.filters, respCfg.dedup,
+      dedupOrderCol = Some("__mid__")).run()
     val afterInstruction = new Preprocessor(afterResponse, "instruction",
       cleaners = Seq.empty, // main.py:54-56: cleaners never run on instructions
-      filters = instrCfg.filters, dedup = instrCfg.dedup).run()
+      filters = instrCfg.filters, dedup = instrCfg.dedup,
+      dedupOrderCol = Some("__mid__")).run()
+      .drop("__mid__")
 
     // R3 chatml: rebuild each kept row's prefix (messages before pos0,
     // do_train forced false) from the flat view — the join output is

@@ -292,14 +292,25 @@ object MinHashDedup {
     * keep-first semantics — monotonically_increasing_id preserves row
     * order, which is all `min` needs).
     *
+    * `orderCol`: optional DATA-DERIVED unique non-null Long column
+    * defining the keep-first order instead of physical row order. With
+    * it, the kept set and representatives are deterministic under ANY
+    * partitioning — callers that would otherwise need a global sort just
+    * to pin row order (the flagship) can skip the sort entirely.
+    *
     * `maxDriverEdges`: above this, clustering switches from the driver
     * UnionFind (reference-faithful) to distributed min-label propagation —
     * same min-representative semantics, no driver materialization.
     */
   def deduplicate(df: DataFrame, column: String,
       cfg: MinHashConfig = MinHashConfig(),
-      maxDriverEdges: Long = 10_000_000L): DataFrame = {
-    val withId = df.withColumn(IdCol, monotonically_increasing_id())
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None): DataFrame = {
+    val idExpr = orderCol match {
+      case Some(c) => col(c).cast(org.apache.spark.sql.types.LongType)
+      case None => monotonically_increasing_id()
+    }
+    val withId = df.withColumn(IdCol, idExpr)
       .persist()
     val text = coalesce(col(column), lit(""))
 

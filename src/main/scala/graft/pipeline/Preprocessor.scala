@@ -20,7 +20,8 @@ final class Preprocessor(
     cleaners: Seq[(String, Column => Column)],
     filters: Seq[TextFilter],
     dedup: Option[graft.dedup.MinHashConfig] = None,
-    verbose: Boolean = false) {
+    verbose: Boolean = false,
+    dedupOrderCol: Option[String] = None) {
 
   def run(): DataFrame = {
     val cleaned = Preprocessor.clean(df, columnName, cleaners)
@@ -37,7 +38,8 @@ final class Preprocessor(
     val filtered = Preprocessor.applyFilters(cleaned, columnName, filters)
     dedup match {
       case Some(cfg) =>
-        graft.dedup.MinHashDedup.deduplicate(filtered, columnName, cfg)
+        graft.dedup.MinHashDedup.deduplicate(filtered, columnName, cfg,
+          orderCol = dedupOrderCol)
       case None => filtered
     }
   }
