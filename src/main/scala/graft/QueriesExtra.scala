@@ -71,6 +71,70 @@ object QueriesExtra {
       s"'${OracleSql.WsClass}+', ' ', 'g')) " +
       "AS fp FROM documents ORDER BY doc_id"))
 
+  /** PII redaction over a corpus with injected emails/IPs/digit runs —
+    * every 3rd doc gets an email, every 4th an IPv4, every 5th a long
+    * account number; the rest must pass through byte-identical.
+    */
+  val taPii: QueryDef = QueryDef("ta_pii_redact",
+    (s, dir) => {
+      import graft.text.Pii
+      val injected = concat(
+        when(col("doc_id") % 3 === 0,
+          concat(lit("contact user"), col("doc_id") % 7,
+            lit("@example.com asap "))).otherwise(lit("")),
+        substring(col("text"), 1, 80),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 200, lit(".77 ")))
+          .otherwise(lit(" ")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("acct 90210"), col("doc_id") + 10000, lit(" end")))
+          .otherwise(lit("end")))
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"), Pii.redact(injected).as("redacted"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import graft.text.Pii
+      val q = (s: String) => "'" + s.replace("'", "''") + "'"
+      val injected = "(CASE WHEN doc_id%3=0 THEN 'contact user' || " +
+        "(doc_id%7) || '@example.com asap ' ELSE '' END) || " +
+        "substr(text, 1, 80) || (CASE WHEN doc_id%4=0 THEN ' from 10.0.'" +
+        " || (doc_id%200) || '.77 ' ELSE ' ' END) || (CASE WHEN " +
+        "doc_id%5=0 THEN 'acct 90210' || (doc_id+10000) || ' end' " +
+        "ELSE 'end' END)"
+      "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        s"$injected, ${q(Pii.EmailRe)}, '<EMAIL>', 'g'), " +
+        s"${q(Pii.Ipv4Re)}, '<IP>', 'g'), ${q(Pii.LongDigitsRe)}, " +
+        "'<NUM>', 'g') AS redacted FROM documents ORDER BY doc_id"
+    })
+
+  /** In-document line dedup: documents synthesized with repeated lines
+    * (A B A C B A shape) must collapse to first occurrences in order.
+    */
+  val taLineDedup: QueryDef = QueryDef("ta_line_dedup",
+    (s, dir) => {
+      val a = substring(col("text"), 1, 30)
+      val b = substring(col("text"), 31, 25)
+      val cc = substring(col("text"), 56, 20)
+      val doc = concat_ws("\n", a, b, a, cc, b, a,
+        when(col("doc_id") % 2 === 0, lit("")).otherwise(cc), lit(""))
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.analysis.TextAnalysis.dedupLines(doc).as("cleaned"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val doc = "substr(text,1,30) || chr(10) || substr(text,31,25) || " +
+        "chr(10) || substr(text,1,30) || chr(10) || substr(text,56,20) || " +
+        "chr(10) || substr(text,31,25) || chr(10) || substr(text,1,30) || " +
+        "chr(10) || (CASE WHEN doc_id%2=0 THEN '' ELSE substr(text,56,20) " +
+        "END) || chr(10) || ''"
+      s"WITH src AS (SELECT doc_id, string_split($doc, chr(10)) AS l " +
+        "FROM documents) SELECT doc_id, array_to_string(list_filter(l, " +
+        "(x, i) -> list_position(l, x) = i), chr(10)) AS cleaned " +
+        "FROM src ORDER BY doc_id"
+    })
+
   /** Brute-force cosine top-10 against the min-vec_id query vector; ranks
     * are order-stable across engines (cos gaps ≫ double noise).
     */
@@ -161,6 +225,6 @@ object QueriesExtra {
       "WHERE rank <= 3 ORDER BY query_id, rank"))
 
   val all: Seq[QueryDef] = Seq(
-    taTokens, taQuality, taLangId, taFingerprint, annTopK, annIvf,
-    embNearPairs, annKnnJoin)
+    taTokens, taQuality, taLangId, taFingerprint, taPii, taLineDedup,
+    annTopK, annIvf, embNearPairs, annKnnJoin)
 }

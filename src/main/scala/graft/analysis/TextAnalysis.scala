@@ -84,4 +84,18 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "\\s+", " ").cast("binary"))
+
+  /** In-document line dedup (dolma-style repetition cleanup): drop every
+    * line equal to an EARLIER line of the same document, preserving
+    * order. Column-only: `array_position` returns the FIRST index of a
+    * value, so a line survives iff its position is that first index.
+    * O(lines²) per document by construction (fine: documents have tens of
+    * lines; no shuffle, stays in the scan).
+    */
+  def dedupLines(c: Column): Column = {
+    val arr = split(c, "\n")
+    array_join(
+      filter(arr, (x, i) => array_position(arr, x) === (i + 1).cast("long")),
+      "\n")
+  }
 }

@@ -146,6 +146,29 @@ class ExtrasSpec extends AnyFunSuite {
       ivf3.intersect(brute).size >= 5) // ≥50% recall at nprobe=3/8
   }
 
+  test("pii redaction and line dedup edge cases") {
+    import spark.implicits._
+    import graft.text.Pii
+    import graft.analysis.TextAnalysis
+    val out = Seq(
+      "mail a.b+c@x-corp.io or 10.1.2.3 acct 123456789 ok",
+      "no pii here 123 1.2 v1.2.3.4.5",
+      "").toDF("t")
+      .select(Pii.redact(col("t")).as("r")).as[String].collect()
+    assert(out(0) === "mail <EMAIL> or <IP> acct <NUM> ok")
+    // 5-group version string: no \b between 'v' and '1', so the match
+    // starts at the 2nd group (same in Java regex and RE2)
+    assert(out(1) === "no pii here 123 1.2 v1.<IP>")
+    assert(out(2) === "")
+    val ld = Seq("a\nb\na\nc\nb\na", "x", "", "a\n\nb\n\na")
+      .toDF("t").select(TextAnalysis.dedupLines(col("t")).as("r"))
+      .as[String].collect()
+    assert(ld(0) === "a\nb\nc")
+    assert(ld(1) === "x")
+    assert(ld(2) === "")
+    assert(ld(3) === "a\n\nb") // blank line kept once
+  }
+
   test("every preset stack instantiates and runs over sf0.001 documents") {
     import graft.pipeline.{Preprocessor, Presets}
     // '.' suffix so check_completion (terminal punctuation) can pass on
