@@ -202,25 +202,37 @@ class ExtrasSpec extends AnyFunSuite {
     assert(kept.count() === docs.count()) // edit never a substring -> all kept
   }
 
-  test("minhash dedup kept ids equal the reference's own python (sf0.01)") {
-    // golden derived ONCE from /root/reference's embed_func/UnionFind over
-    // the same parquet by tools/ref_minhash_golden.py (committed JSON) —
-    // id-for-id equality, not just a count
+  // golden derived ONCE from /root/reference's embed_func/UnionFind over
+  // the same parquet by tools/ref_minhash_golden.py (committed JSON)
+  private lazy val minhashGolden: Seq[Long] = {
     val src = scala.io.Source.fromInputStream(
       getClass.getClassLoader
         .getResourceAsStream("minhash_golden_sf001.json"), "UTF-8")
     val js = try src.mkString finally src.close()
-    def longs(key: String): Seq[Long] =
-      "\"kept_doc_ids\": \\[([^\\]]*)\\]".r.findFirstMatchIn(js)
-        .get.group(1).split(",").map(_.trim.toLong).toSeq
-    val expected = longs("kept_doc_ids")
     assert("\"input_rows\": (\\d+)".r.findFirstMatchIn(js)
       .get.group(1).toInt === 500)
+    "\"kept_doc_ids\": \\[([^\\]]*)\\]".r.findFirstMatchIn(js)
+      .get.group(1).split(",").map(_.trim.toLong).toSeq
+  }
+
+  test("minhash dedup kept ids equal the reference's own python (sf0.01)") {
+    // id-for-id equality, not just a count
     val kept = graft.dedup.MinHashDedup.deduplicate(
       Queries.table(spark, "/root/testdata/sf0.01", "documents"), "text",
       graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept === expected)
+    assert(kept === minhashGolden)
+  }
+
+  test("distributed clustering path matches the reference golden too") {
+    // maxDriverEdges = 0 forces the 100 TB min-label-propagation branch;
+    // it must produce the exact same kept set as the driver UnionFind
+    val kept = graft.dedup.MinHashDedup.deduplicate(
+      Queries.table(spark, "/root/testdata/sf0.01", "documents"), "text",
+      graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3),
+      maxDriverEdges = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === minhashGolden)
   }
 
   test("multimodal decode plumbing: batch path == udf path") {

@@ -45,6 +45,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"))
   }
 
+  test("flagship plan has no global sort except the mandated seeded shuffle") {
+    // r4: keep-first dedup orders by a data-derived id, so the pre-dedup
+    // repartitionByRange+sort is gone — the ONLY range partitioning left
+    // is main.py:73's shuffle(seed=42) at the very end
+    val p = plan("flagship_chat_pipeline")
+    val ranges = "(?i)rangepartitioning".r.findAllIn(p).size
+    assert(ranges === 1, s"expected exactly 1 rangepartitioning, got $ranges")
+  }
+
   test("optimizer rule collapses nested stripWs") {
     import graft.text.Cleaners.stripWs
     GraftFunctions.register(spark) // functions only; rule applied manually
