@@ -135,6 +135,63 @@ object QueriesExtra {
         "FROM src ORDER BY doc_id"
     })
 
+  /** Gopher quality rules (Rae et al. 2021 §A1.1) over a corpus with
+    * injected bullet lines, ellipsis lines, symbol runs and digit-only
+    * words — every signal + the composite keep flag is hash-compared.
+    */
+  val taGopher: QueryDef = QueryDef("gopher_quality_signals",
+    (s, dir) => {
+      import graft.analysis.GopherQuality
+      val doc = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- a bullet line\n* another one\n• unicode bullet"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\ntrailing thought...\nand more…")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ### ## 42 1066 90210"))
+          .otherwise(lit("")))
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"),
+          GopherQuality.wordCount(doc).cast("long").as("wc"),
+          GopherQuality.meanWordLen(doc).as("mwl"),
+          GopherQuality.symbolToWordRatio(doc).as("swr"),
+          GopherQuality.bulletLineRatio(doc).as("blr"),
+          GopherQuality.ellipsisLineRatio(doc).as("elr"),
+          GopherQuality.alphaWordRatio(doc).as("awr"),
+          GopherQuality.keep(doc).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val st = (e: String) => OracleSql.strip(e)
+      val doc = "text || (CASE WHEN doc_id%3=0 THEN chr(10)||'- a bullet " +
+        "line'||chr(10)||'* another one'||chr(10)||'• unicode bullet' " +
+        "ELSE '' END) || (CASE WHEN doc_id%4=0 THEN chr(10)||'trailing " +
+        "thought...'||chr(10)||'and more…' ELSE '' END) || (CASE WHEN " +
+        "doc_id%5=0 THEN ' ### ## 42 1066 90210' ELSE '' END)"
+      "WITH src AS (SELECT doc_id, " + doc + " AS t FROM documents), " +
+        "sig AS (SELECT doc_id, t, regexp_extract_all(lower(t), " +
+        "'[\\p{L}\\p{N}_]+') AS w, string_split(t, chr(10)) AS l " +
+        "FROM src), " +
+        "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS wc, " +
+        "CASE WHEN len(w)=0 THEN 0.0 ELSE CAST(list_sum(" +
+        "list_transform(w, x -> length(x))) AS DOUBLE)/len(w) END AS mwl, " +
+        "CASE WHEN len(w)=0 THEN 0.0 ELSE ((length(t)-length(replace(t," +
+        "'#',''))) + (length(t)-length(replace(t,'...','')))/3.0)" +
+        "/len(w) END AS swr, " +
+        "CAST(len(list_filter(l, x -> " + st("x") + "[1:2] IN " +
+        "('- ', '* ', '• '))) AS DOUBLE)/len(l) AS blr, " +
+        "CAST(len(list_filter(l, x -> " + st("x") + "[-3:] = '...' OR " +
+        st("x") + "[-1:] = '…')) AS DOUBLE)/len(l) AS elr, " +
+        "CASE WHEN len(w)=0 THEN 0.0 ELSE CAST(len(list_filter(w, " +
+        "x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)/len(w) END AS awr " +
+        "FROM sig) " +
+        "SELECT doc_id, wc, mwl, swr, blr, elr, awr, " +
+        "(wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0 AND " +
+        "swr <= 0.1 AND blr <= 0.9 AND elr <= 0.3 AND awr >= 0.8) AS keep " +
+        "FROM m ORDER BY doc_id"
+    })
+
   /** Brute-force cosine top-10 against the min-vec_id query vector; ranks
     * are order-stable across engines (cos gaps ≫ double noise).
     */
@@ -226,5 +283,5 @@ object QueriesExtra {
 
   val all: Seq[QueryDef] = Seq(
     taTokens, taQuality, taLangId, taFingerprint, taPii, taLineDedup,
-    annTopK, annIvf, embNearPairs, annKnnJoin)
+    taGopher, annTopK, annIvf, embNearPairs, annKnnJoin)
 }

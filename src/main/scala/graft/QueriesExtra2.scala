@@ -199,6 +199,22 @@ object QueriesExtra2 {
       "text__text_check_lowercase_ratio_criteria " +
       "FROM documents ORDER BY doc_id"))
 
+  /** cc_net head/middle/tail bucketing — the rank-tercile operator
+    * hash-verified on a SQL-mirrorable score (word count, tie-broken on
+    * doc_id); the LM-scored composition (`Buckets.ccnetBuckets` with the
+    * ArpaScorer + approx cutoffs — the 100 TB shape) is model-bound and
+    * covered by spec instead.
+    */
+  val ccNetBuckets: QueryDef = QueryDef("ccnet_rank_buckets",
+    (s, dir) => graft.scoring.Buckets.rankBuckets(
+      Queries.table(s, dir, "documents"),
+      graft.text.Filters.wordCount(col("text")), col("doc_id"))
+      .select(col("doc_id"), col("bucket"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, (['head','middle','tail'])[ntile(3) OVER " +
+      "(ORDER BY " + OracleSql.wordCount("text") + " ASC, doc_id ASC)] " +
+      "AS bucket FROM documents ORDER BY doc_id"))
+
   /** The full flagship chat pipeline as a bench query (rows-only): the
     * E2E explode→clean→filter→dedup→chatml dataflow at the bench scale
     * factor — the headline number for the engine as a whole. The
@@ -217,6 +233,6 @@ object QueriesExtra2 {
     None)
 
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
-    dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet, p3DryRun,
-    flagship, QueriesFlagshipOracle.flagshipOracle)
+    dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet,
+    ccNetBuckets, p3DryRun, flagship, QueriesFlagshipOracle.flagshipOracle)
 }

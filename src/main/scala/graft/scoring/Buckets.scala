@@ -1,0 +1,69 @@
+package graft.scoring
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** cc_net-style corpus bucketing (Wenzek et al. 2020: split a crawl into
+  * head/middle/tail by language-model perplexity terciles; the reference
+  * consumes such buckets via its kenlm scorer).
+  *
+  * Two shapes:
+  *  - [[rankBuckets]] — EXACT rank terciles via `ntile` over a global
+  *    (score, id) order. Deterministic and SQL-mirrorable (the oracle
+  *    hash-checks it), but the global window is a single-partition sort —
+  *    fine for validation corpora, wrong at 100 TB.
+  *  - [[cutoffBuckets]] — the scale path: score cutoffs estimated once
+  *    with `approxQuantile` (driver holds k doubles), then one narrow
+  *    codegen'd `when` chain over the scan. No global sort, no shuffle;
+  *    bucket boundaries are approximate exactly like cc_net's published
+  *    pipeline (it too trains cutoffs on a sample).
+  */
+object Buckets {
+
+  val DefaultNames: Seq[String] = Seq("head", "middle", "tail")
+
+  /** Exact rank-based buckets: ntile(n) over (score asc, id asc). */
+  def rankBuckets(df: DataFrame, score: Column, id: Column,
+      names: Seq[String] = DefaultNames,
+      bucketCol: String = "bucket"): DataFrame = {
+    val w = Window.orderBy(score.asc, id.asc)
+    df.withColumn(bucketCol,
+      element_at(array(names.map(lit): _*), ntile(names.length).over(w)))
+  }
+
+  /** Scale path: bucket by fixed score cutoffs (ascending). */
+  def cutoffBuckets(df: DataFrame, score: Column, cutoffs: Seq[Double],
+      names: Seq[String] = DefaultNames,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(cutoffs.length == names.length - 1, "need n-1 cutoffs")
+    val expr = cutoffs.zip(names.init).foldRight(lit(names.last)) {
+      case ((cut, name), rest) => when(score <= cut, name).otherwise(rest)
+    }
+    df.withColumn(bucketCol, expr)
+  }
+
+  /** Estimate quantile cutoffs for [[cutoffBuckets]] — one
+    * `approxQuantile` pass, driver holds n-1 doubles.
+    */
+  def quantileCutoffs(df: DataFrame, scoreCol: String, n: Int,
+      relativeError: Double = 0.001): Seq[Double] =
+    df.stat.approxQuantile(scoreCol,
+      (1 until n).map(_.toDouble / n).toArray, relativeError).toSeq
+
+  /** The cc_net composition: per-document LM perplexity (ArpaScorer by
+    * default) → head/middle/tail.
+    */
+  def ccnetBuckets(df: DataFrame, textCol: String, idCol: String,
+      exact: Boolean = false): DataFrame = {
+    val ppl = graft.scoring.Perplexity.filter().score(col(textCol))
+    val scored = df.withColumn("__ppl__", ppl)
+    val out =
+      if (exact) rankBuckets(scored, col("__ppl__"), col(idCol))
+      else {
+        val cuts = quantileCutoffs(scored, "__ppl__", DefaultNames.length)
+        cutoffBuckets(scored, col("__ppl__"), cuts)
+      }
+    out.drop("__ppl__")
+  }
+}

@@ -100,4 +100,30 @@ class ScoringSpec extends AnyFunSuite {
   test("perplexity filter wiring uses the arpa scorer") {
     assert(graft.scoring.Perplexity.scorer eq ArpaScorer)
   }
+
+  test("ccnet buckets: LM-scored approx cutoffs track exact terciles") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val docs = graft.Queries.table(spark, "/root/testdata/sf0.001",
+      "documents")
+    val exact = graft.scoring.Buckets
+      .ccnetBuckets(docs, "text", "doc_id", exact = true)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val approx = graft.scoring.Buckets
+      .ccnetBuckets(docs, "text", "doc_id")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exact.size === 500 && approx.size === 500)
+    // exact terciles are balanced
+    val sizes = exact.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(s => s >= 166 && s <= 167), sizes.toMap)
+    // approx cutoffs agree with exact terciles except at boundaries
+    // (ties on equal ppl scores straddle the cut)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree >= 450, s"only $agree/500 agree")
+  }
 }
