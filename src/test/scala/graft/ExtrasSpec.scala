@@ -224,6 +224,33 @@ class ExtrasSpec extends AnyFunSuite {
     assert(kept === minhashGolden)
   }
 
+  test("dedup kept sets are shuffle-partition independent") {
+    // the r4 UnionFind bug made kept sets depend on partition layout;
+    // this guards the whole family: same kept ids under different
+    // shuffle-partition settings (which change every explicit
+    // repartition() count via MinHashDedup.parallelism)
+    def run(): Map[String, Seq[Long]] = {
+      val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      Map(
+        "simhash" -> graft.dedup.SimHash
+          .deduplicate(docs, "text", maxHamming = 8),
+        "ngram" -> graft.dedup.NgramJaccard
+          .deduplicate(docs, "text", n = 3, threshold = 0.5),
+        "minhash" -> graft.dedup.MinHashDedup.deduplicate(docs, "text",
+          graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))
+      ).map { case (k, df) =>
+        k -> df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      }
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = run()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "11")
+      val b = run()
+      a.keys.foreach { k => assert(a(k) === b(k), s"$k diverged") }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("distributed clustering path matches the reference golden too") {
     // maxDriverEdges = 0 forces the 100 TB min-label-propagation branch;
     // it must produce the exact same kept set as the driver UnionFind
