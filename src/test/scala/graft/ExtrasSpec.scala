@@ -216,12 +216,17 @@ class ExtrasSpec extends AnyFunSuite {
   }
 
   test("minhash dedup kept ids equal the reference's own python (sf0.01)") {
-    // id-for-id equality, not just a count
-    val kept = graft.dedup.MinHashDedup.deduplicate(
-      Queries.table(spark, "/root/testdata/sf0.01", "documents"), "text",
-      graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept === minhashGolden)
+    // id-for-id equality, not just a count — at BOTH shingle configs
+    // (ngram 3 = the bench query's; ngram 5 = the reference default /
+    // flagship config; the reference keeps the same 476 at both, and so
+    // must we)
+    for (n <- Seq(3, 5)) {
+      val kept = graft.dedup.MinHashDedup.deduplicate(
+        Queries.table(spark, "/root/testdata/sf0.01", "documents"), "text",
+        graft.dedup.MinHashConfig(ngramSize = n, minNgramSize = n))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === minhashGolden, s"ngram=$n")
+    }
   }
 
   test("dedup kept sets are shuffle-partition independent") {

@@ -116,7 +116,7 @@ def main():
         "kept_count": len(kept),
         "kept_doc_ids": sorted(kept),
     }
-    dest = "src/test/resources/minhash_golden_sf001.json"
+    dest = f"src/test/resources/minhash_golden_sf001{'' if NGRAM == 3 else '_n' + str(NGRAM)}.json"
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[golden] {n} rows -> kept {len(kept)}; wrote {dest}")
