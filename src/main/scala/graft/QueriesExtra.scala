@@ -150,7 +150,9 @@ object QueriesExtra {
         when(col("doc_id") % 4 === 0,
           lit("\ntrailing thought...\nand more…")).otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit(" ### ## 42 1066 90210"))
-          .otherwise(lit("")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\nrepeat me twice\nrepeat me twice")).otherwise(lit("")))
       Queries.table(s, dir, "documents")
         .select(col("doc_id"),
           GopherQuality.wordCount(doc).cast("long").as("wc"),
@@ -159,6 +161,8 @@ object QueriesExtra {
           GopherQuality.bulletLineRatio(doc).as("blr"),
           GopherQuality.ellipsisLineRatio(doc).as("elr"),
           GopherQuality.alphaWordRatio(doc).as("awr"),
+          GopherQuality.dupLineFraction(doc).as("dlf"),
+          GopherQuality.dupLineCharFraction(doc).as("dcf"),
           GopherQuality.keep(doc).as("keep"))
         .orderBy("doc_id")
     },
@@ -168,7 +172,9 @@ object QueriesExtra {
         "line'||chr(10)||'* another one'||chr(10)||'• unicode bullet' " +
         "ELSE '' END) || (CASE WHEN doc_id%4=0 THEN chr(10)||'trailing " +
         "thought...'||chr(10)||'and more…' ELSE '' END) || (CASE WHEN " +
-        "doc_id%5=0 THEN ' ### ## 42 1066 90210' ELSE '' END)"
+        "doc_id%5=0 THEN ' ### ## 42 1066 90210' ELSE '' END) || " +
+        "(CASE WHEN doc_id%6=0 THEN chr(10)||'repeat me twice'||" +
+        "chr(10)||'repeat me twice' ELSE '' END)"
       "WITH src AS (SELECT doc_id, " + doc + " AS t FROM documents), " +
         "sig AS (SELECT doc_id, t, regexp_extract_all(lower(t), " +
         "'[\\p{L}\\p{N}_]+') AS w, string_split(t, chr(10)) AS l " +
@@ -184,11 +190,18 @@ object QueriesExtra {
         "CAST(len(list_filter(l, x -> " + st("x") + "[-3:] = '...' OR " +
         st("x") + "[-1:] = '…')) AS DOUBLE)/len(l) AS elr, " +
         "CASE WHEN len(w)=0 THEN 0.0 ELSE CAST(len(list_filter(w, " +
-        "x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)/len(w) END AS awr " +
+        "x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)/len(w) END AS awr, " +
+        "CAST(len(l) - len(list_distinct(l)) AS DOUBLE)/len(l) AS dlf, " +
+        "CASE WHEN coalesce(list_sum(list_transform(l, x -> length(x)))" +
+        ", 0) = 0 THEN 0.0 ELSE CAST(coalesce(list_sum(list_transform(" +
+        "list_filter(l, (x, i) -> list_position(l, x) <> i), " +
+        "x -> length(x))), 0) AS DOUBLE)/list_sum(list_transform(l, " +
+        "x -> length(x))) END AS dcf " +
         "FROM sig) " +
-        "SELECT doc_id, wc, mwl, swr, blr, elr, awr, " +
+        "SELECT doc_id, wc, mwl, swr, blr, elr, awr, dlf, dcf, " +
         "(wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0 AND " +
-        "swr <= 0.1 AND blr <= 0.9 AND elr <= 0.3 AND awr >= 0.8) AS keep " +
+        "swr <= 0.1 AND blr <= 0.9 AND elr <= 0.3 AND awr >= 0.8 AND " +
+        "dlf <= 0.3 AND dcf <= 0.2) AS keep " +
         "FROM m ORDER BY doc_id"
     })
 

@@ -70,7 +70,31 @@ object GopherQuality {
         size(w))
   }
 
-  /** The published Gopher gate. */
+  /** Gopher repetition signal: fraction of lines that are duplicates of
+    * an earlier line. (Paragraph-level variants are the same code path
+    * over a "\n\n" split.)
+    */
+  def dupLineFraction(c: Column): Column = {
+    val l = lines(c)
+    (size(l) - size(array_distinct(l))).cast("double") / size(l)
+  }
+
+  /** Fraction of characters inside duplicated lines (occurrences after
+    * the first).
+    */
+  def dupLineCharFraction(c: Column): Column = {
+    val l = lines(c)
+    val totalChars = aggregate(l, lit(0L), (acc, x) => acc + length(x))
+    val dupLines = filter(l,
+      (x, i) => array_position(l, x) =!= (i + 1).cast("long"))
+    val dupChars = aggregate(dupLines, lit(0L), (acc, x) => acc + length(x))
+    when(totalChars === 0, lit(0.0))
+      .otherwise(dupChars.cast("double") / totalChars)
+  }
+
+  /** The published Gopher gate (incl. the line-repetition thresholds:
+    * dup-line fraction ≤ 0.30, dup-line char fraction ≤ 0.20).
+    */
   def keep(c: Column,
       minWords: Int = 50, maxWords: Int = 100000): Column =
     wordCount(c).between(minWords, maxWords) &&
@@ -78,5 +102,7 @@ object GopherQuality {
       symbolToWordRatio(c) <= 0.1 &&
       bulletLineRatio(c) <= 0.9 &&
       ellipsisLineRatio(c) <= 0.3 &&
-      alphaWordRatio(c) >= 0.8
+      alphaWordRatio(c) >= 0.8 &&
+      dupLineFraction(c) <= 0.3 &&
+      dupLineCharFraction(c) <= 0.2
 }
