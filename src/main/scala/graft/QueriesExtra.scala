@@ -205,6 +205,40 @@ object QueriesExtra {
         "FROM m ORDER BY doc_id"
     })
 
+  /** URL domain extraction + blocklist flag over injected URLs. */
+  val taUrls: QueryDef = QueryDef("ta_url_domains",
+    (s, dir) => {
+      import graft.analysis.Urls
+      val doc = concat(
+        when(col("doc_id") % 3 === 0,
+          lit("see https://Sub.Spam.example/x?q=1 and http://ok.org/a "))
+          .otherwise(lit("")),
+        substring(col("text"), 1, 60),
+        when(col("doc_id") % 5 === 0,
+          lit(" ref http://docs.ok.org/b#frag end")).otherwise(lit("")))
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(Urls.domains(doc), ",").as("domains"),
+          Urls.hasBlockedDomain(doc, Seq("spam.example", "evil.test"))
+            .as("blocked"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val doc = "(CASE WHEN doc_id%3=0 THEN 'see " +
+        "https://Sub.Spam.example/x?q=1 and http://ok.org/a ' ELSE '' " +
+        "END) || substr(text,1,60) || (CASE WHEN doc_id%5=0 THEN " +
+        "' ref http://docs.ok.org/b#frag end' ELSE '' END)"
+      "WITH src AS (SELECT doc_id, list_sort(list_distinct(" +
+        "list_transform(regexp_extract_all(" + doc + ", " +
+        "'https?://[^\\s]+'), u -> lower(regexp_extract(u, " +
+        "'https?://([^/\\s]+)', 1))))) AS d FROM documents) " +
+        "SELECT doc_id, coalesce(array_to_string(d, ','), '') AS domains, " +
+        "coalesce(len(list_filter(d, x -> x = 'spam.example' OR " +
+        "x LIKE '%.spam.example' OR x = 'evil.test' OR " +
+        "x LIKE '%.evil.test')) > 0, FALSE) AS blocked " +
+        "FROM src ORDER BY doc_id"
+    })
+
   /** Brute-force cosine top-10 against the min-vec_id query vector; ranks
     * are order-stable across engines (cos gaps ≫ double noise).
     */
@@ -296,5 +330,5 @@ object QueriesExtra {
 
   val all: Seq[QueryDef] = Seq(
     taTokens, taQuality, taLangId, taFingerprint, taPii, taLineDedup,
-    taGopher, annTopK, annIvf, embNearPairs, annKnnJoin)
+    taGopher, taUrls, annTopK, annIvf, embNearPairs, annKnnJoin)
 }
