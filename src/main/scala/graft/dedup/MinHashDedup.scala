@@ -351,6 +351,29 @@ object MinHashDedup {
 
     keepFirst(withId, lshEdges.union(identEdges), maxDriverEdges)
   }
+
+  private val MarkCol = "__graft_dedup_new__"
+
+  /** Incremental dedup — the production shape for a continuously-growing
+    * corpus: drop rows of `newDf` that are near-duplicates of `refDf`
+    * (the already-kept corpus) or of earlier `newDf` rows; `refDf` is
+    * never modified. Implemented as keep-first dedup over `refDf ∪ newDf`
+    * with reference rows ordered first (a union's partitions keep the
+    * left side's first, so monotonically_increasing_id gives every
+    * reference row a smaller id than every new row) — a new row clustered
+    * with ANY reference row can never be its cluster's min. Returns the
+    * surviving `newDf` rows only.
+    */
+  def deduplicateAgainst(newDf: DataFrame, refDf: DataFrame, column: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxDriverEdges: Long = 10_000_000L): DataFrame = {
+    val cols = newDf.columns
+    val tagged = refDf.selectExpr(cols.map(c => s"`$c`"): _*)
+      .withColumn(MarkCol, lit(false))
+      .unionByName(newDf.withColumn(MarkCol, lit(true)))
+    deduplicate(tagged, column, cfg, maxDriverEdges)
+      .where(col(MarkCol)).drop(MarkCol)
+  }
 }
 
 /** Cluster-representative assignment. Driver UnionFind mirrors the

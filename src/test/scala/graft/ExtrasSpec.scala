@@ -229,6 +229,27 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup drops new near-dups of the reference corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away from home"
+    val ref = Seq((1L, base + " today"), (2L, "an entirely different " +
+      "document about cooking pasta with fresh tomatoes and basil leaves"))
+      .toDF("id", "text")
+    val fresh = Seq(
+      (10L, base + " tonight"),         // near-dup of ref 1 -> dropped
+      (11L, "a brand new unique document describing mountain hiking " +
+        "trails and alpine weather conditions in detail"), // kept
+      (12L, "a brand new unique document describing mountain hiking " +
+        "trails and alpine weather conditions in detail"), // dup of 11
+      (13L, base + " yesterday"))       // near-dup of ref 1 -> dropped
+      .toDF("id", "text")
+    val kept = graft.dedup.MinHashDedup
+      .deduplicateAgainst(fresh, ref, "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(11L))
+  }
+
   test("dedup kept sets are shuffle-partition independent") {
     // the r4 UnionFind bug made kept sets depend on partition layout;
     // this guards the whole family: same kept ids under different
