@@ -102,6 +102,9 @@ object Ann {
     var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // corpora smaller than k simply get one cell per row
+    val kEff = cents.length
+    if (kEff == 0) return corpus.withColumn(cellCol, lit(0))
     def assignUdf(cs: Array[Array[Double]]) = {
       val b = spark.sparkContext.broadcast(cs)
       udf { (v: Seq[Float]) =>
@@ -134,7 +137,7 @@ object Ann {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap
-      cents = Array.tabulate(k)(c => next.getOrElse(c, cents(c)))
+      cents = Array.tabulate(kEff)(c => next.getOrElse(c, cents(c)))
       it += 1
     }
     corpus.withColumn(cellCol, assignUdf(cents)(col(embCol)))

@@ -95,6 +95,22 @@ object StreamingPipeline {
       .dropDuplicates("__fp__")
       .drop("__fp__")
 
+  /** Streaming NEAR-dedup: watermarked `dropDuplicates` on the 64-bit
+    * SimHash signature — near-identical documents (which collapse to the
+    * SAME signature: simhash is majority-vote stable under small edits)
+    * dedup across the stream with watermark-bounded state. For hamming>0
+    * matching, run `SimHash.deduplicate` over micro-batched windows in
+    * `foreachBatch` — the pigeonhole band join needs a self-join, which
+    * streaming state can't express.
+    */
+  def streamingNearDedup(stream: DataFrame, column: String,
+      tsCol: String, watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__sh__", graft.dedup.SimHash.signature(col(column)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__sh__")
+      .drop("__sh__")
+
   /** Read the events table as a (bounded) stream — lets every batch test
     * drive the streaming path synchronously with `processAllAvailable`.
     */

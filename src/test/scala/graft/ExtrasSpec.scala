@@ -120,6 +120,16 @@ class ExtrasSpec extends AnyFunSuite {
     assert(keys(0) === keys(1))
   }
 
+  test("kmeans handles corpora smaller than k") {
+    import spark.implicits._
+    val tiny = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cells = graft.similarity.Ann
+      .kmeansAssign(tiny, "embedding", "vec_id", "cell", k = 8, iters = 3)
+    assert(cells.count() === 2)
+    assert(cells.select("cell").distinct().count() <= 2)
+  }
+
   test("ivf ann with learned k-means cells reaches brute force") {
     val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
     val cells = graft.similarity.Ann
@@ -386,6 +396,31 @@ class ExtrasSpec extends AnyFunSuite {
       .where(graft.text.Filters.checkWordNumber(20, 60).keep(col("text")))
       .count()
     assert(streamed === batch)
+  }
+
+  test("streaming near-dedup collapses same-signature docs with state") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far"
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), base),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:02"), base),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 00:00:03"),
+        "a completely different and unrelated piece of text entirely"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_nd").toString
+    rows.toDF("id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = graft.streaming.StreamingPipeline
+      .streamingNearDedup(stream, "text", "ts")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("nd").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("nd").select("id").as[Long].collect().toSet
+    assert(kept.size === 2)
+    assert(kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)).size === 1)
   }
 
   test("sql function registration exposes custom expressions") {
