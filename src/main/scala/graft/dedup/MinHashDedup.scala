@@ -266,11 +266,17 @@ object MinHashDedup {
   private[dedup] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
       maxDriverEdges: Long): DataFrame = {
     val edges = edgesRaw.toDF("__x__", "__y__").persist()
-    val edgeCount = edges.count()
-    val out = if (edgeCount == 0) {
+    // ONE limited collect decides the branch AND delivers the edges —
+    // a separate count() would be a whole extra job (GlobalLimit also
+    // stops early: small edge lists don't evaluate every partition twice)
+    val cap = math.min(maxDriverEdges, Int.MaxValue - 2L).toInt
+    val head =
+      if (cap == Int.MaxValue - 2) edges.collect()
+      else edges.limit(cap + 1).collect()
+    val out = if (head.isEmpty) {
       withId.drop(IdCol)
-    } else if (edgeCount <= maxDriverEdges) {
-      val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    } else if (head.length <= cap) {
+      val pairs = head.map(r => (r.getLong(0), r.getLong(1)))
       val roots = ConnectedComponents.unionFindRoots(pairs)
       val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
       val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
