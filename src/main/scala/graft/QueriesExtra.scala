@@ -267,11 +267,10 @@ object QueriesExtra {
   val annIvf: QueryDef = QueryDef("ann_ivf_topk",
     (s, dir) => {
       val emb = Queries.table(s, dir, "embeddings")
-      val cells = graft.similarity.Ann
-        .kmeansAssign(emb, "embedding", "vec_id", "cell", k = 8, iters = 3)
       val query = emb.orderBy("vec_id").limit(1)
       graft.similarity.Ann
-        .ivfTopK(cells, query, "embedding", "vec_id", "cell", 10, 3)
+        .kmeansIvfTopK(emb, query, "embedding", "vec_id",
+          kCells = 8, topK = 10, nprobe = 3)
         .select(col("rank"), col("vec_id"))
         .orderBy("rank")
     },

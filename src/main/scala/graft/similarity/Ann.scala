@@ -143,6 +143,23 @@ object Ann {
     corpus.withColumn(cellCol, assignUdf(cents)(col(embCol)))
   }
 
+  /** Learned-quantizer IVF in one call: k-means cells, ONE persisted
+    * assignment (the probe and the pruned brute-force both reuse it — an
+    * unpersisted cells frame would re-run the assignment kernel per
+    * consumer), shared centroid aggregate. At 100 TB the cells frame is
+    * published bucketed by cell id instead of persisted (see
+    * `Sources.publishBucketed`) and this helper's layout is the write
+    * schema.
+    */
+  def kmeansIvfTopK(corpus: DataFrame, query: DataFrame, embCol: String,
+      idCol: String, kCells: Int, topK: Int, nprobe: Int,
+      iters: Int = 3): DataFrame = {
+    val cells = kmeansAssign(corpus, embCol, idCol, "__cell__",
+      kCells, iters).persist()
+    ivfTopK(cells, query, embCol, idCol, "__cell__", topK, nprobe)
+      .drop("__cell__")
+  }
+
   /** IVF probe: rank cells by centroid similarity to the query, brute-force
     * only the top `nprobe` cells. `cellCol` is the coarse-quantizer cell id.
     */
