@@ -152,7 +152,10 @@ object QueriesExtra {
         when(col("doc_id") % 5 === 0, lit(" ### ## 42 1066 90210"))
           .otherwise(lit("")),
         when(col("doc_id") % 6 === 0,
-          lit("\nrepeat me twice\nrepeat me twice")).otherwise(lit("")))
+          lit("\nrepeat me twice\nrepeat me twice")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\n\nsame paragraph body\n\nsame paragraph body"))
+          .otherwise(lit("")))
       Queries.table(s, dir, "documents")
         .select(col("doc_id"),
           GopherQuality.wordCount(doc).cast("long").as("wc"),
@@ -163,6 +166,8 @@ object QueriesExtra {
           GopherQuality.alphaWordRatio(doc).as("awr"),
           GopherQuality.dupLineFraction(doc).as("dlf"),
           GopherQuality.dupLineCharFraction(doc).as("dcf"),
+          GopherQuality.dupParagraphFraction(doc).as("dpf"),
+          GopherQuality.dupParagraphCharFraction(doc).as("dpcf"),
           GopherQuality.keep(doc).as("keep"))
         .orderBy("doc_id")
     },
@@ -174,10 +179,13 @@ object QueriesExtra {
         "thought...'||chr(10)||'and more…' ELSE '' END) || (CASE WHEN " +
         "doc_id%5=0 THEN ' ### ## 42 1066 90210' ELSE '' END) || " +
         "(CASE WHEN doc_id%6=0 THEN chr(10)||'repeat me twice'||" +
-        "chr(10)||'repeat me twice' ELSE '' END)"
+        "chr(10)||'repeat me twice' ELSE '' END) || " +
+        "(CASE WHEN doc_id%7=0 THEN chr(10)||chr(10)||'same paragraph " +
+        "body'||chr(10)||chr(10)||'same paragraph body' ELSE '' END)"
       "WITH src AS (SELECT doc_id, " + doc + " AS t FROM documents), " +
         "sig AS (SELECT doc_id, t, regexp_extract_all(lower(t), " +
-        "'[\\p{L}\\p{N}_]+') AS w, string_split(t, chr(10)) AS l " +
+        "'[\\p{L}\\p{N}_]+') AS w, string_split(t, chr(10)) AS l, " +
+        "string_split(t, chr(10)||chr(10)) AS p " +
         "FROM src), " +
         "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS wc, " +
         "CASE WHEN len(w)=0 THEN 0.0 ELSE CAST(list_sum(" +
@@ -196,12 +204,18 @@ object QueriesExtra {
         ", 0) = 0 THEN 0.0 ELSE CAST(coalesce(list_sum(list_transform(" +
         "list_filter(l, (x, i) -> list_position(l, x) <> i), " +
         "x -> length(x))), 0) AS DOUBLE)/list_sum(list_transform(l, " +
-        "x -> length(x))) END AS dcf " +
+        "x -> length(x))) END AS dcf, " +
+        "CAST(len(p) - len(list_distinct(p)) AS DOUBLE)/len(p) AS dpf, " +
+        "CASE WHEN coalesce(list_sum(list_transform(p, x -> length(x)))" +
+        ", 0) = 0 THEN 0.0 ELSE CAST(coalesce(list_sum(list_transform(" +
+        "list_filter(p, (x, i) -> list_position(p, x) <> i), " +
+        "x -> length(x))), 0) AS DOUBLE)/list_sum(list_transform(p, " +
+        "x -> length(x))) END AS dpcf " +
         "FROM sig) " +
-        "SELECT doc_id, wc, mwl, swr, blr, elr, awr, dlf, dcf, " +
+        "SELECT doc_id, wc, mwl, swr, blr, elr, awr, dlf, dcf, dpf, dpcf, " +
         "(wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0 AND " +
         "swr <= 0.1 AND blr <= 0.9 AND elr <= 0.3 AND awr >= 0.8 AND " +
-        "dlf <= 0.3 AND dcf <= 0.2) AS keep " +
+        "dlf <= 0.3 AND dcf <= 0.2 AND dpf <= 0.3 AND dpcf <= 0.2) AS keep " +
         "FROM m ORDER BY doc_id"
     })
 

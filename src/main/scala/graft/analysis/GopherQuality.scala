@@ -70,30 +70,41 @@ object GopherQuality {
         size(w))
   }
 
-  /** Gopher repetition signal: fraction of lines that are duplicates of
-    * an earlier line. (Paragraph-level variants are the same code path
-    * over a "\n\n" split.)
+  /** Gopher repetition signal: fraction of segments (lines by default,
+    * paragraphs for `sep = "\n\n"`) that are duplicates of an earlier
+    * segment.
     */
-  def dupLineFraction(c: Column): Column = {
-    val l = lines(c)
+  def dupSegmentFraction(c: Column, sep: String = "\n"): Column = {
+    val l = split(c, java.util.regex.Pattern.quote(sep))
     (size(l) - size(array_distinct(l))).cast("double") / size(l)
   }
 
-  /** Fraction of characters inside duplicated lines (occurrences after
+  def dupLineFraction(c: Column): Column = dupSegmentFraction(c)
+
+  def dupParagraphFraction(c: Column): Column =
+    dupSegmentFraction(c, "\n\n")
+
+  /** Fraction of characters inside duplicated segments (occurrences after
     * the first).
     */
-  def dupLineCharFraction(c: Column): Column = {
-    val l = lines(c)
+  def dupSegmentCharFraction(c: Column, sep: String = "\n"): Column = {
+    val l = split(c, java.util.regex.Pattern.quote(sep))
     val totalChars = aggregate(l, lit(0L), (acc, x) => acc + length(x))
-    val dupLines = filter(l,
+    val dupSegs = filter(l,
       (x, i) => array_position(l, x) =!= (i + 1).cast("long"))
-    val dupChars = aggregate(dupLines, lit(0L), (acc, x) => acc + length(x))
+    val dupChars = aggregate(dupSegs, lit(0L), (acc, x) => acc + length(x))
     when(totalChars === 0, lit(0.0))
       .otherwise(dupChars.cast("double") / totalChars)
   }
 
-  /** The published Gopher gate (incl. the line-repetition thresholds:
-    * dup-line fraction ≤ 0.30, dup-line char fraction ≤ 0.20).
+  def dupLineCharFraction(c: Column): Column = dupSegmentCharFraction(c)
+
+  def dupParagraphCharFraction(c: Column): Column =
+    dupSegmentCharFraction(c, "\n\n")
+
+  /** The published Gopher gate (incl. the repetition thresholds: dup
+    * line/paragraph fraction ≤ 0.30, dup line/paragraph char fraction
+    * ≤ 0.20).
     */
   def keep(c: Column,
       minWords: Int = 50, maxWords: Int = 100000): Column =
@@ -104,5 +115,7 @@ object GopherQuality {
       ellipsisLineRatio(c) <= 0.3 &&
       alphaWordRatio(c) >= 0.8 &&
       dupLineFraction(c) <= 0.3 &&
-      dupLineCharFraction(c) <= 0.2
+      dupLineCharFraction(c) <= 0.2 &&
+      dupParagraphFraction(c) <= 0.3 &&
+      dupParagraphCharFraction(c) <= 0.2
 }
