@@ -287,6 +287,22 @@ class ExtrasSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("minhash dedup matches the reference golden at sf0.1 (5000 docs)") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getClassLoader
+        .getResourceAsStream("minhash_golden_sf01.json"), "UTF-8")
+    val js = try src.mkString finally src.close()
+    val expected = "\"kept_doc_ids\": \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(js).get.group(1)
+      .split(",").map(_.trim.toLong).toSeq
+    assert(expected.length === 4756)
+    val kept = graft.dedup.MinHashDedup.deduplicate(
+      Queries.table(spark, "/root/testdata/sf0.1", "documents"), "text",
+      graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === expected)
+  }
+
   test("distributed clustering path matches the reference golden too") {
     // maxDriverEdges = 0 forces the 100 TB min-label-propagation branch;
     // it must produce the exact same kept set as the driver UnionFind

@@ -116,7 +116,9 @@ def main():
         "kept_count": len(kept),
         "kept_doc_ids": sorted(kept),
     }
-    dest = f"src/test/resources/minhash_golden_sf001{'' if NGRAM == 3 else '_n' + str(NGRAM)}.json"
+    tag = SF.rstrip("/").rsplit("/", 1)[-1].replace("sf0.", "sf0")
+    suffix = "" if NGRAM == 3 else "_n" + str(NGRAM)
+    dest = f"src/test/resources/minhash_golden_{tag}{suffix}.json"
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[golden] {n} rows -> kept {len(kept)}; wrote {dest}")
