@@ -215,6 +215,44 @@ object QueriesExtra2 {
       "(ORDER BY " + OracleSql.wordCount("text") + " ASC, doc_id ASC)] " +
       "AS bucket FROM documents ORDER BY doc_id"))
 
+  /** Exact-substring detection (Lee et al. 2022 stage 1): maximal spans
+    * of ≥40 chars occurring verbatim in >1 document. A shared sentence is
+    * injected at the head of every 9th document; its windows (and any
+    * accidental word-soup collisions — both engines compute them
+    * identically) must come back as merged spans.
+    */
+  val esSpans: QueryDef = QueryDef("es_repeated_spans",
+    (s, dir) => {
+      val shared = "this exact sentence is shared across many documents " +
+        "verbatim " // 62 chars
+      val injected = Queries.table(s, dir, "documents")
+        .withColumn("t",
+          when(col("doc_id") % 9 === 0, concat(lit(shared), col("text")))
+            .otherwise(col("text")))
+      graft.dedup.ExactSubstring.repeatedSpans(injected, "doc_id", "t", 40)
+        .select(col("doc_id"), col("span_start").cast("long"),
+          col("span_end").cast("long"))
+        .orderBy("doc_id", "span_start")
+    },
+    Some {
+      val shared = "this exact sentence is shared across many documents " +
+        "verbatim "
+      "WITH src AS (SELECT doc_id, CASE WHEN doc_id%9=0 THEN '" + shared +
+        "' || text ELSE text END AS t FROM documents), " +
+        "g AS (SELECT doc_id, unnest(range(0, length(t)-40+1)) AS pos, t " +
+        "FROM src WHERE length(t) >= 40), " +
+        "h AS (SELECT doc_id, pos, md5(substr(t, pos::INT+1, 40)) AS hh " +
+        "FROM g), " +
+        "sh AS (SELECT hh FROM h GROUP BY hh " +
+        "HAVING count(DISTINCT doc_id) > 1), " +
+        "m AS (SELECT doc_id, pos FROM h JOIN sh USING (hh)), " +
+        "i AS (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY " +
+        "doc_id ORDER BY pos) AS grp FROM m) " +
+        "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
+        "CAST(max(pos)+40 AS BIGINT) AS span_end FROM i " +
+        "GROUP BY doc_id, grp ORDER BY doc_id, span_start"
+    })
+
   /** The full flagship chat pipeline as a bench query (rows-only): the
     * E2E explode→clean→filter→dedup→chatml dataflow at the bench scale
     * factor — the headline number for the engine as a whole. The
@@ -234,5 +272,6 @@ object QueriesExtra2 {
 
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
     dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet,
-    ccNetBuckets, p3DryRun, flagship, QueriesFlagshipOracle.flagshipOracle)
+    ccNetBuckets, esSpans, p3DryRun, flagship,
+    QueriesFlagshipOracle.flagshipOracle)
 }

@@ -239,6 +239,28 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring trim removes cross-doc spans, keeps unique text") {
+    import spark.implicits._
+    val shared = "0123456789012345678901234567890123456789ABCDE" // 45 ch
+    val df = Seq(
+      (1L, "alpha " + shared + " omega"),
+      (2L, "gamma " + shared + " delta"),
+      (3L, "entirely unique text that has no forty-char overlap at all"))
+      .toDF("id", "t")
+    val spans = graft.dedup.ExactSubstring
+      .repeatedSpans(df, "id", "t", 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // the common region is [4, 52): both prefixes end in "a ", both
+    // suffixes start with " " — windows p ∈ [4, 12] merge to one span
+    assert(spans === Set((1L, 4, 52), (2L, 4, 52)))
+    val trimmed = graft.dedup.ExactSubstring
+      .trimRepeatedSpans(df, "id", "t", 40)
+      .orderBy("id").select("t").as[String].collect()
+    assert(trimmed(0) === "alphomega")
+    assert(trimmed(1) === "gammdelta")
+    assert(trimmed(2).startsWith("entirely unique"))
+  }
+
   test("incremental dedup drops new near-dups of the reference corpus") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs " +
