@@ -241,7 +241,7 @@ object QueriesExtra2 {
         "' || text ELSE text END AS t FROM documents), " +
         "g AS (SELECT doc_id, unnest(range(0, length(t)-40+1)) AS pos, t " +
         "FROM src WHERE length(t) >= 40), " +
-        "h AS (SELECT doc_id, pos, md5(substr(t, pos::INT+1, 40)) AS hh " +
+        "h AS (SELECT doc_id, pos, substr(t, pos::INT+1, 40) AS hh " +
         "FROM g), " +
         "sh AS (SELECT hh FROM h GROUP BY hh " +
         "HAVING count(DISTINCT doc_id) > 1), " +
