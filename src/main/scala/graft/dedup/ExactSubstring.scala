@@ -43,7 +43,7 @@ object ExactSubstring {
     * windows, matching `substr` semantics on BMP text). Procedural UDF on
     * purpose: the rolling recurrence is inherently sequential per row.
     */
-  private[dedup] def fingerprints(s: String, L: Int): Array[Array[Byte]] = {
+  private[graft] def fingerprints(s: String, L: Int): Array[Array[Byte]] = {
     if (s == null || s.length < L) return Array.empty
     val n = s.length - L + 1
     var pw1 = 1L; var pw2 = 1L

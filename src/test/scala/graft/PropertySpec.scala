@@ -38,6 +38,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling-fingerprint determinism and window independence") {
+    // same window content ⇒ same fingerprint, regardless of surrounding
+    // text (the rolling recurrence must equal the direct hash)
+    val g = for {
+      pre <- Gen.alphaNumStr.map(_.take(20))
+      core <- Gen.listOfN(40, Gen.alphaNumChar).map(_.mkString)
+      post <- Gen.alphaNumStr.map(_.take(20))
+    } yield (pre, core, post)
+    forAll(g, n = 100) { case (pre, core, post) =>
+      val a = graft.dedup.ExactSubstring.fingerprints(pre + core, 40).last
+      val b = graft.dedup.ExactSubstring.fingerprints(core + post, 40).head
+      assert(java.util.Arrays.equals(a, b),
+        s"window fingerprint depends on context: '$pre' / '$post'")
+    }
+  }
+
   test("unionFindRoots is edge-order independent") {
     // regression for the r4 bug: resolving roots while path compression
     // mutated the map skipped entries for ~15% of edge orders
