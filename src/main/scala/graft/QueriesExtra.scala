@@ -253,6 +253,25 @@ object QueriesExtra {
         "FROM src ORDER BY doc_id"
     })
 
+  /** Sequence packing: contiguous-fill bin assignment at a 512-word
+    * budget over doc_id order — running-sum window mirrored exactly.
+    */
+  val taPacking: QueryDef = QueryDef("pack_bins",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+        .withColumn("tokens", graft.text.Filters.wordCount(col("text")))
+      graft.sampling.Packing
+        .assignBins(docs, "tokens", Seq(col("doc_id")), 512)
+        .select(col("doc_id"), col("tokens").cast("long"),
+          col("bin").cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("WITH t AS (SELECT doc_id, CAST(" + OracleSql.wordCount("text") +
+      " AS BIGINT) AS tokens FROM documents) " +
+      "SELECT doc_id, tokens, CAST(floor(coalesce(sum(tokens) OVER (" +
+      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)" +
+      ", 0) / 512) AS BIGINT) AS bin FROM t ORDER BY doc_id"))
+
   /** Brute-force cosine top-10 against the min-vec_id query vector; ranks
     * are order-stable across engines (cos gaps ≫ double noise).
     */
@@ -343,5 +362,5 @@ object QueriesExtra {
 
   val all: Seq[QueryDef] = Seq(
     taTokens, taQuality, taLangId, taFingerprint, taPii, taLineDedup,
-    taGopher, taUrls, annTopK, annIvf, embNearPairs, annKnnJoin)
+    taGopher, taUrls, taPacking, annTopK, annIvf, embNearPairs, annKnnJoin)
 }

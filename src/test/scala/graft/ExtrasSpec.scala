@@ -261,6 +261,21 @@ class ExtrasSpec extends AnyFunSuite {
     assert(trimmed(2).startsWith("entirely unique"))
   }
 
+  test("partitioned packing degenerates to global packing for one bucket") {
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("tokens", graft.text.Filters.wordCount(col("text")))
+    val global = graft.sampling.Packing
+      .assignBins(docs, "tokens", Seq(col("doc_id")), 512)
+      .select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val part = graft.sampling.Packing
+      .assignBinsPartitioned(docs, "tokens", lit(0), Seq(col("doc_id")), 512)
+      .select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(global === part)
+    assert(global.values.max > 10) // actually packs into many bins
+  }
+
   test("incremental dedup drops new near-dups of the reference corpus") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs " +
