@@ -110,6 +110,39 @@ object ExactSubstring {
       .drop("__grp__")
   }
 
+  /** Benchmark decontamination: maximal spans of `corpus` documents that
+    * quote ≥ L consecutive characters of ANY `benchmark` document
+    * verbatim (the eval-set contamination check every pretraining
+    * pipeline needs). Same fingerprint shuffle as [[repeatedSpans]], but
+    * a window counts as contaminated only when its content occurs on
+    * BOTH sides — corpus-internal repetition alone does not flag.
+    * Returns (corpus idCol, span_start, span_end); feed to
+    * [[trimRepeatedSpans]]-style cutting or drop the documents.
+    */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, L: Int): DataFrame = {
+    val cGrams = corpus.where(length(col(textCol)) >= L)
+      .select(col(idCol), lit(0).as("__side__"),
+        posexplode(windowKeys(col(textCol), L)).as(Seq("pos", "h")))
+    val bGrams = benchmark.where(length(col(textCol)) >= L)
+      .select(col(idCol), lit(1).as("__side__"),
+        posexplode(windowKeys(col(textCol), L)).as(Seq("pos", "h")))
+    val grams = cGrams.unionByName(bGrams)
+    val shared = grams.groupBy("h")
+      .agg(min(col("__side__")).as("__mn__"),
+        max(col("__side__")).as("__mx__"))
+      .where(col("__mn__") =!= col("__mx__")) // present on both sides
+      .select("h")
+    val marked = cGrams.join(shared, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("__grp__", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp__"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"))
+      .drop("__grp__")
+  }
+
   /** Remove every repeated span from the documents (the trim step):
     * rebuilds each text with its flagged ranges cut out. Span ranges are
     * merged per row before cutting, so overlaps are safe.

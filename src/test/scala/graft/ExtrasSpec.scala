@@ -276,6 +276,23 @@ class ExtrasSpec extends AnyFunSuite {
     assert(global.values.max > 10) // actually packs into many bins
   }
 
+  test("decontamination flags only benchmark-quoting corpus spans") {
+    import spark.implicits._
+    val bench = "what is the capital of france answer paris obviously!"
+    val corpus = Seq(
+      (1L, "intro text then " + bench + " and a conclusion"),
+      (2L, "twin doc one shares this exact long sentence with its twin"),
+      (3L, "twin doc one shares this exact long sentence with its twin"))
+      .toDF("id", "t")
+    val benchDf = Seq((100L, bench)).toDF("id", "t")
+    val spans = graft.dedup.ExactSubstring
+      .contaminatedSpans(corpus, benchDf, "id", "t", 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 1 contains the benchmark verbatim at [16, 16+53); docs 2/3
+    // repeat each other but quote no benchmark -> NOT flagged
+    assert(spans === Set((1L, 16, 16 + bench.length)))
+  }
+
   test("incremental dedup drops new near-dups of the reference corpus") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and runs " +
