@@ -360,15 +360,23 @@ object MinHashDedup {
 
   private val MarkCol = "__graft_dedup_new__"
 
+  private val OrderCol = "__graft_dedup_order__"
+
   /** Incremental dedup — the production shape for a continuously-growing
     * corpus: drop rows of `newDf` that are near-duplicates of `refDf`
     * (the already-kept corpus) or of earlier `newDf` rows; `refDf` is
-    * never modified. Implemented as keep-first dedup over `refDf ∪ newDf`
-    * with reference rows ordered first (a union's partitions keep the
-    * left side's first, so monotonically_increasing_id gives every
-    * reference row a smaller id than every new row) — a new row clustered
-    * with ANY reference row can never be its cluster's min. Returns the
-    * surviving `newDf` rows only.
+    * never modified. Keep-first dedup over `refDf ∪ newDf` with an
+    * EXPLICIT order column: each side gets monotonically_increasing_id
+    * BEFORE the union, and new-side ids are offset by 2^62 — so every
+    * reference row orders below every new row by construction, not by the
+    * union's physical row order (which is an optimizer artifact, not a
+    * contract). A new row clustered with ANY reference row can never be
+    * its cluster's min. Returns the surviving `newDf` rows only.
+    *
+    * The 2^62 offset is safe: monotonically_increasing_id packs the
+    * partition id into the upper 31 bits, so values stay below 2^62
+    * until a side exceeds 2^29 (~537M) partitions — far beyond Spark's
+    * practical partition count (100 TB at 128 MB splits is ~800k).
     */
   def deduplicateAgainst(newDf: DataFrame, refDf: DataFrame, column: String,
       cfg: MinHashConfig = MinHashConfig(),
@@ -376,9 +384,12 @@ object MinHashDedup {
     val cols = newDf.columns
     val tagged = refDf.selectExpr(cols.map(c => s"`$c`"): _*)
       .withColumn(MarkCol, lit(false))
-      .unionByName(newDf.withColumn(MarkCol, lit(true)))
-    deduplicate(tagged, column, cfg, maxDriverEdges)
-      .where(col(MarkCol)).drop(MarkCol)
+      .withColumn(OrderCol, monotonically_increasing_id())
+      .unionByName(newDf.withColumn(MarkCol, lit(true))
+        .withColumn(OrderCol, monotonically_increasing_id() + lit(1L << 62)))
+    deduplicate(tagged, column, cfg, maxDriverEdges,
+      orderCol = Some(OrderCol))
+      .where(col(MarkCol)).drop(MarkCol, OrderCol)
   }
 }
 

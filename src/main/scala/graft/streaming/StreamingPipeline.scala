@@ -82,9 +82,15 @@ object StreamingPipeline {
         col("session_window.end").cast("long").as("session_end"),
         col("user_id"), col("n"), col("total_value"))
 
-  /** Streaming exact dedup: fingerprint + watermarked `dropDuplicates` —
-    * Spark keeps state per key and ages it out with the watermark, so the
-    * dedup window is bounded at 100 TB-of-stream scale.
+  /** Streaming exact dedup: fingerprint + `dropDuplicatesWithinWatermark` —
+    * plain `dropDuplicates` on a key set that excludes the event-time
+    * column never evicts state (the watermark only bounds LATE input, not
+    * key retention), so a long-running stream would grow state forever.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only for the
+    * watermark delay, which bounds state at 100 TB-of-stream scale; the
+    * semantic trade is that a duplicate arriving more than `watermark`
+    * after the first sighting is re-emitted (acceptable for dedup whose
+    * contract is "within the watermark window").
     */
   def streamingExactDedup(stream: DataFrame, column: String,
       tsCol: String, watermark: String = "1 hour"): DataFrame =
@@ -92,23 +98,24 @@ object StreamingPipeline {
       .withColumn("__fp__",
         graft.analysis.TextAnalysis.fingerprint(col(column)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__fp__")
+      .dropDuplicatesWithinWatermark("__fp__")
       .drop("__fp__")
 
-  /** Streaming NEAR-dedup: watermarked `dropDuplicates` on the 64-bit
+  /** Streaming NEAR-dedup: `dropDuplicatesWithinWatermark` on the 64-bit
     * SimHash signature — near-identical documents (which collapse to the
     * SAME signature: simhash is majority-vote stable under small edits)
-    * dedup across the stream with watermark-bounded state. For hamming>0
-    * matching, run `SimHash.deduplicate` over micro-batched windows in
-    * `foreachBatch` — the pigeonhole band join needs a self-join, which
-    * streaming state can't express.
+    * dedup across the stream with state held only for the watermark delay
+    * (see streamingExactDedup for why plain dropDuplicates would grow
+    * state unboundedly). For hamming>0 matching, run `SimHash.deduplicate`
+    * over micro-batched windows in `foreachBatch` — the pigeonhole band
+    * join needs a self-join, which streaming state can't express.
     */
   def streamingNearDedup(stream: DataFrame, column: String,
       tsCol: String, watermark: String = "1 hour"): DataFrame =
     stream
       .withColumn("__sh__", graft.dedup.SimHash.signature(col(column)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__sh__")
+      .dropDuplicatesWithinWatermark("__sh__")
       .drop("__sh__")
 
   /** Read the events table as a (bounded) stream — lets every batch test
