@@ -266,16 +266,27 @@ object MinHashDedup {
   private[dedup] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
       maxDriverEdges: Long): DataFrame = {
     val edges = edgesRaw.toDF("__x__", "__y__").persist()
-    // ONE limited collect decides the branch AND delivers the edges —
-    // a separate count() would be a whole extra job (GlobalLimit also
-    // stops early: small edge lists don't evaluate every partition twice)
+    // ONE limited collect decides the branch AND delivers the edges in the
+    // common case (a separate count() would be a whole extra job), but the
+    // speculative collect is BOUNDED at ~1M rows: above that, a count-only
+    // probe (limit stops early; no rows reach the driver) decides
+    // driver-vs-distributed, and rows are collected only when the driver
+    // path is actually taken — an edge set overflowing `maxDriverEdges`
+    // never materializes ~10M Rows on the driver just to be discarded.
+    // The probe and the collect share the persisted partitions.
     val cap = math.min(maxDriverEdges, Int.MaxValue - 2L).toInt
-    val head =
-      if (cap == Int.MaxValue - 2) edges.collect()
-      else edges.limit(cap + 1).collect()
-    val out = if (head.isEmpty) {
+    val directCap = math.min(cap, 1 << 20)
+    val headOpt: Option[Array[org.apache.spark.sql.Row]] = {
+      val probe = edges.limit(directCap + 1).collect()
+      if (probe.length <= directCap) Some(probe)
+      else if (cap > directCap && edges.limit(cap + 1).count() <= cap)
+        Some(edges.collect())
+      else None
+    }
+    val out = if (headOpt.exists(_.isEmpty)) {
       withId.drop(IdCol)
-    } else if (head.length <= cap) {
+    } else if (headOpt.isDefined) {
+      val head = headOpt.get
       val pairs = head.map(r => (r.getLong(0), r.getLong(1)))
       val roots = ConnectedComponents.unionFindRoots(pairs)
       val bRoots = withId.sparkSession.sparkContext.broadcast(roots)

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * [[assignBins]] is the exact global form (one total-order window —
   * SQL-mirrorable, fine up to validation scale). [[assignBinsPartitioned]]
   * is the 100 TB shape: documents are first bucketed by a partition key
-  * (e.g. a hash range), packing runs per bucket in parallel, and bin ids
-  * are made globally unique as (bucket, local bin) — bin FILL is as tight,
+  * (e.g. a hash range), packing runs per bucket in parallel, and the
+  * emitted bin id is globally unique — `bucket * 2^32 + localBin`, a
+  * single scalar callers can group on directly. Bin FILL is as tight,
   * only bin NUMBERING differs from the global form.
   */
 object Packing {
@@ -28,14 +29,20 @@ object Packing {
       floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
   }
 
-  /** Scale path: per-bucket packing, globally-unique (bucket, bin) pair. */
+  /** Scale path: per-bucket packing, one globally-unique scalar bin id.
+    *
+    * `binCol` = `bucket << 32 | localBin` — unique across buckets for any
+    * integral bucket values because the local bin index is always in
+    * [0, 2^32) (2^32 budget-sized bins per bucket is beyond any real
+    * bucket's size; bucket the data finer long before that). No helper
+    * columns are added to the output.
+    */
   def assignBinsPartitioned(df: DataFrame, tokenCol: String,
       bucketCol: Column, order: Seq[Column], budget: Long,
       binCol: String = "bin"): DataFrame = {
     val w = Window.partitionBy(bucketCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__bucket__", bucketCol)
-      .withColumn(binCol,
-        floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget))
+    val localBin = floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)) / budget)
+    df.withColumn(binCol, shiftleft(bucketCol.cast("long"), 32) + localBin)
   }
 }

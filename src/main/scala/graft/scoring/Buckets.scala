@@ -53,6 +53,14 @@ object Buckets {
 
   /** The cc_net composition: per-document LM perplexity (ArpaScorer by
     * default) → head/middle/tail.
+    *
+    * The approximate path runs TWO passes over the scores (quantile
+    * estimate, then the bucketing scan), so the scored frame is persisted
+    * — the LM scoring UDF is by far the most expensive expression here
+    * and must not evaluate twice. The cache is dropped by Spark's
+    * ContextCleaner once the returned plan is unreachable; callers that
+    * bucket a 100 TB corpus should instead score once, PUBLISH the scored
+    * column, and feed [[cutoffBuckets]] precomputed cutoffs.
     */
   def ccnetBuckets(df: DataFrame, textCol: String, idCol: String,
       exact: Boolean = false): DataFrame = {
@@ -61,8 +69,9 @@ object Buckets {
     val out =
       if (exact) rankBuckets(scored, col("__ppl__"), col(idCol))
       else {
-        val cuts = quantileCutoffs(scored, "__ppl__", DefaultNames.length)
-        cutoffBuckets(scored, col("__ppl__"), cuts)
+        val cached = scored.persist()
+        val cuts = quantileCutoffs(cached, "__ppl__", DefaultNames.length)
+        cutoffBuckets(cached, col("__ppl__"), cuts)
       }
     out.drop("__ppl__")
   }

@@ -107,7 +107,7 @@ object Ann {
     if (kEff == 0) return corpus.withColumn(cellCol, lit(0))
     def assignUdf(cs: Array[Array[Double]]) = {
       val b = spark.sparkContext.broadcast(cs)
-      udf { (v: Seq[Float]) =>
+      val u = udf { (v: Seq[Float]) =>
         val cc = b.value
         var best = 0
         var bestSim = Double.NegativeInfinity
@@ -129,18 +129,24 @@ object Ann {
         }
         best
       }
+      (u, b)
     }
     var it = 0
     while (it < iters - 1) {
-      val assigned = corpus.withColumn(cellCol, assignUdf(cents)(col(embCol)))
+      val (u, b) = assignUdf(cents)
+      val assigned = corpus.withColumn(cellCol, u(col(embCol)))
       val next = centroids(assigned, embCol, cellCol)
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
         .toMap
+      // this round's centroids are fully consumed by the collect above —
+      // release the broadcast before the next round re-broadcasts k×dim
+      b.destroy()
       cents = Array.tabulate(kEff)(c => next.getOrElse(c, cents(c)))
       it += 1
     }
-    corpus.withColumn(cellCol, assignUdf(cents)(col(embCol)))
+    // the FINAL broadcast stays alive: the returned (lazy) frame reads it
+    corpus.withColumn(cellCol, assignUdf(cents)._1(col(embCol)))
   }
 
   /** Learned-quantizer IVF in one call: k-means cells, ONE persisted
@@ -156,8 +162,14 @@ object Ann {
       iters: Int = 3): DataFrame = {
     val cells = kmeansAssign(corpus, embCol, idCol, "__cell__",
       kCells, iters).persist()
-    ivfTopK(cells, query, embCol, idCol, "__cell__", topK, nprobe)
+    // the probe result is topK rows — materialize it eagerly (lineage cut,
+    // tiny local checkpoint) so the cells cache can be released NOW instead
+    // of holding executor storage until the caller's action
+    val out = ivfTopK(cells, query, embCol, idCol, "__cell__", topK, nprobe)
       .drop("__cell__")
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
   }
 
   /** IVF probe: rank cells by centroid similarity to the query, brute-force

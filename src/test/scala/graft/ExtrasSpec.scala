@@ -274,6 +274,18 @@ class ExtrasSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(global === part)
     assert(global.values.max > 10) // actually packs into many bins
+    // multi-bucket: emitted bin ids are globally unique scalars — two
+    // buckets' local bin 0 must NOT collide, and no helper column leaks
+    val two = graft.sampling.Packing
+      .assignBinsPartitioned(docs, "tokens", pmod(col("doc_id"), lit(2)),
+        Seq(col("doc_id")), 512)
+    assert(two.columns.toSet === (docs.columns.toSet + "bin"))
+    val perBucket = two
+      .groupBy(pmod(col("doc_id"), lit(2)).as("b"))
+      .agg(collect_set(col("bin")).as("bins"))
+      .collect().map(r => r.getSeq[Long](1).toSet)
+    assert(perBucket.length === 2)
+    assert(perBucket(0).intersect(perBucket(1)).isEmpty)
   }
 
   test("decontamination flags only benchmark-quoting corpus spans") {
