@@ -23,7 +23,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (profiling
+    // aid; the driver never sets it, so round numbers stay comparable)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup, untimed (JMH-style: steady-state is what a long-running
     // pipeline sees): a narrow scan, a filter/sort-shaped query, one dedup
     // (signature/window/clustering code paths shared by all variants), and

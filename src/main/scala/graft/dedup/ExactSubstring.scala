@@ -60,9 +60,16 @@ object ExactSubstring {
     val out = new Array[Array[Byte]](n)
     var i = 0
     while (true) {
-      val buf = java.nio.ByteBuffer.allocate(16)
-      buf.putLong(h1); buf.putLong(h2)
-      out(i) = buf.array()
+      // manual big-endian pack — ByteBuffer.allocate per window doubled
+      // the allocation rate of this loop for a 16-byte payload
+      val a = new Array[Byte](16)
+      var b = 0
+      while (b < 8) {
+        a(b) = (h1 >>> (56 - 8 * b)).toByte
+        a(b + 8) = (h2 >>> (56 - 8 * b)).toByte
+        b += 1
+      }
+      out(i) = a
       i += 1
       if (i >= n) return out
       val cOut = s.charAt(i - 1).toLong
@@ -90,16 +97,18 @@ object ExactSubstring {
     val base = df.where(length(col(textCol)) >= L)
     val grams = base.select(col(idCol),
       posexplode(windowKeys(col(textCol), L)).as(Seq("pos", "h")))
-    // windows seen in >1 document: min(doc) != max(doc) — same predicate
-    // as count(distinct doc) > 1 without the distinct expansion; the
-    // shared fingerprint set is small, so the join back is a broadcast
-    // under AQE (re-evaluating the cheap rolling-hash explode beats
-    // caching |corpus|·windows rows)
-    val shared = grams.groupBy("h")
-      .agg(min(col(idCol)).as("__mn__"), max(col(idCol)).as("__mx__"))
+    // windows seen in >1 document: min(doc) != max(doc) over the
+    // fingerprint partition — same predicate as count(distinct doc) > 1
+    // without the distinct expansion. A WINDOW (not groupBy + join back)
+    // keeps every (id, pos) row in the same pass, so the explode UDF and
+    // its 16-byte-array materialization run ONCE instead of once per side
+    // of the join; total movement is one shuffle on h either way.
+    val wh = Window.partitionBy("h")
+    val marked = grams
+      .withColumn("__mn__", min(col(idCol)).over(wh))
+      .withColumn("__mx__", max(col(idCol)).over(wh))
       .where(col("__mn__") =!= col("__mx__"))
-      .select("h")
-    val marked = grams.join(shared, Seq("h"), "left_semi")
+      .drop("__mn__", "__mx__")
     // merge consecutive positions: pos - row_number is constant per run
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     marked
@@ -128,12 +137,16 @@ object ExactSubstring {
       .select(col(idCol), lit(1).as("__side__"),
         posexplode(windowKeys(col(textCol), L)).as(Seq("pos", "h")))
     val grams = cGrams.unionByName(bGrams)
-    val shared = grams.groupBy("h")
-      .agg(min(col("__side__")).as("__mn__"),
-        max(col("__side__")).as("__mx__"))
-      .where(col("__mn__") =!= col("__mx__")) // present on both sides
-      .select("h")
-    val marked = cGrams.join(shared, Seq("h"), "left_semi")
+    // same single-pass window shape as repeatedSpans: a window is
+    // contaminated iff both sides appear in its fingerprint partition;
+    // corpus rows survive the filter directly — no second explode of
+    // cGrams for a join-back side
+    val wh = Window.partitionBy("h")
+    val marked = grams
+      .withColumn("__mn__", min(col("__side__")).over(wh))
+      .withColumn("__mx__", max(col("__side__")).over(wh))
+      .where(col("__mn__") =!= col("__mx__") && col("__side__") === 0)
+      .drop("__mn__", "__mx__", "__side__")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     marked
       .withColumn("__grp__", col("pos") - row_number().over(w))
