@@ -27,8 +27,13 @@ object Queries {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // INTEGER division: `ts / 1000` is a double divide, and nanos ~1.7e18
+    // exceed a double's 53-bit integer range — the rounded quotient
+    // truncates to the wrong microsecond on ~12% of rows (measured),
+    // which DuckDB's exact nanos→micros truncation would expose in any
+    // micros-exact oracle (hour-bucket queries masked it)
     table(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
@@ -314,5 +319,5 @@ object Queries {
     c1, c2, c3, c4, c5,
     f1, f1score, f3, f4, f5, f6, f7, f8, f9, f10, f11) ++
     QueriesChat.all ++ QueriesPipeline.all ++ QueriesExtra.all ++
-    QueriesExtra2.all
+    QueriesExtra2.all ++ QueriesExtra3.all
 }

@@ -24,4 +24,31 @@ object ExactDedup {
 
   /** Whole-row exact dedup (`DISTINCT`). */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
+
+  /** Incremental exact dedup against a reference corpus via a BROADCAST
+    * Bloom filter: drop `newDf` rows whose `column` value is (probably)
+    * already in `refDf`.
+    *
+    * The 100 TB rationale: the exact formulation is a left-anti join —
+    * a full shuffle of BOTH corpora on the dedup key every time a new
+    * batch arrives. A Bloom filter of the reference keys is built once
+    * (one aggregate pass, `expectedItems`/`fpp`-sized bits on the
+    * driver), broadcast, and applied as a narrow filter on the new
+    * batch — no shuffle of either side. The trade is explicit: a false
+    * positive drops a genuinely-new row with probability ≤ `fpp`
+    * (choose 1e-9 and the expected loss on a billion-row batch is one
+    * row); false negatives are impossible, so no duplicate ever
+    * survives that the exact join would have caught.
+    *
+    * Spark's `DataFrameStatFunctions.bloomFilter` aggregates the filter
+    * distributedly (per-partition filters OR-merged), so only the final
+    * bit array reaches the driver.
+    */
+  def bloomDedupAgainst(newDf: DataFrame, refDf: DataFrame, column: String,
+      expectedItems: Long, fpp: Double = 1e-9): DataFrame = {
+    val bf = refDf.stat.bloomFilter(column, expectedItems, fpp)
+    val b = newDf.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf { (v: String) => v != null && b.value.mightContainString(v) }
+    newDf.where(!mightContain(col(column)))
+  }
 }
