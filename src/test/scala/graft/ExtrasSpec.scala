@@ -505,6 +505,37 @@ class ExtrasSpec extends AnyFunSuite {
     assert(kept.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("streaming exact dedup drops within the watermark and re-admits beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingPipeline.streamingExactDedup(
+      mem.toDF.toDF("id", "ts", "text"), "text", "ts", "10 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("wmdedup").start()
+    try {
+      // batch 1: a duplicate INSIDE the delay window is dropped
+      mem.addData((1L, t(0), "aaa"), (2L, t(1), "aaa"))
+      q.processAllAvailable()
+      // batch 2: advance the watermark far past aaa's expiry (100-10 > 0+10)
+      mem.addData((3L, t(100), "bbb"))
+      q.processAllAvailable()
+      // batch 3: the SAME text after state eviction is re-admitted — the
+      // bounded-state trade dropDuplicatesWithinWatermark makes explicit
+      // (plain dropDuplicates would hold the key forever)
+      mem.addData((4L, t(101), "aaa"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("wmdedup").select("id").as[Long].collect().toSet
+    // which same-batch duplicate survives is partition-order-dependent;
+    // the contract is: exactly one of them, plus the evicted-key re-admit
+    assert(kept.size === 3)
+    assert(kept.intersect(Set(1L, 2L)).size === 1)
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
   test("sql function registration exposes custom expressions") {
     GraftFunctions.register(spark)
     val r = spark.sql(

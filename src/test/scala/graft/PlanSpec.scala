@@ -54,6 +54,34 @@ class PlanSpec extends AnyFunSuite {
     assert(ranges === 1, s"expected exactly 1 rangepartitioning, got $ranges")
   }
 
+  test("asof join plans one shuffle and no join operator") {
+    val p = plan("ev_asof_join")
+    assert(!p.contains("Join"), "asof must be the union+window shape, not a join")
+    // exactly one hash partitioning: the window's shuffle on the key
+    // (plus the final orderBy's range partitioning)
+    val hashes = "(?i)hashpartitioning".r.findAllIn(p).size
+    assert(hashes === 1, s"expected 1 hashpartitioning, got $hashes\n$p")
+  }
+
+  test("sessionize plans exactly one exchange (aggregate reuses window partitioning)") {
+    val df = graft.temporal.Temporal.sessionize(
+      Queries.events(spark, sf), "user_id", "ts", 1800000000L)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"expected 1 hash exchange (groupBy must reuse the window's), got $exchanges\n$p")
+  }
+
+  test("near-time pairs plan is an equality join, not a nested loop") {
+    val df = graft.temporal.Temporal.nearTimePairs(
+      Queries.events(spark, sf), Seq("user_id"), "event_id", "ts",
+      3600000000L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"bucket join must stay an equality join\n$p")
+  }
+
   test("optimizer rule collapses nested stripWs") {
     import graft.text.Cleaners.stripWs
     GraftFunctions.register(spark) // functions only; rule applied manually
