@@ -41,4 +41,37 @@ object Skew {
       .agg(partial(col("__v__")).as("__partial__"))
       .groupBy(col(key))
       .agg(combine(col("__partial__")).as(resultName))
+
+  /** Salted join for a skewed LEFT side against a right side too big to
+    * broadcast: left rows get a random salt in [0, saltBuckets), right
+    * rows are replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `saltBuckets` reducers
+    * instead of serializing on one. Result is identical to
+    * `left.join(right, key, joinType)`.
+    *
+    * Use when AQE's runtime skew-split can't help: skew inside a single
+    * key (AQE splits skewed PARTITIONS, but one giant key hashed to one
+    * partition can only be split by changing the key), or plans where
+    * the skewed exchange feeds a window/aggregate first. The cost is
+    * explicit: the right side shuffles `saltBuckets`× its size — size
+    * the bucket count to the skew, not higher.
+    *
+    * `joinType` must be "inner" or a left join ("left", "left_outer",
+    * "left_semi", "left_anti"): an unmatched LEFT row carries exactly
+    * one salt so appears exactly once, but unmatched RIGHT rows exist
+    * once per replica and would duplicate under right/full joins.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltBuckets: Int = 32, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
+    val l = left.withColumn("__salt__",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)).cast("int"))
+    val r = right.withColumn("__salt__",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, Seq(key, "__salt__"), joinType).drop("__salt__")
+  }
 }

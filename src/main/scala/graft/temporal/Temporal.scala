@@ -30,8 +30,9 @@ object Temporal {
 
   /** As-of join: for every `left` row, the payload of the LATEST `right`
     * row with the same `keys` and `right.tsCol` ≤ `left.tsCol`
-    * (backward-inclusive, the market-data convention). Left rows with no
-    * earlier right row get nulls.
+    * (`direction = "backward"`, inclusive — the market-data convention),
+    * or the EARLIEST right row with ts ≥ left's for
+    * `direction = "forward"`. Left rows with no match get nulls.
     *
     * `payload` names the right-side columns to attach (each surfaced as
     * `<name><suffix>`). Right rows should be unique per (keys, ts) —
@@ -40,14 +41,23 @@ object Temporal {
     * like multi-match ASOF in other engines).
     *
     * Plan: union right (side 0) and left (side 1) rows, sort each key
-    * partition by (ts, side) — a right row at the exact left timestamp
-    * sorts FIRST and is therefore visible — and carry payloads forward
-    * with `last(ignoreNulls)` over an unbounded-preceding running frame.
+    * partition by (ts, side) — ascending for backward, descending for
+    * forward; either way a right row at the exact left timestamp sorts
+    * FIRST and is therefore visible — and carry payloads forward with
+    * `last(ignoreNulls)` over an unbounded-preceding running frame.
     * One shuffle, codegen'd window, n+m rows.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String],
-      suffix: String = "_asof"): DataFrame = {
+      suffix: String = "_asof",
+      direction: String = "backward"): DataFrame = {
+    val tsOrd = direction match {
+      case "backward" => (c: Column) => c.asc
+      case "forward" => (c: Column) => c.desc
+      case other =>
+        throw new IllegalArgumentException(
+          s"direction must be backward|forward, got $other")
+    }
     val leftCols = left.columns
     val sideCol = "__asof_side__"
     val l = left
@@ -61,7 +71,7 @@ object Temporal {
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }.select(l.columns.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col(sideCol).asc)
+      .orderBy(tsOrd(col(tsCol)), col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(l.unionByName(rAligned)) { (df, p) =>
       df.withColumn(p + suffix,

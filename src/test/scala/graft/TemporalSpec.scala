@@ -50,6 +50,48 @@ class TemporalSpec extends AnyFunSuite {
       .collect() === Seq(("x", 7.5)))
   }
 
+  test("asofJoin forward picks the earliest at-or-after match") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 30L))
+      .toDF("k", "t").withColumn("ts", timestamp_micros(col("t")))
+    val right = Seq((1L, 15L, "A"), (1L, 20L, "B"), (1L, 25L, "C"))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_micros(col("t")))
+      .drop("t")
+    val out = Temporal
+      .asofJoin(left, right, Seq("k"), "ts", Seq("v"),
+        direction = "forward")
+      .orderBy("t")
+      .select(col("t"), col("v_asof")).as[(Long, Option[String])].collect()
+    assert(out === Seq(
+      (10L, Some("A")),   // next right row at 15
+      (20L, Some("B")),   // right row AT the timestamp wins (>=)
+      (30L, None)))       // nothing after 25
+  }
+
+  test("saltedJoin matches the plain join (inner and left)") {
+    import spark.implicits._
+    // skewed left: one hot key
+    val left = ((1 to 500).map(i => (1L, i)) ++ Seq((2L, 0), (3L, 7)))
+      .toDF("k", "x")
+    val right = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "z"))
+      .toDF("k", "y")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .select("k", "x", "y").collect()
+        .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2))))
+        .sorted.toSeq
+      val salted = graft.pipeline.Skew
+        .saltedJoin(left, right, "k", saltBuckets = 8, joinType = jt)
+        .select("k", "x", "y").collect()
+        .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2))))
+        .sorted.toSeq
+      assert(salted === plain, s"joinType=$jt")
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Skew.saltedJoin(left, right, "k", 8, "full_outer")
+    }
+  }
+
   test("sessionize splits on gaps > maxGap and keeps boundaries inclusive") {
     import spark.implicits._
     // gaps: 100 (== maxGap, same session), 101 (new session)
