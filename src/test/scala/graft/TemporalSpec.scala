@@ -133,6 +133,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(bloom.nonEmpty)
   }
 
+  // SELF-goldens (no reference implementation exists for these variants):
+  // the committed kept-id sets pin today's verified behavior against
+  // algorithmic regressions — the exact class of bug the r4 order-
+  // dependent UnionFind golden caught for minhash. Reference-parity
+  // goldens exist separately for minhash (ExtrasSpec).
+  private def goldenIds(name: String): Seq[Long] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getClassLoader
+        .getResourceAsStream(s"${name}_golden_sf001.json"), "UTF-8")
+    val js = try src.mkString finally src.close()
+    "\"kept_ids\": \\[([^\\]]*)\\]".r.findFirstMatchIn(js)
+      .get.group(1).split(",").map(_.trim.toLong).toSeq
+  }
+
+  test("simhash/embedding/ngram-jaccard dedup match their committed goldens") {
+    val sf = "/root/testdata/sf0.01"
+    val simhash = graft.dedup.SimHash.deduplicate(
+      Queries.table(spark, sf, "documents"), "text", maxHamming = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(simhash === goldenIds("dedup_simhash"))
+    val emb = graft.dedup.EmbeddingDedup.deduplicate(
+      Queries.table(spark, sf, "embeddings"), "embedding", "label", 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(emb === goldenIds("dedup_embedding"))
+    val ng = graft.dedup.NgramJaccard.deduplicate(
+      Queries.table(spark, sf, "documents"), "text", n = 5, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ng === goldenIds("dedup_ngram_jaccard"))
+  }
+
   test("topNgrams counts with multiplicity") {
     import spark.implicits._
     val df = Seq("a b c a b c", "a b c").toDF("text")
