@@ -125,6 +125,44 @@ object QueriesExtra3 {
       "NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0) " +
       "ORDER BY doc_id"))
 
+  /** Temperature-weighted corpus mixing (T=2): the 450-doc majority and
+    * 50-doc minority split mix at sqrt-weighted proportions (0.75/0.25
+    * instead of natural 0.9/0.1 — the minority corpus up-weighted 2.5×).
+    * Oracled on per-user kept COUNTS (which rows are seeded-random, how
+    * many is deterministic); every double in the driver's sizing math
+    * (sqrt, +, /, min, floor) is IEEE-exact-rounded, so the SQL mirror
+    * reproduces the fractions bit-for-bit.
+    */
+  val p9Temperature: QueryDef = QueryDef("p9_temperature_mix",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+        .withColumn("user_id", col("doc_id") % 50)
+      val d1 = docs.where(col("doc_id") % 10 =!= 0)
+      val d2 = docs.where(col("doc_id") % 10 === 0)
+      graft.sampling.Sampling
+        .temperatureMix(Seq(d1, d2), 2.0, 300.0, "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("kept"))
+        .orderBy("user_id")
+    },
+    Some("WITH d1 AS (SELECT doc_id, doc_id%50 AS user_id FROM documents " +
+      "WHERE doc_id%10<>0), d2 AS (SELECT doc_id, doc_id%50 AS user_id " +
+      "FROM documents WHERE doc_id%10=0), " +
+      "n AS (SELECT (SELECT count(*) FROM d1)::DOUBLE AS n1, " +
+      "(SELECT count(*) FROM d2)::DOUBLE AS n2), " +
+      "p AS (SELECT n1, n2, sqrt(n1)/(sqrt(n1)+sqrt(n2)) AS p1, " +
+      "sqrt(n2)/(sqrt(n1)+sqrt(n2)) AS p2 FROM n), " +
+      "eff AS (SELECT n1, n2, p1, p2, least(300.0, n1/p1, n2/p2) AS t " +
+      "FROM p), " +
+      "s1 AS (SELECT user_id, CASE WHEN count(*)<5 THEN count(*) ELSE " +
+      "floor(count(*) * (SELECT (t*p1)/n1 FROM eff))::BIGINT END AS kept " +
+      "FROM d1 GROUP BY user_id), " +
+      "s2 AS (SELECT user_id, CASE WHEN count(*)<5 THEN count(*) ELSE " +
+      "floor(count(*) * (SELECT (t*p2)/n2 FROM eff))::BIGINT END AS kept " +
+      "FROM d2 GROUP BY user_id) " +
+      "SELECT user_id, CAST(sum(kept) AS BIGINT) AS kept FROM " +
+      "(SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY user_id " +
+      "ORDER BY user_id"))
+
   val all: Seq[QueryDef] = Seq(evAsof, evSessionize, evNearPairs,
-    hhTopNgrams, taTfIdf, dedupBloom)
+    hhTopNgrams, taTfIdf, dedupBloom, p9Temperature)
 }

@@ -163,6 +163,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(ng === goldenIds("dedup_ngram_jaccard"))
   }
 
+  test("temperatureMix up-weights the minority corpus vs natural mixing") {
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("user_id", col("doc_id") % 50)
+    val major = docs.where(col("doc_id") % 10 =!= 0).withColumn("src", lit("major"))
+    val minor = docs.where(col("doc_id") % 10 === 0).withColumn("src", lit("minor"))
+    def minorShare(df: org.apache.spark.sql.DataFrame): Double = {
+      val m = df.groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      m.getOrElse("minor", 0L).toDouble / (m.values.sum max 1L)
+    }
+    // natural (by-size) proportions ~ 0.9/0.1
+    val natural = minorShare(graft.sampling.Sampling.sampleDatasets(
+      Seq(major, minor), Seq(0.9, 0.1), 300.0, "user_id"))
+    val tempered = minorShare(graft.sampling.Sampling.temperatureMix(
+      Seq(major, minor), 2.0, 300.0, "user_id"))
+    assert(tempered > natural,
+      s"T=2 should up-weight the minority: $tempered <= $natural")
+    assert(tempered > 0.2 && tempered < 0.3) // sqrt weights -> ~0.25
+  }
+
   test("topNgrams counts with multiplicity") {
     import spark.implicits._
     val df = Seq("a b c a b c", "a b c").toDF("text")
