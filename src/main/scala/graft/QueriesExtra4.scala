@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch 6: corpus-management operators for pretraining pipelines —
+  * deterministic hash train/val/test splits, per-source capping,
+  * fixed-window chunking, C4-style cross-document boilerplate removal,
+  * and a deflate compression-ratio quality signal. All but the deflate
+  * signal are DuckDB-oracled (deflate has no SQL twin; property specs
+  * cover it).
+  */
+object QueriesExtra4 {
+
+  private val d = "doc_id"
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Queries.table(s, dir, "documents")
+
+  /** Deterministic 80/10/10 split off md5(doc_id): thresholds 'cccc' =
+    * floor(0.8*65536) and 'e666' = floor(0.9*65536) in 4-hex-char space.
+    * The oracle is the literal CASE chain — the point of the operator is
+    * that any engine reproduces the assignment bit-for-bit.
+    */
+  val splitAssign: QueryDef = QueryDef("split_hash_assign",
+    (s, dir) => docs(s, dir)
+      .select(col(d), graft.sampling.Splits.hashSplit(col(d),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .orderBy(d),
+    Some("SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) " +
+      "< 'cccc' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) " +
+      "< 'e666' THEN 'val' ELSE 'test' END AS split FROM documents " +
+      "ORDER BY doc_id"))
+
+  /** Per-source cap at 10 docs, chosen by md5-of-id order (deterministic
+    * domain capping; sf0.01 has 20 sources x 25 docs -> 200 rows out).
+    */
+  val capPerSource: QueryDef = QueryDef("group_cap_per_source",
+    (s, dir) => graft.sampling.Splits.capPerGroup(
+        docs(s, dir).select(col(d), col("source")),
+        col("source"), col(d), 10)
+      .orderBy(d),
+    Some("SELECT doc_id, source FROM documents QUALIFY row_number() OVER " +
+      "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) " +
+      "<= 10 ORDER BY doc_id"))
+
+  /** Sliding-window chunking: 120-char windows every 90 chars (30-char
+    * overlap). Oracle enumerates window starts with a zip-unnest over
+    * range(0, ceil(len/stride)) — DuckDB's generate_series cannot take
+    * lateral column refs.
+    */
+  val chunkWindows: QueryDef = QueryDef("chunk_fixed_windows",
+    (s, dir) => graft.text.Chunker
+      .chunk(docs(s, dir), "text", 120, 90, Seq(col(d)))
+      .orderBy(d, "chunk_id"),
+    Some("WITH n AS (SELECT doc_id, text, unnest(range(0, CAST(" +
+      "ceil(length(text)/90.0) AS BIGINT))) AS i FROM documents) " +
+      "SELECT doc_id, i AS chunk_id, substr(text, CAST(i*90+1 AS INTEGER), " +
+      "120) AS chunk FROM n ORDER BY doc_id, chunk_id"))
+
+  /** C4-style boilerplate removal. documents.text is newline-free word
+    * soup, so the query injects the structure it exercises (same pattern
+    * as c4/c5): a rotating header (df≈167 each), a universal footer
+    * (df=500), the unique body, and a 15-char body prefix as a rare line.
+    * minDocs=4 removes header+footer everywhere; body (+ its prefix
+    * unless prefixes collide across >=4 docs — both engines agree either
+    * way) survives in order.
+    */
+  val boilerplateRemoval: QueryDef = QueryDef("bp_remove_frequent_lines",
+    (s, dir) => {
+      val injected = docs(s, dir).select(col(d), concat(
+        element_at(array(
+          lit("subscribe to our newsletter"),
+          lit("all rights reserved"),
+          lit("accept cookies to continue")), (col(d) % 3 + 1).cast("int")),
+        lit("\n"), col("text"), lit("\n"),
+        lit("copyright 2026 example corp"), lit("\n"),
+        substring(col("text"), 1, 15)).as("text"))
+      graft.analysis.Boilerplate
+        .removeFrequentLines(injected, d, "text", 4)
+        .orderBy(d)
+    },
+    Some("WITH t AS (SELECT doc_id, (CASE CAST(doc_id % 3 AS INTEGER) " +
+      "WHEN 0 THEN 'subscribe to our newsletter' WHEN 1 THEN " +
+      "'all rights reserved' ELSE 'accept cookies to continue' END) || " +
+      "chr(10) || text || chr(10) || 'copyright 2026 example corp' || " +
+      "chr(10) || substr(text,1,15) AS text FROM documents), " +
+      "p AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, " +
+      "unnest(range(1, len(string_split(text, chr(10)))+1)) AS pos FROM t), " +
+      "f AS (SELECT line FROM p GROUP BY line HAVING " +
+      "count(DISTINCT doc_id) >= 4), " +
+      "k AS (SELECT p.doc_id, p.pos, p.line FROM p ANTI JOIN f ON " +
+      "p.line = f.line), " +
+      "r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS " +
+      "text FROM k GROUP BY doc_id) " +
+      "SELECT t.doc_id, coalesce(r.text, '') AS text FROM t LEFT JOIN r " +
+      "USING (doc_id) ORDER BY doc_id"))
+
+  /** Deflate compression-ratio signal — rows-only by necessity (DuckDB
+    * has no zlib surface); property specs pin the semantics.
+    */
+  val compressRatio: QueryDef = QueryDef("ta_compress_ratio",
+    (s, dir) => docs(s, dir)
+      .select(col(d),
+        round(graft.analysis.Compression.deflateRatio(col("text")), 4)
+          .as("deflate_ratio"))
+      .orderBy(d),
+    None)
+
+  val all: Seq[QueryDef] =
+    Seq(splitAssign, capPerSource, chunkWindows, boilerplateRemoval,
+      compressRatio)
+}

@@ -1,0 +1,60 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent dataset splitting and per-group
+  * capping (beyond-reference: the corpus-management ops every pretraining
+  * pipeline needs around the reference's filter/dedup core).
+  *
+  * Both operators key every decision off the md5 hex digest of a row's own
+  * key — no RNG state, no global counters — so assignment is (a) a pure
+  * projection for [[hashSplit]] (zero shuffle, stays inside whole-stage
+  * codegen), and (b) stable under re-runs, repartitioning and incremental
+  * appends: a row's split never changes when the corpus around it grows.
+  * That stability is the property that matters when a 100 TB corpus is
+  * rebuilt incrementally — train/test membership must not churn between
+  * builds or leakage follows.
+  */
+object Splits {
+
+  /** Split assignment by hex-prefix thresholds: the first 4 md5 hex chars
+    * are uniform over [0, 65536); cumulative fractions map to 4-char
+    * lowercase hex thresholds compared lexicographically (fixed-width hex
+    * compare == numeric compare). Quantization error ≤ 1/65536 per
+    * boundary. The same CASE chain is expressible verbatim in any SQL
+    * engine with md5(), which is what makes the assignment auditable
+    * outside Spark.
+    */
+  def hashSplit(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be non-empty and positive")
+    val total = fractions.map(_._2).sum
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val h = substring(md5(key.cast("string")), 1, 4)
+    fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), c), acc) =>
+        when(h < lit(f"${math.floor(c * 65536).toLong}%04x"), lit(name))
+          .otherwise(acc)
+    }
+  }
+
+  /** Cap each group at `k` rows, chosen deterministically by
+    * md5-of-key order (ties broken by the key itself) — per-domain capping
+    * a la C4/RefinedWeb without a seed. One hash shuffle + per-group sort,
+    * the same cost any per-domain accounting already pays; partial
+    * aggregation does not apply but the window never materializes a
+    * group in memory (rank is streamed over the sorted run). For a
+    * pathologically hot group, cap by thresholding the hash instead
+    * (keep h < quantile-estimate) to avoid sorting the whole group —
+    * the windowed form here is the exact one.
+    */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(group).orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rn__", row_number().over(w))
+      .where(col("__rn__") <= k)
+      .drop("__rn__")
+  }
+}

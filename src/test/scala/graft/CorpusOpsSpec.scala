@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.{Boilerplate, Compression}
+import graft.sampling.Splits
+import graft.text.Chunker
+
+/** Batch-6 corpus-management operators: hash splits, per-group caps,
+  * chunking, cross-doc boilerplate removal, compression-ratio signal.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def sf001 = "/root/testdata/sf0.001"
+
+  test("hashSplit: proportions near fractions, exhaustive and disjoint") {
+    import spark.implicits._
+    val df = (0L until 10000L).toDF("id")
+      .withColumn("split", Splits.hashSplit(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 200, counts)
+    assert(math.abs(counts("val") - 1000L) < 100, counts)
+    assert(math.abs(counts("test") - 1000L) < 100, counts)
+  }
+
+  test("hashSplit: assignment is per-row stable — unchanged when corpus grows") {
+    import spark.implicits._
+    val small = (0L until 100L).toDF("id")
+    val big = (0L until 1000L).toDF("id")
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("split", Splits.hashSplit(col("id"),
+        Seq("a" -> 0.5, "b" -> 0.5)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromSmall = assign(small)
+    val fromBig = assign(big)
+    assert(fromSmall.forall { case (id, s) => fromBig(id) == s })
+  }
+
+  test("capPerGroup: at most k per group, deterministic across runs") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def run() = Splits.capPerGroup(docs, col("source"), col("doc_id"), 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = run()
+    val sizes = Splits.capPerGroup(docs, col("source"), col("doc_id"), 3)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 3))
+    assert(run() == kept)
+    // repartitioning must not change the kept set
+    val shuffled = Splits.capPerGroup(docs.repartition(7), col("source"),
+      col("doc_id"), 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shuffled == kept)
+  }
+
+  test("chunker: non-overlapping chunks reassemble the document") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "xyz"), (3L, "")).toDF("id", "text")
+    val chunks = Chunker.chunk(df, "text", 4, 4, Seq(col("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).mkString == "abcdefghij")
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq == Seq("xyz"))
+    assert(!chunks.exists(_._1 == 3L)) // empty doc emits no chunks
+  }
+
+  test("chunker: overlapping windows share the stride suffix/prefix") {
+    import spark.implicits._
+    val text = "0123456789abcdefghij" // 20 chars; size 8 stride 5 -> 4 chunks
+    val df = Seq((1L, text)).toDF("id", "text")
+    val chunks = Chunker.chunk(df, "text", 8, 5, Seq(col("id")))
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    assert(chunks.length == 4)
+    assert(chunks(0) == "01234567" && chunks(1) == "56789abc")
+    // window i starts at i*stride: overlap of size-stride chars
+    chunks.sliding(2).foreach { case Array(a, b) =>
+      assert(a.drop(5) == b.take(a.length - 5))
+    }
+  }
+
+  test("boilerplate: frequent lines removed everywhere, order preserved") {
+    import spark.implicits._
+    val docs = (0 until 10).map { i =>
+      (i.toLong, s"header common\nbody unique $i\nfooter common\ntail $i")
+    }.toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentLines(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect().map(_.getAs[String]("text"))
+    out.zipWithIndex.foreach { case (t, i) =>
+      assert(t == s"body unique $i\ntail $i", t)
+    }
+  }
+
+  test("boilerplate: all-frequent document collapses to empty string") {
+    import spark.implicits._
+    val docs = ((0 until 5).map(i => (i.toLong, "only boilerplate")) :+
+      (9L, "only boilerplate\nplus substance")).toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentLines(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "")
+    assert(out(9L) == "plus substance")
+  }
+
+  test("compression ratio: repetition compresses below prose; bounds hold") {
+    import spark.implicits._
+    val repetitive = "spam ham " * 200
+    val prose = (0 until 400).map(i => s"w${i * 2654435761L % 99991}").mkString(" ")
+    val df = Seq((1L, repetitive), (2L, prose), (3L, "")).toDF("id", "text")
+    val r = df.select(col("id"), Compression.deflateRatio(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.1, s"repetitive should compress hard: ${r(1L)}")
+    assert(r(2L) > r(1L) * 3, s"prose should compress less: $r")
+    assert(r(3L) == 1.0)
+    assert(r.values.forall(v => v > 0.0 && v <= 1.5))
+  }
+}
