@@ -105,7 +105,65 @@ object QueriesExtra4 {
       .orderBy(d),
     None)
 
+  /** N-gram-overlap decontamination score (5-grams here; 13 is the
+    * published GPT-3 size — word soup is too short for 13). The eval set
+    * is every 10th doc plus a marker phrase; every 7th+3 corpus doc
+    * quotes the phrase. Benchmark members score 1.0 (their grams are a
+    * subset of the eval set's), quoting docs land strictly between 0
+    * and 1, clean docs at ~0 (accidental soup collisions are computed
+    * identically by both engines).
+    */
+  val deconOverlap: QueryDef = QueryDef("decon_overlap_score",
+    (s, dir) => {
+      val phrase = "the quick brown fox jumps over the lazy dog"
+      val corpus = docs(s, dir).select(col(d),
+        when(col(d) % 7 === 3, concat(col("text"), lit(" " + phrase)))
+          .otherwise(col("text")).as("text"))
+      val bench = docs(s, dir).where(col(d) % 10 === 0)
+        .select(col(d), concat(col("text"), lit(" " + phrase)).as("text"))
+      graft.analysis.Decon.overlapScore(corpus, bench, d, "text", 5)
+        .orderBy(d)
+    },
+    Some {
+      val p = " the quick brown fox jumps over the lazy dog"
+      val gram5 = "CASE WHEN len(ws)<5 THEN [] ELSE list_transform(" +
+        "range(1, len(ws)-3), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||" +
+        "' '||ws[i+3]||' '||ws[i+4]) END"
+      "WITH cd AS (SELECT doc_id, CASE WHEN doc_id%7=3 THEN text || '" + p +
+        "' ELSE text END AS t FROM documents), " +
+        "bd AS (SELECT doc_id, text || '" + p + "' AS t FROM documents " +
+        "WHERE doc_id%10=0), " +
+        "cw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(t), " +
+        "'[^a-z0-9_]+'), x -> x <> '') AS ws FROM cd), " +
+        "bw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(t), " +
+        "'[^a-z0-9_]+'), x -> x <> '') AS ws FROM bd), " +
+        "cgr AS (SELECT DISTINCT doc_id, gram FROM (SELECT doc_id, " +
+        "unnest(" + gram5 + ") AS gram FROM cw)), " +
+        "bgr AS (SELECT DISTINCT gram FROM (SELECT unnest(" + gram5 +
+        ") AS gram FROM bw)), " +
+        "m AS (SELECT cgr.doc_id, count(*) AS n_grams, count(bgr.gram) AS " +
+        "n_matched FROM cgr LEFT JOIN bgr ON cgr.gram = bgr.gram " +
+        "GROUP BY cgr.doc_id) " +
+        "SELECT d.doc_id, coalesce(m.n_grams, 0) AS n_grams, " +
+        "coalesce(m.n_matched, 0) AS n_matched, " +
+        "coalesce(CAST(m.n_matched AS DOUBLE)/m.n_grams, 0.0) AS " +
+        "overlap_frac FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id " +
+        "ORDER BY doc_id"
+    })
+
+  /** Per-source length histogram with integer log2 buckets
+    * (length-of-binary-string, not floating log2 — see CorpusStats).
+    */
+  val lenHistogram: QueryDef = QueryDef("stats_len_histogram",
+    (s, dir) => graft.analysis.CorpusStats
+      .lengthHistogram(docs(s, dir), "n_chars", Seq("source"))
+      .orderBy("source", "len_bucket"),
+    Some("SELECT source, CAST(length(printf('%b', n_chars)) AS BIGINT) AS " +
+      "len_bucket, CAST(count(*) AS BIGINT) AS n_docs, min(n_chars) AS " +
+      "min_len, max(n_chars) AS max_len FROM documents GROUP BY source, " +
+      "len_bucket ORDER BY source, len_bucket"))
+
   val all: Seq[QueryDef] =
     Seq(splitAssign, capPerSource, chunkWindows, boilerplateRemoval,
-      compressRatio)
+      compressRatio, deconOverlap, lenHistogram)
 }

@@ -1,0 +1,70 @@
+package graft.analysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-gram-overlap benchmark decontamination scoring — the GPT-3/Llama
+  * style contamination METRIC (what fraction of a document's distinct
+  * word n-grams appear anywhere in the eval set), complementing
+  * [[graft.dedup.ExactSubstring.contaminatedSpans]] which finds verbatim
+  * character SPANS. Spans locate quotes to cut; the overlap fraction is
+  * the document-level triage score pipelines threshold on (e.g. drop
+  * docs with >= 20% eval-set 13-gram overlap).
+  *
+  * Scale shape: benchmark sets are tiny next to a 100 TB corpus, so the
+  * distinct benchmark-gram set is broadcast and the whole score is one
+  * corpus-side explode + broadcast left join + per-doc aggregate — no
+  * corpus shuffle beyond the per-doc groupBy, which partial-aggregates
+  * map-side (gram hit counts collapse to two longs per doc).
+  */
+object Decon {
+
+  /** Distinct word n-grams per document: (idCol, gram). */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), TermStats.words(col(textCol)).as("__w__"))
+      .select(col(idCol), explode(array_distinct(
+        TermStats.ngramsWithMultiplicity(col("__w__"), n))).as("gram"))
+
+  /** Per-corpus-document overlap against `benchmark`:
+    * (idCol, n_grams, n_matched, overlap_frac). Documents with fewer
+    * than `n` words score 0 over 0 grams.
+    */
+  def overlapScore(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val bGrams = docGrams(benchmark, idCol, textCol, n)
+      .select("gram").distinct()
+    val scored = docGrams(corpus, idCol, textCol, n)
+      .join(broadcast(bGrams.withColumn("__hit__", lit(1))),
+        Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit__")).as("n_matched"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_matched").cast("double") / col("n_grams"), lit(0.0))
+          .as("overlap_frac"))
+  }
+}
+
+/** Corpus profile statistics: the length-distribution report every corpus
+  * card carries. Buckets are log2 via binary-string length — an INTEGER
+  * computation both Spark (`length(bin(x))`) and any SQL engine with a
+  * binary formatter reproduce exactly, where `floor(log2(x))` on doubles
+  * can straddle a power-of-two boundary by one ulp between libms.
+  * One partially-aggregated groupBy — the cheapest possible distributed
+  * shape; at 100 TB the shuffle carries (groups x ~40 buckets) rows.
+  */
+object CorpusStats {
+
+  def lengthHistogram(df: DataFrame, lenCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col) :+
+        length(bin(col(lenCol))).cast("long").as("len_bucket"): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(lenCol)).as("min_len"),
+        max(col(lenCol)).as("max_len"))
+}

@@ -110,6 +110,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(9L) == "plus substance")
   }
 
+  test("decon overlap: subset scores 1.0, quote partial, clean 0") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // == benchmark doc
+      (2L, "one two three four alpha beta gamma delta epsilon"), // quotes
+      (3L, "totally different words here entirely now"), // clean
+      (4L, "shorty") // < n words
+    ).toDF("doc_id", "text")
+    val r = graft.analysis.Decon.overlapScore(corpus, bench, "doc_id", "text", 5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((2L, 2L, 1.0)))
+    assert(r(2L)._3 > 0.0 && r(2L)._3 < 1.0)
+    assert(r(3L) == ((2L, 0L, 0.0)))
+    assert(r(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("length histogram: buckets partition the corpus with power-of-2 bounds") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val h = graft.analysis.CorpusStats
+      .lengthHistogram(docs, "n_chars", Seq("source")).collect()
+    assert(h.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    h.foreach { r =>
+      val b = r.getAs[Long]("len_bucket")
+      assert(r.getAs[Long]("min_len") >= (1L << (b - 1)), r)
+      assert(r.getAs[Long]("max_len") < (1L << b), r)
+    }
+  }
+
   test("compression ratio: repetition compresses below prose; bounds hold") {
     import spark.implicits._
     val repetitive = "spam ham " * 200
