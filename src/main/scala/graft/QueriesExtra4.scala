@@ -148,7 +148,7 @@ object QueriesExtra4 {
         "coalesce(m.n_matched, 0) AS n_matched, " +
         "coalesce(CAST(m.n_matched AS DOUBLE)/m.n_grams, 0.0) AS " +
         "overlap_frac FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id " +
-        "ORDER BY doc_id"
+        "ORDER BY d.doc_id"
     })
 
   /** Per-source length histogram with integer log2 buckets
@@ -158,7 +158,8 @@ object QueriesExtra4 {
     (s, dir) => graft.analysis.CorpusStats
       .lengthHistogram(docs(s, dir), "n_chars", Seq("source"))
       .orderBy("source", "len_bucket"),
-    Some("SELECT source, CAST(length(printf('%b', n_chars)) AS BIGINT) AS " +
+    Some("SELECT source, CASE WHEN n_chars <= 0 THEN 0 ELSE " +
+      "CAST(length(printf('%b', n_chars)) AS BIGINT) END AS " +
       "len_bucket, CAST(count(*) AS BIGINT) AS n_docs, min(n_chars) AS " +
       "min_len, max(n_chars) AS max_len FROM documents GROUP BY source, " +
       "len_bucket ORDER BY source, len_bucket"))

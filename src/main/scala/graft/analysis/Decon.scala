@@ -62,8 +62,12 @@ object CorpusStats {
 
   def lengthHistogram(df: DataFrame, lenCol: String,
       groupCols: Seq[String]): DataFrame =
+    // bin(0) = "0" has length 1 (same as bin(1)), and a negative length
+    // would hit the 64-char two's-complement rendering — route both to a
+    // dedicated bucket 0 so bucket b >= 1 always means len in [2^(b-1), 2^b).
     df.groupBy(groupCols.map(col) :+
-        length(bin(col(lenCol))).cast("long").as("len_bucket"): _*)
+        when(col(lenCol) <= 0, lit(0L))
+          .otherwise(length(bin(col(lenCol))).cast("long")).as("len_bucket"): _*)
       .agg(count(lit(1)).as("n_docs"),
         min(col(lenCol)).as("min_len"),
         max(col(lenCol)).as("max_len"))

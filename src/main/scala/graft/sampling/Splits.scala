@@ -35,8 +35,11 @@ object Splits {
     val h = substring(md5(key.cast("string")), 1, 4)
     fractions.init.zip(cum.init).foldRight(lit(fractions.last._1): Column) {
       case (((name, _), c), acc) =>
-        when(h < lit(f"${math.floor(c * 65536).toLong}%04x"), lit(name))
-          .otherwise(acc)
+        // Clamp to 65535: fp accumulation can push an intermediate cumulative
+        // fraction to 1.0, and %04x of 65536 would render the 5-char "10000",
+        // which sorts BELOW "ffff" lexicographically and misassigns every row.
+        val bound = math.min(math.floor(c * 65536).toLong, 65535L)
+        when(h < lit(f"$bound%04x"), lit(name)).otherwise(acc)
     }
   }
 
