@@ -44,8 +44,19 @@ object Bench {
           catch { case _: Throwable => () }
         }
       }
+    // The three heaviest dedup/flagship lines showed ±20-40% swings between
+    // rounds with no plan change (r5 verdict); give them an extra repeat so
+    // the reported best is load-noise-resistant where it matters most.
+    val hotRepeat = math.max(repeat,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_HOT", "3").toInt)
+    val hot = Set("flagship_chat_pipeline", "dedup_minhash",
+      "dedup_ngram_jaccard")
+    // SPARK_GRAFT_BENCH_VERBOSE=1 prints every repetition to stderr —
+    // variance data for separating machine-load noise from plan changes
+    val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
     val results = qs.map { case (name, fn) =>
-      val best = (1 to repeat).map { _ =>
+      val n = if (hot(name)) hotRepeat else repeat
+      val reps = (1 to n).map { _ =>
         // per-run isolation, OUTSIDE the timer: drop cached blocks leaked
         // by earlier queries (dedup persists live as long as their result
         // plans), drop the per-JVM shingle cache (the warmup and earlier
@@ -59,13 +70,18 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> best
+      }
+      if (verbose) System.err.println(
+        f"[bench] $name reps=${reps.map(r => f"$r%.3f").mkString(",")}")
+      name -> reps.min
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    // total_sec/n duplicated at the END of the line: the driver's tail
+    // capture truncated the leading "value" field in BENCH_r05, so the
+    // headline total must survive truncation from either side.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","total_sec":$total,"n":${results.size}}""")
     spark.stop()
   }
 }

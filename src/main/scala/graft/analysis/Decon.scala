@@ -29,14 +29,26 @@ object Decon {
   /** Per-corpus-document overlap against `benchmark`:
     * (idCol, n_grams, n_matched, overlap_frac). Documents with fewer
     * than `n` words score 0 over 0 grams.
+    *
+    * The distinct benchmark-gram set is persisted and counted before the
+    * corpus-side join: at or below `maxBroadcastGrams` it is broadcast
+    * (the normal case — eval sets are tiny), above it the hint is dropped
+    * and Catalyst falls back to a shuffle join, so a pathologically fat
+    * "benchmark" degrades to an ordinary join instead of OOMing every
+    * executor with an unbounded broadcast table. The count is one extra
+    * benchmark-side job against the cached gram set, never a corpus scan.
     */
   def overlapScore(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int,
+      maxBroadcastGrams: Long = 5000000L): DataFrame = {
     val bGrams = docGrams(benchmark, idCol, textCol, n)
       .select("gram").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = bGrams.withColumn("__hit__", lit(1))
+    val joinSide =
+      if (bGrams.count() <= maxBroadcastGrams) broadcast(hits) else hits
     val scored = docGrams(corpus, idCol, textCol, n)
-      .join(broadcast(bGrams.withColumn("__hit__", lit(1))),
-        Seq("gram"), "left")
+      .join(joinSide, Seq("gram"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         count(col("__hit__")).as("n_matched"))

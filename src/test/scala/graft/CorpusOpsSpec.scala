@@ -129,6 +129,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("decon overlap: size guard drops the broadcast hint, results unchanged") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four alpha beta gamma delta epsilon"),
+      (3L, "totally different words here entirely now")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val hinted = graft.analysis.Decon
+      .overlapScore(corpus, bench, "doc_id", "text", 5)
+    val guarded = graft.analysis.Decon
+      .overlapScore(corpus, bench, "doc_id", "text", 5, maxBroadcastGrams = 0L)
+    // above the threshold the plan carries no broadcast hint (Catalyst is
+    // free to shuffle-join a benchmark too large for executor memory)...
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!guarded.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // ...and both paths compute identical scores
+    assert(rows(hinted) == rows(guarded))
+  }
+
+  test("length histogram: non-positive lengths land in dedicated bucket 0") {
+    import spark.implicits._
+    val df = Seq((1L, -5L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 3L))
+      .toDF("id", "len").withColumn("g", lit("g"))
+    val h = graft.analysis.CorpusStats.lengthHistogram(df, "len", Seq("g"))
+      .collect().map(r => r.getAs[Long]("len_bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_len"),
+          r.getAs[Long]("max_len"))).toMap
+    assert(h(0L) == ((2L, -5L, 0L))) // -5 and 0 both in bucket 0
+    assert(h(1L) == ((1L, 1L, 1L)))  // bucket 1 = [1,2) — no bin(0) collision
+    assert(h(2L) == ((2L, 2L, 3L)))  // bucket 2 = [2,4)
+  }
+
   test("length histogram: buckets partition the corpus with power-of-2 bounds") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val h = graft.analysis.CorpusStats
