@@ -40,10 +40,18 @@ object EmbeddingDedup {
     */
   def deduplicate(df: DataFrame, embCol: String, blockCol: String,
       threshold: Double,
-      maxDriverEdges: Long = 10_000_000L): DataFrame = {
-    val withId = df
-      .withColumn(MinHashDedup.IdCol, monotonically_increasing_id())
-      .persist()
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None): DataFrame = {
+    val withId = MinHashDedup.assignId(df, orderCol)
+    MinHashDedup.keepFirst(withId,
+      verifiedEdges(withId, embCol, blockCol, threshold), maxDriverEdges)
+  }
+
+  /** Above-threshold within-block cosine pairs — the verified edge list
+    * feeding the clustering. Exposed for the keep-first invariant specs.
+    */
+  private[graft] def verifiedEdges(withId: DataFrame, embCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
     import graft.similarity.Ann
     // norms once per row, NOT per pair (primitive kernel — the Column HOF
     // version is CodegenFallback, ~100× slower on the pair scan)
@@ -57,11 +65,10 @@ object EmbeddingDedup {
     // ALL above-threshold pairs feed clustering (multi-edges are fine);
     // a per-node min-reduction would drop cross-links and over-keep vs
     // transitive clustering, and cost an extra shuffle
-    val edges = a.join(b, Seq("blk"))
+    a.join(b, Seq("blk"))
       .where(col("xid") < col("yid"))
       .where(Ann.dotFast(col("ea"), col("eb")) / (col("na") * col("nb"))
         >= threshold)
       .select(col("yid").as("__x__"), col("xid").as("__y__"))
-    MinHashDedup.keepFirst(withId, edges, maxDriverEdges)
   }
 }

@@ -222,7 +222,19 @@ final case class MinHashConfig(
   */
 object MinHashDedup {
 
-  private[dedup] val IdCol = "__graft_dedup_id__"
+  private[graft] val IdCol = "__graft_dedup_id__"
+
+  /** Attach the keep-first id: a DATA-DERIVED unique non-null Long column
+    * when `orderCol` is given (kept set then deterministic under ANY
+    * partitioning), physical row order otherwise (reference semantics).
+    * Shared by every dedup variant; persisted because every variant scans
+    * it at least twice (edge building + final keep filter).
+    */
+  private[graft] def assignId(df: DataFrame, orderCol: Option[String]): DataFrame =
+    df.withColumn(IdCol, orderCol match {
+      case Some(c) => col(c).cast(org.apache.spark.sql.types.LongType)
+      case None => monotonically_increasing_id()
+    }).persist()
 
   def signatureColumn(cfg: MinHashConfig): Column => Column = {
     val (b, r) = OptimalParam(cfg.threshold, cfg.numPerm)
@@ -263,7 +275,7 @@ object MinHashDedup {
     * `maxDriverEdges`; distributed min-label propagation above — no
     * unconditional driver materialization anywhere.
     */
-  private[dedup] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
+  private[graft] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
       maxDriverEdges: Long): DataFrame = {
     val edges = edgesRaw.toDF("__x__", "__y__").persist()
     // ONE limited collect decides the branch AND delivers the edges in the
@@ -323,12 +335,7 @@ object MinHashDedup {
       cfg: MinHashConfig = MinHashConfig(),
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None): DataFrame = {
-    val idExpr = orderCol match {
-      case Some(c) => col(c).cast(org.apache.spark.sql.types.LongType)
-      case None => monotonically_increasing_id()
-    }
-    val withId = df.withColumn(IdCol, idExpr)
-      .persist()
+    val withId = assignId(df, orderCol)
     val text = coalesce(col(column), lit(""))
 
     // 1) ONE streaming window does two jobs at once. Key = the text

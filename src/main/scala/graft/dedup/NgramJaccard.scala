@@ -99,11 +99,19 @@ object NgramJaccard {
   def deduplicate(df: DataFrame, column: String, n: Int = 5,
       threshold: Double = 0.7,
       cfg: MinHashConfig = MinHashConfig(),
-      maxDriverEdges: Long = 10_000_000L): DataFrame = {
-    val spark = df.sparkSession
-    val withId = df
-      .withColumn(MinHashDedup.IdCol, monotonically_increasing_id())
-      .persist()
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None): DataFrame = {
+    val withId = MinHashDedup.assignId(df, orderCol)
+    MinHashDedup.keepFirst(withId,
+      verifiedEdges(withId, column, n, threshold, cfg), maxDriverEdges)
+  }
+
+  /** Exact-Jaccard-verified candidate pairs — the edge list feeding the
+    * clustering. Exposed for the keep-first invariant specs.
+    */
+  private[graft] def verifiedEdges(withId: DataFrame, column: String,
+      n: Int, threshold: Double, cfg: MinHashConfig): DataFrame = {
+    val spark = withId.sparkSession
     val text = coalesce(col(column), lit(""))
     val sig = MinHashDedup.signatureColumn(cfg.copy(ngramSize = n,
       minNgramSize = n, threshold = threshold))
@@ -132,13 +140,12 @@ object NgramJaccard {
     // ALL verified pairs go to clustering (multi-edges are fine for both
     // union-find and min-label propagation); a per-node min-reduction
     // would drop cross-links and over-keep vs transitive clustering
-    val verified = candidates
+    candidates
       .join(withId.select(col(MinHashDedup.IdCol).as("__x__"),
         col(column).as("__ta__")), Seq("__x__"))
       .join(withId.select(col(MinHashDedup.IdCol).as("__y__"),
         col(column).as("__tb__")), Seq("__y__"))
       .where(jac(col("__ta__"), col("__tb__")) >= threshold)
       .select(col("__x__"), col("__y__"))
-    MinHashDedup.keepFirst(withId, verified, maxDriverEdges)
   }
 }

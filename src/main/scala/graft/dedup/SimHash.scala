@@ -67,12 +67,22 @@ object SimHash {
     */
   def deduplicate(df: DataFrame, column: String,
       maxHamming: Int = 3,
-      maxDriverEdges: Long = 10_000_000L): DataFrame = {
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None): DataFrame = {
+    val withId = MinHashDedup.assignId(df, orderCol)
+    MinHashDedup.keepFirst(withId,
+      verifiedEdges(withId, column, maxHamming), maxDriverEdges)
+  }
+
+  /** The verified edge list feeding the clustering: hamming-0 star edges
+    * plus band-join pairs checked at ≤ `maxHamming` bits. Exposed for the
+    * keep-first invariant specs — the component-min of exactly these edges
+    * IS the kept set.
+    */
+  private[graft] def verifiedEdges(withId: DataFrame, column: String,
+      maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands
-    val withId = df
-      .withColumn(MinHashDedup.IdCol, monotonically_increasing_id())
-      .persist()
     val sigs = withId.select(col(MinHashDedup.IdCol).as("id"),
       signature(col(column)).as("sig"))
     // hamming-0 collapse: one streaming window, star edges to the first
@@ -98,7 +108,6 @@ object SimHash {
     // a per-node min-reduction here would drop cross-links (A-C, B-C with
     // A<B<C keeps only C→A) and over-keep vs transitive clustering —
     // and it cost an extra shuffle (ADVICE r3)
-    val edges = pairs.union(identEdges)
-    MinHashDedup.keepFirst(withId, edges, maxDriverEdges)
+    pairs.union(identEdges)
   }
 }

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{EmbeddingDedup, MinHashConfig, MinHashDedup, NgramJaccard, SimHash}
+
+/** Semantic keep-first invariants for the dedup variants whose kept-id
+  * goldens are self-pinned (simhash / embedding / ngram-jaccard): instead
+  * of comparing against yesterday's output, these specs PROVE, from each
+  * variant's own emitted edge list, that
+  *
+  *   (a) every emitted edge is verified-similar under an independent
+  *       re-implementation of that variant's similarity kernel,
+  *   (b) the kept set is exactly the component-min of those edges
+  *       (keep-first over transitive clusters — no over-drop, no
+  *       over-keep), via a spec-local union-find, and
+  *   (c) where the blocking scheme guarantees completeness (simhash
+  *       pigeonhole over all pairs; embedding within-block; identical
+  *       texts for ngram LSH), every qualifying pair is in one cluster.
+  *
+  * A day-one semantic bug (wrong band math, wrong verify threshold,
+  * wrong representative choice) now fails a proof, not a pin.
+  */
+class DedupInvariantSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def sf001 = "/root/testdata/sf0.001"
+
+  /** Spec-local min-root union-find (independent of the production
+    * ConnectedComponents): union by smaller root so each tree's root is
+    * its component minimum.
+    */
+  private def unionRoots(ids: Seq[Long],
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  /** Documents plus 20 re-ids'd copies of the head — guarantees the
+    * corpus contains exact-duplicate clusters so keep/drop is exercised.
+    */
+  private def corpusWithDupes: DataFrame = {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text")
+    docs.union(docs.orderBy("doc_id").limit(20)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  test("simhash: edges valid, kept = component mins, pigeonhole complete") {
+    val corpus = corpusWithDupes
+    val withId = MinHashDedup.assignId(corpus, Some("doc_id"))
+    val edges = SimHash.verifiedEdges(withId, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val texts = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sigs = texts.map { case (id, t) => id -> SimHash.simhash64(t) }
+    // (a) every edge is within the hamming budget, recomputed from scratch
+    edges.foreach { case (x, y) =>
+      val h = java.lang.Long.bitCount(sigs(x) ^ sigs(y))
+      assert(h <= 3, s"edge ($x,$y) has hamming $h > 3")
+    }
+    // (b) keep-first exactness against a spec-local union-find
+    val ids = texts.keys.toSeq
+    val roots = unionRoots(ids, edges)
+    val expected = ids.filter(i => roots(i) == i).toSet
+    val kept = SimHash.deduplicate(corpus, "text", maxHamming = 3,
+        orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected,
+      s"kept diff: extra=${kept -- expected}, missing=${expected -- kept}")
+    // (c) pigeonhole banding is EXACT for hamming <= bands-1: every
+    // qualifying pair anywhere in the corpus must share a cluster
+    val arr = ids.toArray
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length) {
+        if (java.lang.Long.bitCount(sigs(arr(i)) ^ sigs(arr(j))) <= 3)
+          assert(roots(arr(i)) == roots(arr(j)),
+            s"similar pair (${arr(i)},${arr(j)}) not clustered")
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  test("ngram-jaccard: edges valid, kept = component mins, ident-text complete") {
+    val n = 5
+    val threshold = 0.7
+    val corpus = corpusWithDupes
+    val withId = MinHashDedup.assignId(corpus, Some("doc_id"))
+    val edges = NgramJaccard
+      .verifiedEdges(withId, "text", n, threshold, MinHashConfig())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val texts = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // (a) every edge passes the exact-Jaccard verify kernel
+    edges.foreach { case (x, y) =>
+      val j = NgramJaccard.jaccardDocs(texts(x), texts(y), n)
+      assert(j >= threshold, s"edge ($x,$y) has jaccard $j < $threshold")
+    }
+    // (b) keep-first exactness
+    val ids = texts.keys.toSeq
+    val roots = unionRoots(ids, edges)
+    val expected = ids.filter(i => roots(i) == i).toSet
+    val kept = NgramJaccard.deduplicate(corpus, "text", n, threshold,
+        orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected,
+      s"kept diff: extra=${kept -- expected}, missing=${expected -- kept}")
+    // (c) identical shingleable texts share every band, so LSH finds them
+    // deterministically: each duplicate-text class must be one cluster
+    texts.groupBy(_._2).values
+      .filter(g => g.size > 1 && NgramJaccard.gramSet(g.head._2, n).size > 0)
+      .foreach { g =>
+        val rs = g.keys.map(roots).toSet
+        assert(rs.size == 1, s"identical-text class split: $g -> $rs")
+      }
+  }
+
+  test("embedding: edges valid, kept = component mins, within-block complete") {
+    val threshold = 0.35
+    val base = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val corpus = base.union(base.orderBy("vec_id").limit(20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label")))
+    val withId = MinHashDedup.assignId(corpus, Some("vec_id"))
+    val edges = EmbeddingDedup
+      .verifiedEdges(withId, "embedding", "label", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rows = corpus.collect().map { r =>
+      r.getLong(0) -> (r.getInt(2), r.getSeq[Float](1).toArray)
+    }.toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // (a) every edge is same-block and above threshold (small float
+    // tolerance: the production kernel accumulates in a different order)
+    edges.foreach { case (x, y) =>
+      assert(rows(x)._1 == rows(y)._1, s"edge ($x,$y) crosses blocks")
+      val c = cosine(rows(x)._2, rows(y)._2)
+      assert(c >= threshold - 1e-6, s"edge ($x,$y) cosine $c < $threshold")
+    }
+    // (b) keep-first exactness
+    val ids = rows.keys.toSeq
+    val roots = unionRoots(ids, edges)
+    val expected = ids.filter(i => roots(i) == i).toSet
+    val kept = EmbeddingDedup.deduplicate(corpus, "embedding", "label",
+        threshold, orderCol = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected,
+      s"kept diff: extra=${kept -- expected}, missing=${expected -- kept}")
+    // (c) blocking compares ALL within-block pairs: every same-block pair
+    // clearly above threshold must be clustered
+    ids.groupBy(i => rows(i)._1).values.foreach { blockIds =>
+      val a = blockIds.toArray
+      var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) {
+          if (cosine(rows(a(i))._2, rows(a(j))._2) >= threshold + 1e-6)
+            assert(roots(a(i)) == roots(a(j)),
+              s"similar within-block pair (${a(i)},${a(j)}) not clustered")
+          j += 1
+        }
+        i += 1
+      }
+    }
+  }
+}
