@@ -172,20 +172,30 @@ object Ann {
     out
   }
 
+  /** The `nprobe` cell ids whose centroids are nearest the query —
+    * deterministic (ties broken on cell id). Exposed so callers (and the
+    * correctness oracle) can materialize the probe decision itself.
+    */
+  def probeCells(corpus: DataFrame, query: DataFrame, embCol: String,
+      cellCol: String, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, embCol, cellCol)
+    val q = broadcast(query.select(col(embCol).as("__q__")))
+    cents.crossJoin(q)
+      .withColumn("__csim__", cosine(col("__centroid__"), col("__q__")))
+      .orderBy(col("__csim__").desc, col(cellCol))
+      .limit(nprobe)
+      .select(col(cellCol))
+  }
+
   /** IVF probe: rank cells by centroid similarity to the query, brute-force
     * only the top `nprobe` cells. `cellCol` is the coarse-quantizer cell id.
     */
   def ivfTopK(corpus: DataFrame, query: DataFrame, embCol: String,
       idCol: String, cellCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(corpus, embCol, cellCol)
-    val q = broadcast(query.select(col(embCol).as("__q__")))
-    val probedCells = cents.crossJoin(q)
-      .withColumn("__csim__", cosine(col("__centroid__"), col("__q__")))
-      .orderBy(col("__csim__").desc)
-      .limit(nprobe)
-      .select(col(cellCol))
     // cell list is tiny → broadcast semi-join prunes the corpus scan
-    val pruned = corpus.join(broadcast(probedCells), Seq(cellCol), "left_semi")
+    val pruned = corpus.join(
+      broadcast(probeCells(corpus, query, embCol, cellCol, nprobe)),
+      Seq(cellCol), "left_semi")
     bruteForceTopK(pruned, query, embCol, idCol, k)
   }
 
