@@ -211,7 +211,12 @@ object ChatPipeline {
     * are fully deterministic under any partitioning, with no global
     * sort anywhere in the plan.
     */
-  def flagship(spark: SparkSession, dir: String): DataFrame = {
+  /** The flagship trunk up to (and including) both dedup passes, with the
+    * data-derived keep-first id `__mid__` still attached — the kept-row
+    * set of the headline pipeline, exposed so the sf0.1 golden spec can
+    * pin it (the minhash twin of the DuckDB-oracled exact-dedup flagship).
+    */
+  private[graft] def flagshipKept(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.{MiniYaml, PipelineConfig, Preprocessor}
 
     val cfg = MiniYaml.parse(FlagshipYaml)
@@ -248,16 +253,19 @@ object ChatPipeline {
     val afterResponse = new Preprocessor(io, "response",
       respCfg.cleaners, respCfg.filters, respCfg.dedup,
       dedupOrderCol = Some("__mid__")).run()
-    val afterInstruction = new Preprocessor(afterResponse, "instruction",
+    new Preprocessor(afterResponse, "instruction",
       cleaners = Seq.empty, // main.py:54-56: cleaners never run on instructions
       filters = instrCfg.filters, dedup = instrCfg.dedup,
       dedupOrderCol = Some("__mid__")).run()
-      .drop("__mid__")
+  }
+
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val msgs = syntheticMessages(spark, dir)
 
     // R3 chatml: rebuild each kept row's prefix (messages before pos0,
     // do_train forced false) from the flat view — the join output is
     // O(kept × prefix), a few thousand structs, not 75k arrays
-    val kept = afterInstruction
+    val kept = flagshipKept(spark, dir)
     val prefixParts = kept.select(col("custkey").as("k"), col("pos0").as("p"))
       .join(msgs.select(col("custkey").as("k"), col("pos0").as("mp"),
         col("content").as("mc"), col("role").as("mr")), Seq("k"))

@@ -369,6 +369,24 @@ class ExtrasSpec extends AnyFunSuite {
     assert(kept === expected)
   }
 
+  test("flagship minhash-path kept set matches the committed sf0.1 golden") {
+    // pins the HEADLINE query's own kept rows (the minhash twin of the
+    // DuckDB-oracled flagship_e2e_exact), keyed by the data-derived
+    // keep-first id custkey*2^20 + pos0
+    val src = scala.io.Source.fromInputStream(
+      getClass.getClassLoader
+        .getResourceAsStream("flagship_golden_sf01.json"), "UTF-8")
+    val js = try src.mkString finally src.close()
+    val expected = "\"kept_mids\": \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(js).get.group(1)
+      .split(",").map(_.trim.toLong).toSeq
+    assert(expected.length === 547)
+    val kept = graft.chat.ChatPipeline
+      .flagshipKept(spark, "/root/testdata/sf0.1")
+      .select("__mid__").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === expected)
+  }
+
   test("distributed clustering path matches the reference golden too") {
     // maxDriverEdges = 0 forces the 100 TB min-label-propagation branch;
     // it must produce the exact same kept set as the driver UnionFind
