@@ -2,7 +2,7 @@ package graft.scoring
 
 import java.util.{HashMap => JHashMap}
 
-/** ARPA-format word n-gram language model (order 3) with KenLM-style
+/** ARPA-format word n-gram language model (order 4) with KenLM-style
   * backoff queries — the self-contained stand-in for the reference's
   * native KenLM 5-gram (chat_data_pipeline/kenlm_model.py:122-142; the
   * reference downloads `*.arpa.bin` models at runtime, which a zero-egress
@@ -12,20 +12,25 @@ import java.util.{HashMap => JHashMap}
   * scoring time.
   *
   * Query semantics (standard ARPA backoff, = kenlm), log10 space:
-  *   p(w|h₂h₁) = p3(h₂ h₁ w)                    if the trigram is listed
-  *             = backoff₂(h₂ h₁) + p(w|h₁)      otherwise
-  *   p(w|h)    = p2(h w)                        if the bigram is listed
-  *             = backoff₁(h) + p1(w)            otherwise
+  *   p(w|h₃h₂h₁) = p4(h₃ h₂ h₁ w)                 if the 4-gram is listed
+  *               = backoff₃(h₃ h₂ h₁) + p(w|h₂h₁) otherwise
+  *   p(w|h₂h₁)   = p3(h₂ h₁ w)                    if the trigram is listed
+  *               = backoff₂(h₂ h₁) + p(w|h₁)      otherwise
+  *   p(w|h)      = p2(h w)                        if the bigram is listed
+  *               = backoff₁(h) + p1(w)            otherwise
   * A missing backoff weight is 0 (log10 1). OOV words hit the `<unk>`
   * unigram; sentence score is log10 P(w1|<s>) + log10 P(w2|<s> w1) + … +
-  * log10 P(</s>|w_{n-1} w_n).
+  * log10 P(</s>|h₃ h₂ h₁). Order-2/3 files load fine — the higher-order
+  * tables are empty and every query backs off through them at weight 0.
   */
 final class ArpaModel(
     uniLog: JHashMap[String, java.lang.Double],
     backoffLog: JHashMap[String, java.lang.Double],
     biLog: JHashMap[String, java.lang.Double],
     biBackoffLog: JHashMap[String, java.lang.Double],
-    triLog: JHashMap[String, java.lang.Double]) extends Serializable {
+    triLog: JHashMap[String, java.lang.Double],
+    triBackoffLog: JHashMap[String, java.lang.Double],
+    quadLog: JHashMap[String, java.lang.Double]) extends Serializable {
 
   val Unk = "<unk>"
   val Bos = "<s>"
@@ -34,6 +39,7 @@ final class ArpaModel(
   def vocabSize: Int = uniLog.size
   def bigramCount: Int = biLog.size
   def trigramCount: Int = triLog.size
+  def quadgramCount: Int = quadLog.size
 
   private def inVocab(w: String): String =
     if (uniLog.containsKey(w)) w else Unk
@@ -64,30 +70,47 @@ final class ArpaModel(
     }
   }
 
+  /** log10 P(w | h3 h2 h1); pass `h3 = null` while the history is shorter
+    * than three events. h3/h2/h1 must already be vocab-mapped.
+    */
+  def logProb(h3: String, h2: String, h1: String, w0: String): Double = {
+    if (h3 == null) return logProb(h2, h1, w0)
+    val w = inVocab(w0)
+    val q = quadLog.get(h3 + " " + h2 + " " + h1 + " " + w)
+    if (q != null) q.doubleValue()
+    else {
+      val bo = triBackoffLog.get(h3 + " " + h2 + " " + h1)
+      (if (bo == null) 0.0 else bo.doubleValue()) + logProb(h2, h1, w)
+    }
+  }
+
   /** KenLM `model.score(line)`: total log10 probability of the
     * whitespace-tokenized line, `<s>` context, `</s>` included.
     */
   def score(line: String): Double = {
+    var h3: String = null
     var h2: String = null
     var h1 = Bos
     var sum = 0.0
     val it = line.split("\\s+").iterator.filter(_.nonEmpty)
     while (it.hasNext) {
       val w = it.next()
-      sum += logProb(h2, h1, w)
+      sum += logProb(h3, h2, h1, w)
+      h3 = h2
       h2 = h1
       h1 = inVocab(w)
     }
-    sum + logProb(h2, h1, Eos)
+    sum + logProb(h3, h2, h1, Eos)
   }
 }
 
 object ArpaModel {
 
   /** Parse an ARPA file (`\1-grams:` prob\tword[\tbackoff],
-    * `\2-grams:` prob\t"w1 w2"[\tbackoff], `\3-grams:` prob\t"w1 w2 w3"),
-    * all values log10. Order-2 files (no `\3-grams:` section) load fine —
-    * every trigram query then backs off through the bigram table.
+    * `\2-grams:` prob\t"w1 w2"[\tbackoff], `\3-grams:`
+    * prob\t"w1 w2 w3"[\tbackoff], `\4-grams:` prob\t"w1 w2 w3 w4"),
+    * all values log10. Lower-order files (no `\3-grams:`/`\4-grams:`
+    * section) load fine — queries back off through the missing tables.
     */
   def parse(lines: Iterator[String]): ArpaModel = {
     val uni = new JHashMap[String, java.lang.Double]()
@@ -95,12 +118,15 @@ object ArpaModel {
     val bi = new JHashMap[String, java.lang.Double]()
     val bo2 = new JHashMap[String, java.lang.Double]()
     val tri = new JHashMap[String, java.lang.Double]()
+    val bo3 = new JHashMap[String, java.lang.Double]()
+    val quad = new JHashMap[String, java.lang.Double]()
     var section = 0
     lines.foreach { raw =>
       val line = raw.trim
       if (line == "\\1-grams:") section = 1
       else if (line == "\\2-grams:") section = 2
       else if (line == "\\3-grams:") section = 3
+      else if (line == "\\4-grams:") section = 4
       else if (line == "\\end\\") section = 0
       else if (line.nonEmpty && section > 0) {
         val parts = line.split("\t")
@@ -112,10 +138,13 @@ object ArpaModel {
           if (parts.length >= 3) bo2.put(parts(1), parts(2).toDouble)
         } else if (section == 3 && parts.length >= 2) {
           tri.put(parts(1), parts(0).toDouble)
+          if (parts.length >= 3) bo3.put(parts(1), parts(2).toDouble)
+        } else if (section == 4 && parts.length >= 2) {
+          quad.put(parts(1), parts(0).toDouble)
         }
       }
     }
-    new ArpaModel(uni, bo, bi, bo2, tri)
+    new ArpaModel(uni, bo, bi, bo2, tri, bo3, quad)
   }
 
   def fromResource(path: String): Option[ArpaModel] = {

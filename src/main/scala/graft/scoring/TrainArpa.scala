@@ -6,14 +6,14 @@ import java.nio.file.{Files, Path, Paths}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-/** Offline generator for the shipped TRIGRAM ARPA model
+/** Offline generator for the shipped 4-GRAM ARPA model
   * (`src/main/resources/graft/graft-en.arpa`). Run once, commit the output:
   *
   *   sbt "runMain graft.scoring.TrainArpa"
   *
   * Corpus: English prose already present in the build image — Debian
   * package copyright files, common licenses, the Spark
-  * README/LICENSE/NOTICE, plus (new in r4, to feed the trigram order)
+  * README/LICENSE/NOTICE, plus (since r4, to feed the higher orders)
   * package READMEs, .txt and .md docs under /usr/share/doc and the vim
   * user-manual pages (public, redistributable text; per-file and total caps
   * keep one giant file from dominating). Every line is normalized with the
@@ -24,19 +24,22 @@ import scala.jdk.CollectionConverters._
   * over orders (Chen & Goodman 1998's formulation):
   *   p₂(w|h)  = max(c(hw)−D, 0)/c(h·) + λ₁(h)·p₁(w)
   *   p₃(w|h₂h₁) = max(c(h₂h₁w)−D, 0)/c(h₂h₁·) + λ₂(h₂h₁)·p₂(w|h₁)
+  *   p₄(w|h₃h₂h₁) = max(c(h₃h₂h₁w)−D, 0)/c(h₃h₂h₁·) + λ₃(h₃h₂h₁)·p₃(w|h₂h₁)
   * with λ(h) = D·|{w: kept hw}|/c(h·); ARPA backoff(h) = log10 λ(h).
   * Words below `MinCount` fold into `<unk>` BEFORE n-gram counting;
-  * bigrams below `MinBigram` / trigrams below `MinTrigram` (or whose
-  * context bigram was pruned) are dropped from the table — their mass
-  * rides the backoff (approximately normalized, which is fine for
-  * threshold filtering; this is not a decoder). The `<unk>` event
-  * probability is type-averaged at every order (see below).
+  * n-grams below their order's min count (or whose context n−1-gram was
+  * pruned) are dropped from the table — their mass rides the backoff
+  * (approximately normalized, which is fine for threshold filtering; this
+  * is not a decoder). The `<unk>` event probability is type-averaged at
+  * every order (see below). The 4-gram order narrows the gap to the
+  * reference's 5-gram KenLM model class (kenlm_model.py:18-29).
   */
 object TrainArpa {
 
   val MinCount = 5
   val MinBigram = 3
   val MinTrigram = 4
+  val MinQuad = 4
   val D = 0.75
   /** Per-file / total caps on the EXTRA prose (the copyright + license
     * core is always read in full).
@@ -123,12 +126,15 @@ object TrainArpa {
       .map(_._1).toSeq.sorted
     val Bos = 0; val Eos = 1; val Unk = 2
     val word = Array("<s>", "</s>", "<unk>") ++ vocabWords
-    require(word.length < (1 << 20), "vocab exceeds 20-bit id packing")
+    // 16-bit ids let a 4-gram pack into one Long (4 × 16 = 64 bits)
+    require(word.length < (1 << 16), "vocab exceeds 16-bit id packing")
     val id = word.iterator.zipWithIndex.toMap
     def mapId(w: String): Int = id.getOrElse(w, Unk)
-    @inline def pack2(a: Int, b: Int): Long = (a.toLong << 20) | b
+    @inline def pack2(a: Int, b: Int): Long = (a.toLong << 16) | b
     @inline def pack3(a: Int, b: Int, c: Int): Long =
-      (a.toLong << 40) | (b.toLong << 20) | c
+      (a.toLong << 32) | (b.toLong << 16) | c
+    @inline def pack4(a: Int, b: Int, c: Int, d: Int): Long =
+      (a.toLong << 48) | (b.toLong << 32) | (c.toLong << 16) | d
 
     // pass 2: n-gram counts over id sequences <s> w… </s>
     val uni = new Array[Long](word.length) // events only (<s> never counts)
@@ -136,6 +142,8 @@ object TrainArpa {
     val bi = mutable.LongMap.empty[Long]
     val ctx2 = mutable.LongMap.empty[Long]
     val tri = mutable.LongMap.empty[Long]
+    val ctx3 = mutable.LongMap.empty[Long]
+    val quad = mutable.LongMap.empty[Long]
     eachLine(files) { words =>
       val seq = new Array[Int](words.length + 2)
       seq(0) = Bos
@@ -153,6 +161,12 @@ object TrainArpa {
           tri(k3) = tri.getOrElse(k3, 0L) + 1
           val kc = pack2(seq(i - 2), seq(i - 1))
           ctx2(kc) = ctx2.getOrElse(kc, 0L) + 1
+        }
+        if (i >= 3) {
+          val k4 = pack4(seq(i - 3), seq(i - 2), seq(i - 1), seq(i))
+          quad(k4) = quad.getOrElse(k4, 0L) + 1
+          val kc3 = pack3(seq(i - 3), seq(i - 2), seq(i - 1))
+          ctx3(kc3) = ctx3.getOrElse(kc3, 0L) + 1
         }
         i += 1
       }
@@ -173,7 +187,7 @@ object TrainArpa {
     val kept2 = bi.iterator.filter(_._2 >= MinBigram).toArray.sortBy(_._1)
     val kept2Keys = kept2.map(_._1)
     val cont1 = new Array[Int](word.length)
-    kept2.foreach { case (k, _) => cont1((k >>> 20).toInt) += 1 }
+    kept2.foreach { case (k, _) => cont1((k >>> 16).toInt) += 1 }
     def lambda1(h: Int): Double =
       if (ctx1(h) > 0) math.max(D * cont1(h) / ctx1(h).toDouble, 1e-10)
       else 1.0
@@ -190,11 +204,12 @@ object TrainArpa {
     // the order-2 backoff weight) + order-2 backoff weights
     val kept3 = tri.iterator.filter { case (k, c) =>
       c >= MinTrigram &&
-        java.util.Arrays.binarySearch(kept2Keys, k >>> 20) >= 0
+        java.util.Arrays.binarySearch(kept2Keys, k >>> 16) >= 0
     }.toArray.sortBy(_._1)
+    val kept3Keys = kept3.map(_._1)
     val cont2 = mutable.LongMap.empty[Int]
     kept3.foreach { case (k, _) =>
-      val kc = k >>> 20
+      val kc = k >>> 16
       cont2(kc) = cont2.getOrElse(kc, 0) + 1
     }
     def lambda2(kc: Long): Double =
@@ -203,14 +218,42 @@ object TrainArpa {
           math.max(D * cont2.getOrElse(kc, 0) / c.toDouble, 1e-10)
         case _ => 1.0
       }
-    def p3(k3: Long, c: Long): Double = {
-      val kc = k3 >>> 20
-      val h1 = ((k3 >>> 20) & 0xFFFFF).toInt
-      val w = (k3 & 0xFFFFF).toInt
+    // FULL interpolated trigram probability — emitted entries and the
+    // lower-order term inside p4
+    def p3(h2: Int, h1: Int, w: Int): Double = {
+      val kc = pack2(h2, h1)
+      val c = tri.getOrElse(pack3(h2, h1, w), 0L)
       val cc = ctx2.getOrElse(kc, 0L)
       val disc = if (cc > 0) math.max(c - D, 0.0) / cc else 0.0
       // unk events are type-averaged at every order; p2 already divides
       disc / (if (w == Unk) foldedTypes else 1.0) + lambda2(kc) * p2(h1, w)
+    }
+
+    // kept 4-grams (context trigram must be kept: its ARPA entry carries
+    // the order-3 backoff weight) + order-3 backoff weights
+    val kept4 = quad.iterator.filter { case (k, c) =>
+      c >= MinQuad &&
+        java.util.Arrays.binarySearch(kept3Keys, k >>> 16) >= 0
+    }.toArray.sortBy(_._1)
+    val cont3 = mutable.LongMap.empty[Int]
+    kept4.foreach { case (k, _) =>
+      val kc = k >>> 16
+      cont3(kc) = cont3.getOrElse(kc, 0) + 1
+    }
+    def lambda3(kc3: Long): Double =
+      ctx3.get(kc3) match {
+        case Some(c) if c > 0 =>
+          math.max(D * cont3.getOrElse(kc3, 0) / c.toDouble, 1e-10)
+        case _ => 1.0
+      }
+    def p4(k4: Long, c: Long): Double = {
+      val kc3 = k4 >>> 16
+      val h2 = ((k4 >>> 32) & 0xFFFF).toInt
+      val h1 = ((k4 >>> 16) & 0xFFFF).toInt
+      val w = (k4 & 0xFFFF).toInt
+      val cc = ctx3.getOrElse(kc3, 0L)
+      val disc = if (cc > 0) math.max(c - D, 0.0) / cc else 0.0
+      disc / (if (w == Unk) foldedTypes else 1.0) + lambda3(kc3) * p3(h2, h1, w)
     }
 
     val sb = new StringBuilder(64 << 20)
@@ -218,7 +261,8 @@ object TrainArpa {
     sb ++= "\\data\\\n"
     sb ++= s"ngram 1=${word.length}\n"
     sb ++= s"ngram 2=${kept2.length}\n"
-    sb ++= s"ngram 3=${kept3.length}\n\n"
+    sb ++= s"ngram 3=${kept3.length}\n"
+    sb ++= s"ngram 4=${kept4.length}\n\n"
     sb ++= "\\1-grams:\n"
     word.indices.foreach { w =>
       val p = if (w == Bos) "-99.000000" else log10(p1(w))
@@ -226,18 +270,29 @@ object TrainArpa {
     }
     sb ++= "\n\\2-grams:\n"
     kept2.foreach { case (k, _) =>
-      val h = (k >>> 20).toInt
-      val w = (k & 0xFFFFF).toInt
+      val h = (k >>> 16).toInt
+      val w = (k & 0xFFFF).toInt
       val bo = // order-2 backoff only where a kept trigram context exists
         if (cont2.contains(k)) s"\t${log10(lambda2(k))}" else ""
       sb ++= s"${log10(p2(h, w))}\t${word(h)} ${word(w)}$bo\n"
     }
     sb ++= "\n\\3-grams:\n"
-    kept3.foreach { case (k, c) =>
-      val h2 = (k >>> 40).toInt
-      val h1 = ((k >>> 20) & 0xFFFFF).toInt
-      val w = (k & 0xFFFFF).toInt
-      sb ++= s"${log10(p3(k, c))}\t${word(h2)} ${word(h1)} ${word(w)}\n"
+    kept3.foreach { case (k, _) =>
+      val h2 = (k >>> 32).toInt
+      val h1 = ((k >>> 16) & 0xFFFF).toInt
+      val w = (k & 0xFFFF).toInt
+      val bo = // order-3 backoff only where a kept 4-gram context exists
+        if (cont3.contains(k)) s"\t${log10(lambda3(k))}" else ""
+      sb ++= s"${log10(p3(h2, h1, w))}\t${word(h2)} ${word(h1)} ${word(w)}$bo\n"
+    }
+    sb ++= "\n\\4-grams:\n"
+    kept4.foreach { case (k, c) =>
+      val h3 = (k >>> 48).toInt
+      val h2 = ((k >>> 32) & 0xFFFF).toInt
+      val h1 = ((k >>> 16) & 0xFFFF).toInt
+      val w = (k & 0xFFFF).toInt
+      sb ++= s"${log10(p4(k, c))}\t${word(h3)} ${word(h2)} ${word(h1)} " +
+        s"${word(w)}\n"
     }
     sb ++= "\n\\end\\\n"
 
@@ -245,6 +300,6 @@ object TrainArpa {
     Files.write(out, sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"[train] wrote $out: ${word.length} unigrams, " +
       s"${kept2.length} bigrams, ${kept3.length} trigrams, " +
-      s"${Files.size(out) / 1024} KiB")
+      s"${kept4.length} quadgrams, ${Files.size(out) / 1024} KiB")
   }
 }

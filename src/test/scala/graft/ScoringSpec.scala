@@ -10,13 +10,15 @@ import graft.scoring.{ArpaModel, ArpaScorer, CcNetNormalizer}
   */
 class ScoringSpec extends AnyFunSuite {
 
-  // tiny hand-written order-3 model: vocab {a, b}, two bigrams (with
-  // order-2 backoff weights), one trigram
+  // tiny hand-written order-4 model: vocab {a, b}, two bigrams (with
+  // order-2 backoff weights), two trigrams (one carrying an order-3
+  // backoff weight), one 4-gram
   private val tiny = ArpaModel.parse(
     """\data\
       |ngram 1=5
       |ngram 2=2
-      |ngram 3=1
+      |ngram 3=2
+      |ngram 4=1
       |
       |\1-grams:
       |-99.000000	<s>	-0.300000
@@ -30,7 +32,11 @@ class ScoringSpec extends AnyFunSuite {
       |-0.250000	<s> a	-0.050000
       |
       |\3-grams:
-      |-0.200000	<s> a b
+      |-0.200000	<s> a b	-0.120000
+      |-0.350000	a b a
+      |
+      |\4-grams:
+      |-0.180000	<s> a b a
       |
       |\end\
       |""".stripMargin.linesIterator)
@@ -53,9 +59,21 @@ class ScoringSpec extends AnyFunSuite {
       - (0.0 + (-0.2 + -2.0))) < 1e-12)
     // null h2 (first event after <s>) degrades to the bigram query
     assert(tiny.logProb(null, "a", "b") === tiny.logProb("a", "b"))
-    // document chain: P(a|<s>) + P(b|<s> a) + P(</s>|a b)
-    //   = -0.25 + -0.2 + (bo2("a b") + bo1(b) + p1(</s>))
-    val want = -0.25 + -0.2 + (-0.15 + -0.1 + -0.9)
+    // listed 4-gram wins
+    assert(math.abs(tiny.logProb("<s>", "a", "b", "a") - (-0.18)) < 1e-12)
+    // unlisted 4-gram, listed context trigram: backoff3 + trigram query
+    //   P(</s>|<s> a b) = bo3("<s> a b") + p3("a b </s>" unlisted:
+    //   bo2("a b") + bo1(b) + p1(</s>))
+    assert(math.abs(tiny.logProb("<s>", "a", "b", "zzz")
+      - (-0.12 + (-0.15 + (-0.1 + -2.0)))) < 1e-12)
+    // unlisted 4-gram, unlisted context trigram: backoff3 = 0
+    assert(math.abs(tiny.logProb("b", "a", "b", "a")
+      - (0.0 + -0.35)) < 1e-12)
+    // null h3 (history shorter than 3) degrades to the trigram query
+    assert(tiny.logProb(null, "<s>", "a", "b") === tiny.logProb("<s>", "a", "b"))
+    // document chain: P(a|<s>) + P(b|<s> a) + P(</s>|<s> a b)
+    //   = -0.25 + -0.2 + (bo3("<s> a b") + bo2("a b") + bo1(b) + p1(</s>))
+    val want = -0.25 + -0.2 + (-0.12 + -0.15 + -0.1 + -0.9)
     assert(math.abs(tiny.score("a b") - want) < 1e-12)
     // leading/trailing whitespace tokens are dropped
     assert(tiny.score("  a   b  ") === tiny.score("a b"))
@@ -66,6 +84,7 @@ class ScoringSpec extends AnyFunSuite {
     assert(m.vocabSize > 5000, "vocab")
     assert(m.bigramCount > 20000, "bigrams")
     assert(m.trigramCount > 20000, "trigrams")
+    assert(m.quadgramCount > 20000, "quadgrams")
   }
 
   test("document perplexity semantics match the reference") {
