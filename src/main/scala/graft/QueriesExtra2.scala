@@ -95,29 +95,79 @@ object QueriesExtra2 {
         "ORDER BY a"
     })
 
-  /** SimHash near-dedup — rows-only (procedural signature). */
-  val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
-    (s, dir) => graft.dedup.SimHash.deduplicate(
-      Queries.table(s, dir, "documents"), "text", maxHamming = 3)
-      .select("doc_id").orderBy("doc_id"),
-    None)
+  /** Side-channel parquet for the dedup oracles: the queries materialize
+    * their verified edge lists here, and DuckDB independently recomputes
+    * transitive closure → component minima → keep-first (a recursive-CTE
+    * replay of the clustering, the same materialized-decision pattern as
+    * the IVF oracle). Edge VALIDITY is proven separately by
+    * DedupInvariantSpec's kernel re-verification, so between the two, both
+    * halves of each variant — pair finding and clustering — are checked
+    * by something that is not the engine itself.
+    */
+  private[graft] def dedupEdgesPath(variant: String) = s"/tmp/graft_dedup_edges_$variant"
 
-  /** Two-stage (LSH + exact Jaccard) near-dedup — rows-only. Reference-
-    * default n=5/threshold=0.7: lower thresholds on this tiny-vocabulary
-    * corpus degenerate to R=2 bands that candidate nearly every pair.
+  /** Recursive-CTE keep-first over a materialized undirected edge list:
+    * kept = ids not reachable from any smaller id.
+    */
+  private[graft] def keepFirstSql(variant: String, table: String,
+      idCol: String): String = {
+    val p = dedupEdgesPath(variant) + "/*.parquet"
+    s"WITH RECURSIVE e AS (SELECT __x__ AS a, __y__ AS b FROM " +
+      s"parquet_scan('$p') UNION SELECT __y__, __x__ FROM " +
+      s"parquet_scan('$p')), " +
+      "reach(a, b) AS (SELECT a, b FROM e UNION " +
+      "SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+      "root AS (SELECT a AS id, least(a, min(b)) AS root FROM reach " +
+      "GROUP BY a) " +
+      s"SELECT t.$idCol FROM $table t LEFT JOIN root r ON t.$idCol = r.id " +
+      s"WHERE r.root IS NULL OR r.root = t.$idCol ORDER BY t.$idCol"
+  }
+
+  /** Shared body for the edge-oracled dedup queries: assign doc-derived
+    * ids, write the variant's verified edges for the oracle, cluster.
+    */
+  private[graft] def edgeOracledDedup(s: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      variant: String,
+      edges: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.dedup.MinHashDedup
+    val withId = MinHashDedup.assignId(corpus, Some(idCol))
+    edges(withId).write.mode("overwrite").parquet(dedupEdgesPath(variant))
+    val out = MinHashDedup
+      .keepFirst(withId, s.read.parquet(dedupEdgesPath(variant)), 10000000L)
+      .select(idCol).orderBy(idCol)
+      .localCheckpoint(true) // lineage cut so the id cache can release
+    withId.unpersist()
+    out
+  }
+
+  /** SimHash near-dedup — edge-list-oracled (see [[dedupEdgesPath]]). */
+  val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
+    (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "documents"),
+      "doc_id", "simhash",
+      withId => graft.dedup.SimHash.verifiedEdges(withId, "text", 3)),
+    Some(keepFirstSql("simhash", "documents", "doc_id")))
+
+  /** Two-stage (LSH + exact Jaccard) near-dedup — edge-list-oracled.
+    * Reference-default n=5/threshold=0.7: lower thresholds on this
+    * tiny-vocabulary corpus degenerate to R=2 bands that candidate
+    * nearly every pair.
     */
   val dedupJaccard: QueryDef = QueryDef("dedup_ngram_jaccard",
-    (s, dir) => graft.dedup.NgramJaccard.deduplicate(
-      Queries.table(s, dir, "documents"), "text", n = 5, threshold = 0.7)
-      .select("doc_id").orderBy("doc_id"),
-    None)
+    (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "documents"),
+      "doc_id", "ngram",
+      withId => graft.dedup.NgramJaccard.verifiedEdges(withId, "text",
+        5, 0.7, graft.dedup.MinHashConfig())),
+    Some(keepFirstSql("ngram", "documents", "doc_id")))
 
-  /** Embedding-cosine near-dedup within label blocks — rows-only. */
+  /** Embedding-cosine near-dedup within label blocks — edge-list-oracled. */
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
-    (s, dir) => graft.dedup.EmbeddingDedup.deduplicate(
-      Queries.table(s, dir, "embeddings"), "embedding", "label", 0.35)
-      .select("vec_id").orderBy("vec_id"),
-    None)
+    (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "embeddings"),
+      "vec_id", "embedding",
+      withId => graft.dedup.EmbeddingDedup.verifiedEdges(withId,
+        "embedding", "label", 0.35)),
+    Some(keepFirstSql("embedding", "embeddings", "vec_id")))
 
   /** P12 criteria `describe()` stats — the exact-aggregate subset (count/
     * avg/min/max; stddev & percentiles differ across engines' algorithms).

@@ -154,15 +154,19 @@ object QueriesPipeline {
     Some("SELECT min(doc_id) AS doc_id FROM documents " +
       "GROUP BY substr(text, 1, 20) ORDER BY doc_id"))
 
-  /** MinHash near-dedup over documents — not SQL-expressible end-to-end;
-    * rows-only + golden/invariant specs (SURVEY §2.6).
+  /** MinHash near-dedup over documents (SURVEY §2.6) — the signatures are
+    * not SQL-expressible, but the CLUSTERING is: the query materializes
+    * its candidate edge list and DuckDB replays transitive closure →
+    * component minima → keep-first over it (same pattern as the other
+    * dedup variants; reference-golden kept-id specs pin the signature
+    * side).
     */
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
-    (s, dir) => graft.dedup.MinHashDedup.deduplicate(
-      Queries.table(s, dir, "documents"), "text",
-      graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))
-      .select("doc_id").orderBy("doc_id"),
-    None)
+    (s, dir) => QueriesExtra2.edgeOracledDedup(s,
+      Queries.table(s, dir, "documents"), "doc_id", "minhash",
+      withId => graft.dedup.MinHashDedup.candidateEdges(withId, "text",
+        graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))),
+    Some(QueriesExtra2.keepFirstSql("minhash", "documents", "doc_id")))
 
   val all: Seq[QueryDef] = Seq(
     s3, r6r7, r8r9, r10, p7, p8, p9, p10, dedupExact, dedupMinhash)

@@ -336,6 +336,17 @@ object MinHashDedup {
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
+    keepFirst(withId, candidateEdges(withId, column, cfg), maxDriverEdges)
+  }
+
+  /** The candidate edge list feeding the clustering (identical-class star
+    * edges + LSH band collisions — candidates, not verified pairs: the
+    * reference treats any band collision as a duplicate,
+    * minhash_deduplication.py:230-247). Exposed so the correctness oracle
+    * can replay the clustering over a materialized edge list.
+    */
+  private[graft] def candidateEdges(withId: DataFrame, column: String,
+      cfg: MinHashConfig): DataFrame = {
     val text = coalesce(col(column), lit(""))
 
     // 1) ONE streaming window does two jobs at once. Key = the text
@@ -373,7 +384,7 @@ object MinHashDedup {
         .as(Seq("band", "bsig")))
     val lshEdges = bucketMinEdges(banded)
 
-    keepFirst(withId, lshEdges.union(identEdges), maxDriverEdges)
+    lshEdges.union(identEdges)
   }
 
   private val MarkCol = "__graft_dedup_new__"
