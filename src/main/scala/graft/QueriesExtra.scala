@@ -313,14 +313,20 @@ object QueriesExtra {
       val emb = Queries.table(s, dir, "embeddings")
       val query = emb.orderBy("vec_id").limit(1)
       val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
-        k = 8, iters = 3).persist()
+        k = 8, iters = 3, trainFraction = 0.2).persist()
       cells.select(col("vec_id"), col("__cell__").as("cell"))
         .write.mode("overwrite").parquet(IvfCellsPath)
       Ann.probeCells(cells, query, "embedding", "__cell__", nprobe = 3)
         .select(col("__cell__").as("cell"))
         .write.mode("overwrite").parquet(IvfProbedPath)
+      // prune against the JUST-WRITTEN probe list instead of re-deriving
+      // it (a second centroids aggregate over the corpus) — the oracle and
+      // the query now also provably share one probe decision
+      val probed = broadcast(s.read.parquet(IvfProbedPath)
+        .select(col("cell").as("__cell__")))
       val out = Ann
-        .ivfTopK(cells, query, "embedding", "vec_id", "__cell__", 10, 3)
+        .bruteForceTopK(cells.join(probed, Seq("__cell__"), "left_semi"),
+          query, "embedding", "vec_id", 10)
         .select(col("rank"), col("vec_id"))
         .orderBy("rank")
         .localCheckpoint(true) // lineage cut so the cache can release now

@@ -97,9 +97,18 @@ object Ann {
     * centroid. Returns the corpus plus `cellCol`.
     */
   def kmeansAssign(corpus: DataFrame, embCol: String, idCol: String,
-      cellCol: String, k: Int, iters: Int = 3): DataFrame = {
+      cellCol: String, k: Int, iters: Int = 3,
+      trainFraction: Double = 1.0): DataFrame = {
     val spark = corpus.sparkSession
-    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+    // trainFraction < 1: Lloyd iterations over a seeded sample — the
+    // standard IVF build shape at scale (FAISS trains coarse quantizers on
+    // ~1% of large corpora): centroid quality converges with the sample,
+    // so training cost stops scaling with the corpus, while the single
+    // full assignment pass below always covers every row exactly.
+    val train =
+      if (trainFraction < 1.0) corpus.sample(trainFraction, 42L)
+      else corpus
+    var cents: Array[Array[Double]] = train.orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     // corpora smaller than k simply get one cell per row
@@ -134,7 +143,7 @@ object Ann {
     var it = 0
     while (it < iters - 1) {
       val (u, b) = assignUdf(cents)
-      val assigned = corpus.withColumn(cellCol, u(col(embCol)))
+      val assigned = train.withColumn(cellCol, u(col(embCol)))
       val next = centroids(assigned, embCol, cellCol)
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)

@@ -138,6 +138,13 @@ class ExtrasSpec extends AnyFunSuite {
     val dist = cells.groupBy("cell").count().collect()
     assert(dist.map(_.getLong(1)).sum === emb.count())
     assert(dist.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    // sample-trained quantizer (the 100 TB build shape): training runs on
+    // a fraction, but the assignment pass still covers every row
+    val sampled = graft.similarity.Ann
+      .kmeansAssign(emb, "embedding", "vec_id", "cell", k = 8, iters = 3,
+        trainFraction = 0.3)
+    assert(sampled.groupBy("cell").count().collect()
+      .map(_.getLong(1)).sum === emb.count())
     val query = emb.orderBy("vec_id").limit(1)
     val brute = graft.similarity.Ann
       .bruteForceTopK(emb, query, "embedding", "vec_id", 10)
