@@ -323,5 +323,6 @@ object QueriesExtra2 {
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
     dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet,
     ccNetBuckets, esSpans, p3DryRun, flagship,
-    QueriesFlagshipOracle.flagshipOracle)
+    QueriesFlagshipOracle.flagshipOracle,
+    QueriesFlagshipOracle.flagshipOracleMinhash)
 }

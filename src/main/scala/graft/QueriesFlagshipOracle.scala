@@ -7,30 +7,30 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Preprocessor
 import graft.text.{Cleaners, Filters}
 
-/** The flagship E2E dataflow (main.py:40-75) with EXACT dedup substituted
-  * for MinHash — every stage (synthesize → prefix-explode → clean → filter
-  * → keep-first dedup → instruction filter → chatml render) is then
-  * ANSI-SQL-expressible, so the WHOLE pipeline gets a DuckDB hash oracle
-  * instead of a rows-only check. Keep-first is made engine-independent by
-  * ranking inside each `response` group over the total order
-  * (source, instruction, rendered) — rows tying on all three are identical
-  * in every output column, so either engine's pick hashes the same.
+/** The flagship E2E dataflow (main.py:40-75) as TWO fully-oracled twins:
+  *
+  *  - `flagship_e2e_exact`: EXACT dedup substituted for MinHash — every
+  *    stage is then ANSI-SQL-expressible and the whole pipeline gets a
+  *    DuckDB hash oracle.
+  *  - `flagship_e2e_minhash` (r6): the REAL flagship semantics — MinHash
+  *    candidate edges, keep-first by the data-derived mid id
+  *    (custkey·2^20 + pos0) — with the edge list materialized so DuckDB
+  *    replays the clustering (closure → component-min → keep-first) over
+  *    an independently recomputed trunk. A spec additionally asserts this
+  *    twin's output row set equals `ChatPipeline.flagship`'s, so the
+  *    headline query itself is transitively covered by the oracle.
   */
 object QueriesFlagshipOracle {
 
-  /** Flat-row plan (r3 verdict: the explode-first version carried
-    * O(conversation) `input` arrays through clean/filter/window only to
-    * render them to ONE string at the end). The rank-window dedup the
-    * oracle mirrors only needs scalars (response, source, instruction,
-    * rendered), so the prefix is rendered to its final string form
-    * INSIDE the same custkey window that computes pos0/prev — no arrays
-    * ever enter the heavy stages. Output is row-for-row identical.
+  /** Flat-row trunk shared by both twins (r3 verdict: the explode-first
+    * version carried O(conversation) `input` arrays through clean/filter/
+    * window only to render them to ONE string at the end). ONE window pass
+    * renders each row's prefix; cleaners + the four response filters run
+    * on scalars. Returns rendered rows with `custkey`/`pos0` retained for
+    * the mid-id dedup of the minhash twin.
     */
-  private def run(s: SparkSession, dir: String): DataFrame = {
+  private def trunk(s: SparkSession, dir: String): DataFrame = {
     val msgs = graft.chat.ChatPipeline.syntheticMessages(s, dir)
-    // ONE window pass (already ordered by okey via pos0's window) renders
-    // each row's prefix "role:content:false|..." — the string the chatml
-    // transform produced from the `input` array in the explode-first plan
     val wAll = Window.partitionBy(col("custkey"))
       .orderBy(col("pos0"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -40,7 +40,8 @@ object QueriesFlagshipOracle {
           concat_ws(":", col("role"), col("content"), lit("false")))
           .over(wAll), "|"))
       .where(col("do_train"))
-      .select(col("source"), col("role").as("__outrole__"),
+      .select(col("custkey"), col("pos0"),
+        col("source"), col("role").as("__outrole__"),
         col("__prefix__"), (col("pos0") > 0).as("__hasprefix__"),
         when(col("pos0") > 0, Cleaners.stripWs(col("prev")))
           .otherwise(lit("")).as("instruction"),
@@ -56,10 +57,20 @@ object QueriesFlagshipOracle {
       Filters.checkCharRepetition(10, 0.2),
       Filters.checkLowercaseRatio(0.75))
     val filtered = Preprocessor.applyFilters(cleaned, "response", filters)
-    val rendered = filtered.withColumn("rendered",
+    filtered.withColumn("rendered",
       concat(col("__prefix__"),
         when(col("__hasprefix__"), lit("|")).otherwise(lit("")),
         col("__outrole__"), lit(":"), col("response"), lit(":true")))
+  }
+
+  /** Exact-dedup twin: keep-first made engine-independent by ranking
+    * inside each `response` group over the total order
+    * (source, instruction, rendered) — rows tying on all three are
+    * identical in every output column, so either engine's pick hashes
+    * the same.
+    */
+  private def run(s: SparkSession, dir: String): DataFrame = {
+    val rendered = trunk(s, dir)
     val w = Window.partitionBy(col("response"))
       .orderBy(col("source"), col("instruction"), col("rendered"))
     val deduped = rendered.withColumn("__rn__", row_number().over(w))
@@ -70,7 +81,38 @@ object QueriesFlagshipOracle {
       .orderBy("source", "rendered")
   }
 
-  private val oracle: String = {
+  /** MinHash twin: the flagship's own response-dedup config
+    * (ngram 5, 256 perms, threshold 0.7) and its own keep-first order
+    * (mid = custkey·2^20 + pos0), candidate edges materialized for the
+    * clustering oracle. Package-visible so the parity spec can compare it
+    * against `ChatPipeline.flagship`.
+    */
+  private[graft] def runMinhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.{MinHashConfig, MinHashDedup}
+    val rendered = trunk(s, dir)
+      .withColumn("__mid__", col("custkey") * (1L << 20) + col("pos0"))
+    val cfg = MinHashConfig(ngramSize = 5, numPerm = 256, threshold = 0.7,
+      minNgramSize = 5)
+    val withId = MinHashDedup.assignId(rendered, Some("__mid__"))
+    MinHashDedup.candidateEdges(withId, "response", cfg)
+      .write.mode("overwrite")
+      .parquet(QueriesExtra2.dedupEdgesPath("flagship"))
+    val out = MinHashDedup
+      .keepFirst(withId,
+        s.read.parquet(QueriesExtra2.dedupEdgesPath("flagship")), 10000000L)
+      .where(Filters.checkLowercaseRatio(0.55).keep(col("instruction")))
+      .select(col("source"), col("rendered"))
+      .orderBy("source", "rendered")
+      .localCheckpoint(true) // lineage cut so the id cache can release
+    withId.unpersist()
+    out
+  }
+
+  /** Shared oracle CTE chain: synthesize conversations → prefix-explode →
+    * clean → the four response filters, ending in `fio` (one row per
+    * surviving trained message with o_custkey/pos available for mid ids).
+    */
+  private val trunkCtes: String = {
     import OracleSql._
     val content = "'please handle ' || lower(o_orderpriority) || " +
       "' order number ' || (o_orderkey % 1000) || ' with care.'"
@@ -97,13 +139,40 @@ object QueriesFlagshipOracle {
       "(o_custkey, pos) WHERE " + wordCount("response") +
       " BETWEEN 5 AND 128 AND " + completionKeep("response") +
       " AND coalesce(r.ratio, 0.0) <= 0.2 AND " +
-      lowercaseRatio("response") + " >= 0.75), " +
+      lowercaseRatio("response") + " >= 0.75)"
+  }
+
+  private val oracle: String = {
+    import OracleSql._
+    trunkCtes + ", " +
       "ded AS (SELECT *, row_number() OVER (PARTITION BY response ORDER " +
       "BY source, instruction, rendered) AS rn FROM fio) " +
       "SELECT source, rendered FROM ded WHERE rn = 1 AND " +
       lowercaseRatio("instruction") + " >= 0.55 ORDER BY source, rendered"
   }
 
+  private val oracleMinhash: String = {
+    import OracleSql._
+    val p = QueriesExtra2.dedupEdgesPath("flagship") + "/*.parquet"
+    // RECURSIVE must follow WITH, so the closure CTEs lead the chain
+    "WITH RECURSIVE e AS (SELECT __x__ AS a, __y__ AS b FROM " +
+      s"parquet_scan('$p') UNION SELECT __y__, __x__ FROM " +
+      s"parquet_scan('$p')), " +
+      "reach(a, b) AS (SELECT a, b FROM e UNION " +
+      "SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+      "root AS (SELECT a AS id, least(a, min(b)) AS root FROM reach " +
+      "GROUP BY a), " +
+      trunkCtes.stripPrefix("WITH ") + ", " +
+      "m AS (SELECT fio.*, o_custkey * 1048576 + (pos - 1) AS mid " +
+      "FROM fio) " +
+      "SELECT source, rendered FROM m LEFT JOIN root r ON m.mid = r.id " +
+      "WHERE (r.root IS NULL OR r.root = m.mid) AND " +
+      lowercaseRatio("instruction") + " >= 0.55 ORDER BY source, rendered"
+  }
+
   val flagshipOracle: QueryDef =
     QueryDef("flagship_e2e_exact", run, Some(oracle))
+
+  val flagshipOracleMinhash: QueryDef =
+    QueryDef("flagship_e2e_minhash", runMinhash, Some(oracleMinhash))
 }

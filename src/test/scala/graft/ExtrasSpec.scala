@@ -376,6 +376,24 @@ class ExtrasSpec extends AnyFunSuite {
     assert(kept === expected)
   }
 
+  test("oracled minhash twin reproduces the flagship's output row set") {
+    // flagship_e2e_minhash is DuckDB-oracled; the headline
+    // flagship_chat_pipeline is not directly oracle-able (array-typed
+    // internals). This parity check makes the oracle transitive: twin ≡
+    // flagship ∧ twin ≡ DuckDB ⇒ flagship ≡ DuckDB. The two plans are
+    // structurally different (window-rendered prefixes vs join-rebuilt
+    // arrays), so agreement is meaningful.
+    val dir = "/root/testdata/sf0.001"
+    val flagship = QueriesExtra2.flagship.run(spark, dir)
+      .collect().map(r => (r.getString(1), r.getString(0))).toSet
+    val twin = QueriesFlagshipOracle.runMinhash(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(twin.nonEmpty)
+    assert(flagship === twin,
+      s"only-flagship=${(flagship -- twin).take(2)} " +
+        s"only-twin=${(twin -- flagship).take(2)}")
+  }
+
   test("flagship minhash-path kept set matches the committed sf0.1 golden") {
     // pins the HEADLINE query's own kept rows (the minhash twin of the
     // DuckDB-oracled flagship_e2e_exact), keyed by the data-derived
