@@ -192,13 +192,96 @@ object QueriesExtra2 {
     * document semantics) — rows-only (scores depend on the bundled model,
     * not expressible in ANSI SQL).
     */
+  /** F2 perplexity scoring — oracled by exporting the MODEL AS DATA (r6):
+    * the query dumps the shipped ARPA tables to parquet and DuckDB
+    * recomputes every document's perplexity from scratch — ccnet
+    * normalization (already-mirrored SQL chain), vocab mapping, the
+    * 4-gram→…→unigram backoff chain per event, ordered log-sum, the
+    * reference's `round(10^(−Σ/len), 1)` — sharing nothing with the JVM
+    * scorer but the parsed model constants. The 1-dp rounding absorbs
+    * any cross-engine ulp noise in the sum.
+    */
+  private val ArpaTablePath = "/tmp/graft_arpa_tables"
+
   val f2: QueryDef = QueryDef("f2_check_perplexity",
-    (s, dir) => Queries.table(s, dir, "documents")
-      .select(col("doc_id"),
-        graft.scoring.Perplexity.filter(0, 1e9).score(col("text"))
-          .as("text_check_perplexity_criteria"))
-      .orderBy("doc_id"),
-    None)
+    (s, dir) => {
+      import s.implicits._
+      val m = graft.scoring.ArpaScorer.model
+      m.uniRows.toDF("w", "p", "bo")
+        .write.mode("overwrite").parquet(s"$ArpaTablePath/uni")
+      m.biRows.toDF("g", "p", "bo")
+        .write.mode("overwrite").parquet(s"$ArpaTablePath/bi")
+      m.triRows.toDF("g", "p", "bo")
+        .write.mode("overwrite").parquet(s"$ArpaTablePath/tri")
+      m.quadRows.toDF("g", "p")
+        .write.mode("overwrite").parquet(s"$ArpaTablePath/quad")
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.scoring.Perplexity.filter(0, 1e9).score(col("text"))
+            .as("text_check_perplexity_criteria"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import OracleSql._
+      // documents.text is single-line; the ccnet chain is the same
+      // fragment the (injected-char) ccnet_normalize oracle hash-matches
+      val norm =
+        "regexp_replace(" +
+          normalizePunctuation(
+            "regexp_replace(strip_accents(lower(" + strip("text") + ")), " +
+              "'[0-9]', '0', 'g')") +
+          ", '[\\x00-\\x09\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')"
+      val bichain =
+        "CASE WHEN bp IS NOT NULL THEN bp ELSE coalesce(bo1v, 0) + up END"
+      val trichain = "CASE WHEN h2 IS NULL THEN " + bichain +
+        " WHEN tp IS NOT NULL THEN tp ELSE coalesce(bo2v, 0) + " +
+        bichain + " END"
+      val quadchain = "CASE WHEN h3 IS NULL THEN " + trichain +
+        " WHEN qp IS NOT NULL THEN qp ELSE coalesce(bo3v, 0) + " +
+        trichain + " END"
+      s"WITH uni AS (SELECT * FROM parquet_scan('$ArpaTablePath/uni/*.parquet')), " +
+        s"bi AS (SELECT * FROM parquet_scan('$ArpaTablePath/bi/*.parquet')), " +
+        s"tri AS (SELECT * FROM parquet_scan('$ArpaTablePath/tri/*.parquet')), " +
+        s"quad AS (SELECT * FROM parquet_scan('$ArpaTablePath/quad/*.parquet')), " +
+        s"d AS (SELECT doc_id, $norm AS norm FROM documents), " +
+        "t AS (SELECT doc_id, list_filter(regexp_split_to_array(norm, " +
+        "'\\s+'), x -> x <> '') AS ws FROM d), " +
+        "tok AS (SELECT doc_id, i, ws[i] AS w FROM t, LATERAL (SELECT " +
+        "unnest(generate_series(1, len(ws))) AS i) g), " +
+        "mtok AS (SELECT tok.doc_id, tok.i, CASE WHEN u.w IS NULL THEN " +
+        "'<unk>' ELSE tok.w END AS m FROM tok LEFT JOIN uni u ON " +
+        "u.w = tok.w), " +
+        "seqs AS (SELECT doc_id, list(m ORDER BY i) AS ms FROM mtok " +
+        "GROUP BY doc_id), " +
+        "fl AS (SELECT d.doc_id, coalesce(s.ms, []) AS ms FROM d LEFT " +
+        "JOIN seqs s USING (doc_id)), " +
+        "ev AS (SELECT doc_id, i, " +
+        "CASE WHEN i <= len(ms) THEN ms[i] ELSE '</s>' END AS w, " +
+        "CASE WHEN i = 1 THEN '<s>' ELSE ms[i-1] END AS h1, " +
+        "CASE WHEN i = 2 THEN '<s>' WHEN i > 2 THEN ms[i-2] END AS h2, " +
+        "CASE WHEN i = 3 THEN '<s>' WHEN i > 3 THEN ms[i-3] END AS h3 " +
+        "FROM fl, LATERAL (SELECT unnest(generate_series(1, len(ms)+1)) " +
+        "AS i) g), " +
+        "lk AS (SELECT e.doc_id, e.i, e.h2, e.h3, q.p AS qp, b3.bo AS " +
+        "bo3v, tr.p AS tp, b2.bo AS bo2v, bb.p AS bp, u1.bo AS bo1v, " +
+        "uw.p AS up FROM ev e " +
+        "LEFT JOIN quad q ON e.h3 IS NOT NULL AND q.g = e.h3 || ' ' || " +
+        "e.h2 || ' ' || e.h1 || ' ' || e.w " +
+        "LEFT JOIN tri b3 ON e.h3 IS NOT NULL AND b3.g = e.h3 || ' ' || " +
+        "e.h2 || ' ' || e.h1 " +
+        "LEFT JOIN tri tr ON e.h2 IS NOT NULL AND tr.g = e.h2 || ' ' || " +
+        "e.h1 || ' ' || e.w " +
+        "LEFT JOIN bi b2 ON e.h2 IS NOT NULL AND b2.g = e.h2 || ' ' || " +
+        "e.h1 " +
+        "LEFT JOIN bi bb ON bb.g = e.h1 || ' ' || e.w " +
+        "LEFT JOIN uni u1 ON u1.w = e.h1 " +
+        "LEFT JOIN uni uw ON uw.w = e.w), " +
+        s"pv AS (SELECT doc_id, i, ($quadchain) AS p FROM lk), " +
+        "res AS (SELECT doc_id, list_sum(list(p ORDER BY i)) AS logsum, " +
+        "count(*) AS len FROM pv GROUP BY doc_id) " +
+        "SELECT doc_id, round(pow(10, -logsum/len), 1) AS " +
+        "text_check_perplexity_criteria FROM res ORDER BY doc_id"
+    })
 
   /** §2.7 cc_net text normalization (kenlm_model.py:144-184), now with a
     * real DuckDB oracle: trim → lower → strip accents → digits→0 → punct

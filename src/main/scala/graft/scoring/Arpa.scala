@@ -41,6 +41,33 @@ final class ArpaModel(
   def trigramCount: Int = triLog.size
   def quadgramCount: Int = quadLog.size
 
+  /** Table dumps (gram → prob, gram → optional backoff) for exporting the
+    * model AS DATA — the correctness oracle materializes these to parquet
+    * and replays the backoff arithmetic in SQL.
+    */
+  private[graft] def uniRows: Seq[(String, Double, Option[Double])] = {
+    import scala.jdk.CollectionConverters._
+    uniLog.asScala.toSeq.map { case (w, p) =>
+      (w, p.doubleValue(), Option(backoffLog.get(w)).map(_.doubleValue()))
+    }
+  }
+  private[graft] def biRows: Seq[(String, Double, Option[Double])] = {
+    import scala.jdk.CollectionConverters._
+    biLog.asScala.toSeq.map { case (g, p) =>
+      (g, p.doubleValue(), Option(biBackoffLog.get(g)).map(_.doubleValue()))
+    }
+  }
+  private[graft] def triRows: Seq[(String, Double, Option[Double])] = {
+    import scala.jdk.CollectionConverters._
+    triLog.asScala.toSeq.map { case (g, p) =>
+      (g, p.doubleValue(), Option(triBackoffLog.get(g)).map(_.doubleValue()))
+    }
+  }
+  private[graft] def quadRows: Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    quadLog.asScala.toSeq.map { case (g, p) => (g, p.doubleValue()) }
+  }
+
   private def inVocab(w: String): String =
     if (uniLog.containsKey(w)) w else Unk
 
