@@ -93,19 +93,20 @@ object QueriesFlagshipOracle {
       .withColumn("__mid__", col("custkey") * (1L << 20) + col("pos0"))
     val cfg = MinHashConfig(ngramSize = 5, numPerm = 256, threshold = 0.7,
       minNgramSize = 5)
+    // assignId persists the rendered trunk: the edge write below both
+    // computes and caches it, and keepFirst's probe + the final scan reuse
+    // the cache (same leak-until-action pattern as the other dedup
+    // queries; a localCheckpoint here cost ~1s of copy at sf0.1)
     val withId = MinHashDedup.assignId(rendered, Some("__mid__"))
     MinHashDedup.candidateEdges(withId, "response", cfg)
       .write.mode("overwrite")
       .parquet(QueriesExtra2.dedupEdgesPath("flagship"))
-    val out = MinHashDedup
+    MinHashDedup
       .keepFirst(withId,
         s.read.parquet(QueriesExtra2.dedupEdgesPath("flagship")), 10000000L)
       .where(Filters.checkLowercaseRatio(0.55).keep(col("instruction")))
       .select(col("source"), col("rendered"))
       .orderBy("source", "rendered")
-      .localCheckpoint(true) // lineage cut so the id cache can release
-    withId.unpersist()
-    out
   }
 
   /** Shared oracle CTE chain: synthesize conversations → prefix-explode →
