@@ -136,6 +136,35 @@ class DedupInvariantSpec extends AnyFunSuite {
         val rs = g.keys.map(roots).toSet
         assert(rs.size == 1, s"identical-text class split: $g -> $rs")
       }
+    // (d) LSH misses must be PROBABILISTIC, not structural: any
+    // above-threshold pair NOT clustered together must genuinely share no
+    // band bucket (band signatures recomputed per doc; a banding bug that
+    // bucketed similar docs apart would land here, not hide behind "LSH
+    // is probabilistic")
+    val (bBands, bRows) = graft.dedup.OptimalParam(threshold, 256)
+    val bandSigs = texts.map { case (id, t) =>
+      id -> graft.dedup.MinHash
+        .bandSignatures(t, 256, n, n, bBands, bRows)
+        .map(_.toSeq)
+    }
+    val idArr = texts.keys.toArray
+    var i = 0
+    while (i < idArr.length) {
+      var j = i + 1
+      while (j < idArr.length) {
+        val (x, y) = (idArr(i), idArr(j))
+        if (roots(x) != roots(y) &&
+            NgramJaccard.jaccardDocs(texts(x), texts(y), n) >= threshold) {
+          val shared = bandSigs(x).zip(bandSigs(y)).exists {
+            case (a, b) => a == b
+          }
+          assert(!shared,
+            s"pair ($x,$y) is similar AND shares a band but not clustered")
+        }
+        j += 1
+      }
+      i += 1
+    }
   }
 
   test("embedding: edges valid, kept = component mins, within-block complete") {
