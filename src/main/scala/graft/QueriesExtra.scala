@@ -12,10 +12,12 @@ object QueriesExtra {
 
   /** Side-channel parquet paths for the IVF oracle: the Spark query
     * materializes its learned probe decision here so DuckDB can replay the
-    * identical pruned brute-force (see [[annIvf]]).
+    * identical pruned brute-force (see [[annIvf]]). Scale-keyed like the
+    * dedup edge paths (bench at sf0.1 must not clobber the sf0.01
+    * decision the static oracle SQL reads).
     */
-  private val IvfCellsPath = "/tmp/graft_ivf_cells"
-  private val IvfProbedPath = "/tmp/graft_ivf_probed"
+  private def ivfCellsPath(key: String) = s"/tmp/graft_ivf_cells_$key"
+  private def ivfProbedPath(key: String) = s"/tmp/graft_ivf_probed_$key"
 
   /** Shared SQL fragments mirroring TextAnalysis expression shapes. */
   private def cntSql(e: String, w: String): String =
@@ -312,17 +314,18 @@ object QueriesExtra {
       import graft.similarity.Ann
       val emb = Queries.table(s, dir, "embeddings")
       val query = emb.orderBy("vec_id").limit(1)
+      val key = QueriesExtra2.scaleKey(dir)
       val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
         k = 8, iters = 3, trainFraction = 0.2).persist()
       cells.select(col("vec_id"), col("__cell__").as("cell"))
-        .write.mode("overwrite").parquet(IvfCellsPath)
+        .write.mode("overwrite").parquet(ivfCellsPath(key))
       Ann.probeCells(cells, query, "embedding", "__cell__", nprobe = 3)
         .select(col("__cell__").as("cell"))
-        .write.mode("overwrite").parquet(IvfProbedPath)
+        .write.mode("overwrite").parquet(ivfProbedPath(key))
       // prune against the JUST-WRITTEN probe list instead of re-deriving
       // it (a second centroids aggregate over the corpus) — the oracle and
       // the query now also provably share one probe decision
-      val probed = broadcast(s.read.parquet(IvfProbedPath)
+      val probed = broadcast(s.read.parquet(ivfProbedPath(key))
         .select(col("cell").as("__cell__")))
       val out = Ann
         .bruteForceTopK(cells.join(probed, Seq("__cell__"), "left_semi"),
@@ -333,9 +336,11 @@ object QueriesExtra {
       cells.unpersist()
       out
     },
-    Some("WITH cells AS (SELECT * FROM parquet_scan('" + IvfCellsPath +
+    Some("WITH cells AS (SELECT * FROM parquet_scan('" +
+      ivfCellsPath(QueriesExtra2.OracleScaleKey) +
       "/*.parquet')), probed AS (SELECT cell FROM parquet_scan('" +
-      IvfProbedPath + "/*.parquet')), q AS (SELECT embedding FROM " +
+      ivfProbedPath(QueriesExtra2.OracleScaleKey) +
+      "/*.parquet')), q AS (SELECT embedding FROM " +
       "embeddings ORDER BY vec_id LIMIT 1), pr AS (SELECT e.vec_id, " +
       "e.embedding FROM embeddings e JOIN cells c ON e.vec_id = c.vec_id " +
       "WHERE c.cell IN (SELECT cell FROM probed)), s AS (SELECT pr.vec_id, " +

@@ -104,14 +104,27 @@ object QueriesExtra2 {
     * halves of each variant — pair finding and clustering — are checked
     * by something that is not the engine itself.
     */
-  private[graft] def dedupEdgesPath(variant: String) = s"/tmp/graft_dedup_edges_$variant"
+  /** Paths are keyed by the SCALE DIR the query ran against: the driver
+    * benches at sf0.1 and oracle-checks at sf0.01 in unspecified order,
+    * so the two runs must never clobber each other's materialized
+    * decisions. The STATIC oracle strings pin the correctness gate's
+    * scale ([[OracleScaleKey]]); `tools/verify_local.py` therefore only
+    * oracle-compares at sf0.01 (other scales still run rows-only).
+    */
+  private[graft] val OracleScaleKey = "sf0.01"
+
+  private[graft] def scaleKey(dir: String): String =
+    new java.io.File(dir).getName
+
+  private[graft] def dedupEdgesPath(variant: String, key: String) =
+    s"/tmp/graft_dedup_edges_${variant}_$key"
 
   /** Recursive-CTE keep-first over a materialized undirected edge list:
     * kept = ids not reachable from any smaller id.
     */
   private[graft] def keepFirstSql(variant: String, table: String,
       idCol: String): String = {
-    val p = dedupEdgesPath(variant) + "/*.parquet"
+    val p = dedupEdgesPath(variant, OracleScaleKey) + "/*.parquet"
     s"WITH RECURSIVE e AS (SELECT __x__ AS a, __y__ AS b FROM " +
       s"parquet_scan('$p') UNION SELECT __y__, __x__ FROM " +
       s"parquet_scan('$p')), " +
@@ -128,14 +141,15 @@ object QueriesExtra2 {
     */
   private[graft] def edgeOracledDedup(s: org.apache.spark.sql.SparkSession,
       corpus: org.apache.spark.sql.DataFrame, idCol: String,
-      variant: String,
+      variant: String, dir: String,
       edges: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.dedup.MinHashDedup
+    val path = dedupEdgesPath(variant, scaleKey(dir))
     val withId = MinHashDedup.assignId(corpus, Some(idCol))
-    edges(withId).write.mode("overwrite").parquet(dedupEdgesPath(variant))
+    edges(withId).write.mode("overwrite").parquet(path)
     val out = MinHashDedup
-      .keepFirst(withId, s.read.parquet(dedupEdgesPath(variant)), 10000000L)
+      .keepFirst(withId, s.read.parquet(path), 10000000L)
       .select(idCol).orderBy(idCol)
       .localCheckpoint(true) // lineage cut so the id cache can release
     withId.unpersist()
@@ -145,7 +159,7 @@ object QueriesExtra2 {
   /** SimHash near-dedup — edge-list-oracled (see [[dedupEdgesPath]]). */
   val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
     (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "documents"),
-      "doc_id", "simhash",
+      "doc_id", "simhash", dir,
       withId => graft.dedup.SimHash.verifiedEdges(withId, "text", 3)),
     Some(keepFirstSql("simhash", "documents", "doc_id")))
 
@@ -156,7 +170,7 @@ object QueriesExtra2 {
     */
   val dedupJaccard: QueryDef = QueryDef("dedup_ngram_jaccard",
     (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "documents"),
-      "doc_id", "ngram",
+      "doc_id", "ngram", dir,
       withId => graft.dedup.NgramJaccard.verifiedEdges(withId, "text",
         5, 0.7, graft.dedup.MinHashConfig())),
     Some(keepFirstSql("ngram", "documents", "doc_id")))
@@ -164,7 +178,7 @@ object QueriesExtra2 {
   /** Embedding-cosine near-dedup within label blocks — edge-list-oracled. */
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
     (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "embeddings"),
-      "vec_id", "embedding",
+      "vec_id", "embedding", dir,
       withId => graft.dedup.EmbeddingDedup.verifiedEdges(withId,
         "embedding", "label", 0.35)),
     Some(keepFirstSql("embedding", "embeddings", "vec_id")))

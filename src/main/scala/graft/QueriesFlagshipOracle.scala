@@ -97,13 +97,14 @@ object QueriesFlagshipOracle {
     // computes and caches it, and keepFirst's probe + the final scan reuse
     // the cache (same leak-until-action pattern as the other dedup
     // queries; a localCheckpoint here cost ~1s of copy at sf0.1)
+    val path =
+      QueriesExtra2.dedupEdgesPath("flagship", QueriesExtra2.scaleKey(dir))
     val withId = MinHashDedup.assignId(rendered, Some("__mid__"))
     MinHashDedup.candidateEdges(withId, "response", cfg)
       .write.mode("overwrite")
-      .parquet(QueriesExtra2.dedupEdgesPath("flagship"))
+      .parquet(path)
     MinHashDedup
-      .keepFirst(withId,
-        s.read.parquet(QueriesExtra2.dedupEdgesPath("flagship")), 10000000L)
+      .keepFirst(withId, s.read.parquet(path), 10000000L)
       .where(Filters.checkLowercaseRatio(0.55).keep(col("instruction")))
       .select(col("source"), col("rendered"))
       .orderBy("source", "rendered")
@@ -154,7 +155,8 @@ object QueriesFlagshipOracle {
 
   private val oracleMinhash: String = {
     import OracleSql._
-    val p = QueriesExtra2.dedupEdgesPath("flagship") + "/*.parquet"
+    val p = QueriesExtra2
+      .dedupEdgesPath("flagship", QueriesExtra2.OracleScaleKey) + "/*.parquet"
     // RECURSIVE must follow WITH, so the closure CTEs lead the chain
     "WITH RECURSIVE e AS (SELECT __x__ AS a, __y__ AS b FROM " +
       s"parquet_scan('$p') UNION SELECT __y__, __x__ FROM " +

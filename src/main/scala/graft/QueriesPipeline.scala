@@ -163,7 +163,7 @@ object QueriesPipeline {
     */
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
     (s, dir) => QueriesExtra2.edgeOracledDedup(s,
-      Queries.table(s, dir, "documents"), "doc_id", "minhash",
+      Queries.table(s, dir, "documents"), "doc_id", "minhash", dir,
       withId => graft.dedup.MinHashDedup.candidateEdges(withId, "text",
         graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))),
     Some(QueriesExtra2.keepFirstSql("minhash", "documents", "doc_id")))
