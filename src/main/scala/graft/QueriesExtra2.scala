@@ -119,19 +119,28 @@ object QueriesExtra2 {
   private[graft] def dedupEdgesPath(variant: String, key: String) =
     s"/tmp/graft_dedup_edges_${variant}_$key"
 
+  /** The symmetrize → transitive-closure → component-min CTE chain over a
+    * materialized undirected edge list. ONE definition shared by every
+    * clustering oracle (the four dedup variants and the flagship minhash
+    * twin) — prepend `WITH RECURSIVE ` and append a tail SELECT over
+    * `root(id, root)`.
+    */
+  private[graft] def closureCtes(edgeGlob: String): String =
+    s"e AS (SELECT __x__ AS a, __y__ AS b FROM " +
+      s"parquet_scan('$edgeGlob') UNION SELECT __y__, __x__ FROM " +
+      s"parquet_scan('$edgeGlob')), " +
+      "reach(a, b) AS (SELECT a, b FROM e UNION " +
+      "SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+      "root AS (SELECT a AS id, least(a, min(b)) AS root FROM reach " +
+      "GROUP BY a)"
+
   /** Recursive-CTE keep-first over a materialized undirected edge list:
     * kept = ids not reachable from any smaller id.
     */
   private[graft] def keepFirstSql(variant: String, table: String,
       idCol: String): String = {
     val p = dedupEdgesPath(variant, OracleScaleKey) + "/*.parquet"
-    s"WITH RECURSIVE e AS (SELECT __x__ AS a, __y__ AS b FROM " +
-      s"parquet_scan('$p') UNION SELECT __y__, __x__ FROM " +
-      s"parquet_scan('$p')), " +
-      "reach(a, b) AS (SELECT a, b FROM e UNION " +
-      "SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
-      "root AS (SELECT a AS id, least(a, min(b)) AS root FROM reach " +
-      "GROUP BY a) " +
+    "WITH RECURSIVE " + closureCtes(p) + " " +
       s"SELECT t.$idCol FROM $table t LEFT JOIN root r ON t.$idCol = r.id " +
       s"WHERE r.root IS NULL OR r.root = t.$idCol ORDER BY t.$idCol"
   }

@@ -157,14 +157,8 @@ object QueriesFlagshipOracle {
     import OracleSql._
     val p = QueriesExtra2
       .dedupEdgesPath("flagship", QueriesExtra2.OracleScaleKey) + "/*.parquet"
-    // RECURSIVE must follow WITH, so the closure CTEs lead the chain
-    "WITH RECURSIVE e AS (SELECT __x__ AS a, __y__ AS b FROM " +
-      s"parquet_scan('$p') UNION SELECT __y__, __x__ FROM " +
-      s"parquet_scan('$p')), " +
-      "reach(a, b) AS (SELECT a, b FROM e UNION " +
-      "SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
-      "root AS (SELECT a AS id, least(a, min(b)) AS root FROM reach " +
-      "GROUP BY a), " +
+    // RECURSIVE must follow WITH, so the shared closure CTEs lead the chain
+    "WITH RECURSIVE " + QueriesExtra2.closureCtes(p) + ", " +
       trunkCtes.stripPrefix("WITH ") + ", " +
       "m AS (SELECT fio.*, o_custkey * 1048576 + (pos - 1) AS mid " +
       "FROM fio) " +

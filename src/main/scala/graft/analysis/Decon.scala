@@ -44,9 +44,14 @@ object Decon {
     val bGrams = docGrams(benchmark, idCol, textCol, n)
       .select("gram").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the cache exists for the count() below; release it immediately so
+    // repeated calls in a long-lived session don't accumulate pinned
+    // blocks. The join's later re-scan recomputes the (benchmark-sized,
+    // i.e. tiny) gram explode once — cheap next to a leaked cache.
+    val small = try bGrams.count() <= maxBroadcastGrams
+      finally bGrams.unpersist()
     val hits = bGrams.withColumn("__hit__", lit(1))
-    val joinSide =
-      if (bGrams.count() <= maxBroadcastGrams) broadcast(hits) else hits
+    val joinSide = if (small) broadcast(hits) else hits
     val scored = docGrams(corpus, idCol, textCol, n)
       .join(joinSide, Seq("gram"), "left")
       .groupBy(idCol)

@@ -136,18 +136,28 @@ class DedupInvariantSpec extends AnyFunSuite {
         val rs = g.keys.map(roots).toSet
         assert(rs.size == 1, s"identical-text class split: $g -> $rs")
       }
-    // (d) LSH misses must be PROBABILISTIC, not structural: any
-    // above-threshold pair NOT clustered together must genuinely share no
-    // band bucket (band signatures recomputed per doc; a banding bug that
-    // bucketed similar docs apart would land here, not hide behind "LSH
-    // is probabilistic")
+    // (d) LSH misses must be EXPLAINABLE, not structural: candidates are
+    // star-shaped (member ↔ bucket-min), so a similar pair (x,y) sharing
+    // a bucket still legitimately misses when either star leg to the
+    // bucket minimum m fails exact verification (jac(x,m) < t or
+    // jac(y,m) < t). What may NOT happen: both legs verify and the pair
+    // is still split — that would be a clustering bug, not LSH
+    // probability. Band signatures and bucket minima recomputed per doc.
     val (bBands, bRows) = graft.dedup.OptimalParam(threshold, 256)
-    val bandSigs = texts.map { case (id, t) =>
-      id -> graft.dedup.MinHash
-        .bandSignatures(t, 256, n, n, bBands, bRows)
-        .map(_.toSeq)
+    val bandSigs = texts.collect {
+      case (id, t) if !NgramJaccard.gramSet(t, n).isEmpty =>
+        id -> graft.dedup.MinHash
+          .bandSignatures(t, 256, n, n, bBands, bRows)
+          .map(_.toSeq)
     }
-    val idArr = texts.keys.toArray
+    val bucketMin = scala.collection.mutable.Map.empty[(Int, Seq[Byte]), Long]
+    bandSigs.foreach { case (id, bs) =>
+      bs.zipWithIndex.foreach { case (sig, band) =>
+        val k = (band, sig)
+        bucketMin(k) = math.min(bucketMin.getOrElse(k, Long.MaxValue), id)
+      }
+    }
+    val idArr = bandSigs.keys.toArray
     var i = 0
     while (i < idArr.length) {
       var j = i + 1
@@ -155,11 +165,17 @@ class DedupInvariantSpec extends AnyFunSuite {
         val (x, y) = (idArr(i), idArr(j))
         if (roots(x) != roots(y) &&
             NgramJaccard.jaccardDocs(texts(x), texts(y), n) >= threshold) {
-          val shared = bandSigs(x).zip(bandSigs(y)).exists {
-            case (a, b) => a == b
-          }
-          assert(!shared,
-            s"pair ($x,$y) is similar AND shares a band but not clustered")
+          val structural = bandSigs(x).zipWithIndex
+            .zip(bandSigs(y)).exists { case ((sx, band), sy) =>
+              sx == sy && {
+                val m = bucketMin((band, sx))
+                NgramJaccard.jaccardDocs(texts(x), texts(m), n) >= threshold &&
+                  NgramJaccard.jaccardDocs(texts(y), texts(m), n) >= threshold
+              }
+            }
+          assert(!structural,
+            s"pair ($x,$y): similar, shares a bucket whose min verifies " +
+              "against both, yet not clustered")
         }
         j += 1
       }

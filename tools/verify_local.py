@@ -57,6 +57,21 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"parquet_scan('{SF_DIR}/{t}.parquet')")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    # Side-channel oracles (dedup edges, IVF cells/probe, ARPA-as-data) pin
+    # their /tmp parquet paths to the correctness gate's scale (sf0.01).
+    # At any other scale those decisions don't match this run's tables, so
+    # demote the scale-pinned entries to rows-only instead of comparing
+    # against stale or missing side-channels.
+    import os
+    scale = os.path.basename(SF_DIR.rstrip("/"))
+    if scale != "sf0.01":
+        # the ARPA model dump is corpus-independent (no scale key in its
+        # path) and stays comparable at every scale
+        pinned = {n for n, sql in oracle.items()
+                  if "/tmp/graft_" in sql and "sf0.01" in sql}
+        for n in sorted(pinned):
+            print(f"INFO {n}: scale-pinned oracle, rows-only at {scale}")
+        oracle = {n: s for n, s in oracle.items() if n not in pinned}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = OUT / name
