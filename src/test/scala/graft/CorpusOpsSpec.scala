@@ -36,6 +36,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(counts("test") - 1000L) < 100, counts)
   }
 
+  test("hashSplit: fp-saturated cumulative fraction cannot misassign") {
+    import spark.implicits._
+    // a huge fraction followed by a tiny one pushes the intermediate
+    // cumulative boundary to 1.0; unclamped, floor(1.0*65536) renders the
+    // 5-char '10000', which sorts BELOW 'ffff' and sends ~15/16 of rows
+    // to the tiny split
+    val df = (0L until 4096L).toDF("id")
+      .withColumn("split", Splits.hashSplit(col("id"),
+        Seq("big" -> (1.0 - 1e-12), "tiny" -> 1e-12)))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // clamped boundary 'ffff' keeps at most the h == 'ffff' sliver
+    // (~1/65536) in the tiny split
+    assert(counts.getOrElse("big", 0L) >= 4090L, counts)
+  }
+
   test("hashSplit: assignment is per-row stable — unchanged when corpus grows") {
     import spark.implicits._
     val small = (0L until 100L).toDF("id")
