@@ -109,15 +109,27 @@ object QueriesChat {
         "chr(10)||chr(10)), '')") +
       " AS text FROM conv ORDER BY o_custkey"))
 
-  /** R4: seeded full shuffle — deterministic in Spark (rand(42) ordering)
-    * but not reproducible in DuckDB → rows-only check.
+  /** R4: seeded full shuffle — now the engine-independent md5-keyed
+    * permutation ([[graft.chat.Conversations.shuffleSeeded]]), so the
+    * whole permutation (not just the row set) is DuckDB-hash-checked.
+    * The rank window is single-partition — a harness materialization of
+    * the order for comparison, not the operator (the operator is a plain
+    * distributed sort).
     */
   val r4: QueryDef = QueryDef("r4_shuffle_seeded",
-    (s, dir) => Queries.table(s, dir, "documents")
-      .orderBy(rand(42))
-      .withColumn("shuffle_rank", monotonically_increasing_id())
-      .select("doc_id", "shuffle_rank"),
-    None)
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(
+        md5(concat(lit("42:"), col("doc_id").cast("string"))), col("doc_id"))
+      graft.chat.Conversations
+        .shuffleSeeded(Queries.table(s, dir, "documents"), 42, col("doc_id"))
+        .withColumn("shuffle_rank", row_number().over(w).cast("long"))
+        .select("doc_id", "shuffle_rank")
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
+      "md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS " +
+      "shuffle_rank FROM documents ORDER BY doc_id"))
 
   val all: Seq[QueryDef] = Seq(r1r2, r3, r4, r5)
 }

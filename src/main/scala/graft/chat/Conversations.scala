@@ -47,6 +47,19 @@ object Conversations {
           stripWs(element_at(col("input"), -1).getField("content")))
           .otherwise(lit("")))
 
+  /** R4 `dataset.shuffle(seed)` (main.py:73) as an ENGINE-INDEPENDENT
+    * seeded permutation: sort by md5(seed ":" key) with the key itself as
+    * tie-break — the same trick as `Splits.hashSplit`. Honors the
+    * reference's contract (deterministic given the seed, uniform) while
+    * being reproducible in any engine with md5(), and append-stable: a
+    * row's sort key never changes when the corpus grows. The plan is one
+    * distributed range-sort — exactly what any full shuffle costs; rank
+    * materialization (when needed) is the caller's `row_number`, not part
+    * of the operator.
+    */
+  def shuffleSeeded(df: DataFrame, seed: Long, key: Column): DataFrame =
+    df.orderBy(md5(concat(lit(s"$seed:"), key.cast("string"))), key)
+
   /** R3 `convert_to_chatml` — main.py:120-135: prefix messages with
     * `do_train` forced false + one appended trained message carrying the
     * (possibly cleaned) `response` and the original output role.
