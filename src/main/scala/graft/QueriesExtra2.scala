@@ -4,7 +4,9 @@ import org.apache.spark.sql.functions._
 
 /** Batch 4: multimodal plumbing, event-time windowed aggregation (batch
   * twin of the streaming query), n-gram Jaccard math, and the remaining
-  * dedup variants (rows-only — transitive clustering is not ANSI-SQL).
+  * dedup variants (since r6 all DuckDB-oracled — the clustering is
+  * replayed over each variant's materialized edge list, see
+  * [[closureCtes]]).
   */
 object QueriesExtra2 {
 
@@ -210,11 +212,6 @@ object QueriesExtra2 {
       "CAST(sum(CAST(floor(crit * 1e9) AS BIGINT)) AS BIGINT) AS sum_e9, " +
       "min(crit) AS mn, max(crit) AS mx FROM c"))
 
-  /** F2 perplexity scoring via the pluggable TextScorer (default: the
-    * shipped ARPA word-bigram LM, kenlm-style backoff + the reference's
-    * document semantics) — rows-only (scores depend on the bundled model,
-    * not expressible in ANSI SQL).
-    */
   /** F2 perplexity scoring — oracled by exporting the MODEL AS DATA (r6):
     * the query dumps the shipped ARPA tables to parquet and DuckDB
     * recomputes every document's perplexity from scratch — ccnet
@@ -417,13 +414,15 @@ object QueriesExtra2 {
         "GROUP BY doc_id, grp ORDER BY doc_id, span_start"
     })
 
-  /** The full flagship chat pipeline as a bench query (rows-only): the
-    * E2E explode→clean→filter→dedup→chatml dataflow at the bench scale
-    * factor — the headline number for the engine as a whole. The
-    * harness-facing output is SCALAR-only (the driver loads parquet into
-    * pandas and sorts rows for hashing — an array<struct> column raises
-    * "unhashable type: numpy.ndarray" even for the rows-only check); the
-    * array-typed chatml API stays internal.
+  /** The full flagship chat pipeline as a bench query: the E2E
+    * explode→clean→filter→dedup→chatml dataflow at the bench scale
+    * factor — the headline number for the engine as a whole. Rows-only
+    * directly, but transitively oracled since r6: `flagship_e2e_minhash`
+    * is DuckDB-hash-checked and a parity spec asserts its output row set
+    * equals this query's. The harness-facing output is SCALAR-only (the
+    * driver loads parquet into pandas and sorts rows for hashing — an
+    * array<struct> column raises "unhashable type: numpy.ndarray" even
+    * for the rows-only check); the array-typed chatml API stays internal.
     */
   val flagship: QueryDef = QueryDef("flagship_chat_pipeline",
     (s, dir) => graft.chat.ChatPipeline.flagship(s, dir)
