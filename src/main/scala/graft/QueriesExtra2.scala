@@ -121,6 +121,32 @@ object QueriesExtra2 {
   private[graft] def dedupEdgesPath(variant: String, key: String) =
     s"/tmp/graft_dedup_edges_${variant}_$key"
 
+  /** r7: the minhash/simhash/ngram oracles' side-channel input moved one
+    * level UP the trust chain — from Spark-computed edge lists to the raw
+    * SIGNATURE frames (exploded (id, band, bsig) for the minhash family,
+    * (id, sig) for simhash). DuckDB now derives candidate edges itself
+    * (bucket-min per band / bit-sliced banding + hamming verify / exact
+    * Jaccard verify), so banding and candidate generation are oracle-
+    * checked, not just the clustering replay.
+    */
+  private[graft] def bandedPath(variant: String, key: String) =
+    s"/tmp/graft_dedup_banded_${variant}_$key"
+
+  private[graft] def sigPath(variant: String, key: String) =
+    s"/tmp/graft_dedup_sigs_${variant}_$key"
+
+  /** The side-channel exports are deterministic per (variant, scale): the
+    * first run in this JVM writes them; later runs — bench repetitions —
+    * skip the parquet write but still recompute everything the query is
+    * timed on (signatures, edges, clustering). Amortizes the write the
+    * same way the f2 ARPA dump and the IVF probe already are.
+    */
+  private val sunk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def sinkOnce(path: String): Option[String] =
+    if (sunk.add(path)) Some(path) else None
+
   /** The symmetrize → transitive-closure → component-min CTE chain over a
     * materialized undirected edge list. ONE definition shared by every
     * clustering oracle (the four dedup variants and the flagship minhash
@@ -147,8 +173,115 @@ object QueriesExtra2 {
       s"WHERE r.root IS NULL OR r.root = t.$idCol ORDER BY t.$idCol"
   }
 
-  /** Shared body for the edge-oracled dedup queries: assign doc-derived
-    * ids, write the variant's verified edges for the oracle, cluster.
+  /** Symmetrize → transitive closure → component-min over an `e0(a, b)`
+    * CTE already in scope — the shared tail of every signature-derived
+    * clustering oracle.
+    */
+  private[graft] val closureFromE0: String =
+    "e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0), " +
+      "reach(a, b) AS (SELECT a, b FROM e UNION " +
+      "SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a), " +
+      "root AS (SELECT a AS id, least(a, min(b)) AS root FROM reach " +
+      "GROUP BY a)"
+
+  /** MinHash candidate derivation IN SQL from the exported signature
+    * frame: LSH star edges = bucket-min over (band, bsig) of the banded
+    * parquet; identical/short-class star edges recomputed from a
+    * `dsrc(id, t)` CTE that must be in scope (partitioning by (short?,
+    * text-or-'') is the same grouping as MinHashDedup's sentinel key —
+    * DuckDB strings cannot hold NUL, so the sentinel is expressed as a
+    * separate boolean partition column instead). Ends in `root(id, root)`.
+    */
+  private[graft] def minhashCtes(bandedGlob: String, minNgram: Int): String =
+    s"bnd AS (SELECT id, band, bsig FROM parquet_scan('$bandedGlob')), " +
+      "lshm AS (SELECT id, min(id) OVER (PARTITION BY band, bsig) AS mn " +
+      "FROM bnd), " +
+      "lshe AS (SELECT DISTINCT id AS a, mn AS b FROM lshm " +
+      "WHERE id <> mn), " +
+      "tokc AS (SELECT id, len(regexp_split_to_array(coalesce(t, ''), " +
+      s"'[^A-Za-z_0-9]')) < $minNgram AS sh, coalesce(t, '') AS tt " +
+      "FROM dsrc), " +
+      "cmk AS (SELECT id, min(id) OVER (PARTITION BY sh, CASE WHEN sh " +
+      "THEN '' ELSE tt END) AS kmin FROM tokc), " +
+      "ide AS (SELECT id AS a, kmin AS b FROM cmk WHERE id <> kmin), " +
+      "e0 AS (SELECT a, b FROM lshe UNION SELECT a, b FROM ide), " +
+      closureFromE0
+
+  /** Full minhash keep-first oracle over a plain (idCol, text) table. */
+  private[graft] def minhashKeepFirstSql(variant: String, minNgram: Int,
+      table: String, idCol: String): String = {
+    val glob = bandedPath(variant, OracleScaleKey) + "/*.parquet"
+    s"WITH RECURSIVE dsrc AS (SELECT $idCol AS id, text AS t FROM $table), " +
+      minhashCtes(glob, minNgram) + " " +
+      s"SELECT t.$idCol FROM $table t LEFT JOIN root r ON t.$idCol = r.id " +
+      s"WHERE r.root IS NULL OR r.root = t.$idCol ORDER BY t.$idCol"
+  }
+
+  /** SimHash keep-first oracle from the exported (id, sig) frame alone:
+    * DuckDB re-derives the hamming-0 collapse, the k+1 bit-sliced band
+    * chunks (arithmetic shift + mask equals the JVM's unsigned shift once
+    * masked), the bucket self-join, the `bit_count(xor(...)) <= k` verify
+    * and the clustering.
+    */
+  private[graft] def simhashKeepFirstSql(variant: String, maxHamming: Int,
+      table: String, idCol: String): String = {
+    val glob = sigPath(variant, OracleScaleKey) + "/*.parquet"
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    s"WITH RECURSIVE s AS (SELECT id, sig FROM parquet_scan('$glob')), " +
+      "cmu AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS smin " +
+      "FROM s), " +
+      "ide AS (SELECT id AS a, smin AS b FROM cmu WHERE id <> smin), " +
+      "reps AS (SELECT id, sig FROM cmu WHERE id = smin), " +
+      s"bd AS (SELECT id, sig, band, (sig >> (band * $width)) & $mask " +
+      "AS chunk FROM reps, LATERAL (SELECT unnest(generate_series(0, " +
+      s"${bands - 1})) AS band) g), " +
+      "pr AS (SELECT y.id AS a, x.id AS b FROM bd x JOIN bd y ON " +
+      "x.band = y.band AND x.chunk = y.chunk AND x.id < y.id " +
+      s"WHERE bit_count(xor(x.sig, y.sig)) <= $maxHamming), " +
+      "e0 AS (SELECT a, b FROM pr UNION SELECT a, b FROM ide), " +
+      closureFromE0 + " " +
+      s"SELECT t.$idCol FROM $table t LEFT JOIN root r ON t.$idCol = r.id " +
+      s"WHERE r.root IS NULL OR r.root = t.$idCol ORDER BY t.$idCol"
+  }
+
+  /** Two-stage ngram-Jaccard keep-first oracle: candidates = bucket-min
+    * star edges from the exported banded frame; verification = exact
+    * word-n-gram Jaccard recomputed from the corpus in SQL (both engines'
+    * division is IEEE double, so `>= threshold` agrees bit-for-bit).
+    */
+  private[graft] def ngramKeepFirstSql(variant: String, n: Int,
+      threshold: Double, table: String, idCol: String): String = {
+    val glob = bandedPath(variant, OracleScaleKey) + "/*.parquet"
+    val gram = (0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"WITH RECURSIVE bnd AS (SELECT id, band, bsig FROM " +
+      s"parquet_scan('$glob')), " +
+      "lshm AS (SELECT id, min(id) OVER (PARTITION BY band, bsig) AS mn " +
+      "FROM bnd), " +
+      "cand AS (SELECT DISTINCT id AS a, mn AS b FROM lshm " +
+      "WHERE id <> mn), " +
+      s"w AS (SELECT $idCol AS did, list_filter(regexp_split_to_array(" +
+      s"lower(coalesce(text, '')), '[^a-z0-9_]+'), x -> x <> '') AS ws " +
+      s"FROM $table), " +
+      s"g AS (SELECT did, CASE WHEN len(ws) < $n THEN [] ELSE " +
+      s"list_distinct(list_transform(range(1, len(ws) - ${n - 2}), " +
+      s"i -> $gram)) END AS gr FROM w), " +
+      "v AS (SELECT c.a, c.b FROM cand c JOIN g ga ON ga.did = c.a " +
+      "JOIN g gb ON gb.did = c.b WHERE CASE WHEN " +
+      "len(list_distinct(ga.gr || gb.gr)) = 0 THEN 0.0 ELSE " +
+      "len(list_filter(list_distinct(ga.gr), x -> list_contains(gb.gr, " +
+      s"x)))::DOUBLE / len(list_distinct(ga.gr || gb.gr)) END " +
+      s">= $threshold), " +
+      "e0 AS (SELECT a, b FROM v), " + closureFromE0 + " " +
+      s"SELECT t.$idCol FROM $table t LEFT JOIN root r ON t.$idCol = r.id " +
+      s"WHERE r.root IS NULL OR r.root = t.$idCol ORDER BY t.$idCol"
+  }
+
+  /** Shared body for the edge-oracled dedup queries (embedding only since
+    * r7 — see [[dedupEmbedding]] for why its oracle input stays at the
+    * edge level): assign doc-derived ids, export the verified edges once
+    * per (JVM, scale), cluster.
     */
   private[graft] def edgeOracledDedup(s: org.apache.spark.sql.SparkSession,
       corpus: org.apache.spark.sql.DataFrame, idCol: String,
@@ -158,35 +291,70 @@ object QueriesExtra2 {
     import graft.dedup.MinHashDedup
     val path = dedupEdgesPath(variant, scaleKey(dir))
     val withId = MinHashDedup.assignId(corpus, Some(idCol))
-    edges(withId).write.mode("overwrite").parquet(path)
+    val eRaw = edges(withId)
+    val e = sinkOnce(path) match {
+      case Some(p) =>
+        eRaw.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      case None => eRaw
+    }
     val out = MinHashDedup
-      .keepFirst(withId, s.read.parquet(path), 10000000L)
+      .keepFirst(withId, e, 10000000L)
       .select(idCol).orderBy(idCol)
       .localCheckpoint(true) // lineage cut so the id cache can release
     withId.unpersist()
     out
   }
 
-  /** SimHash near-dedup — edge-list-oracled (see [[dedupEdgesPath]]). */
-  val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
-    (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "documents"),
-      "doc_id", "simhash", dir,
-      withId => graft.dedup.SimHash.verifiedEdges(withId, "text", 3)),
-    Some(keepFirstSql("simhash", "documents", "doc_id")))
+  /** Shared body for the signature-oracled dedup queries: assign
+    * doc-derived ids, build the variant's edges with its signature
+    * side-channel exported once per (JVM, scale), cluster.
+    */
+  private[graft] def sigOracledDedup(s: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      sinkPath: String,
+      edges: (org.apache.spark.sql.DataFrame, Option[String]) =>
+        org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.MinHashDedup
+    val withId = MinHashDedup.assignId(corpus, Some(idCol))
+    val out = MinHashDedup
+      .keepFirst(withId, edges(withId, sinkOnce(sinkPath)), 10000000L)
+      .select(idCol).orderBy(idCol)
+      .localCheckpoint(true) // lineage cut so the id cache can release
+    withId.unpersist()
+    out
+  }
 
-  /** Two-stage (LSH + exact Jaccard) near-dedup — edge-list-oracled.
-    * Reference-default n=5/threshold=0.7: lower thresholds on this
-    * tiny-vocabulary corpus degenerate to R=2 bands that candidate
-    * nearly every pair.
+  /** SimHash near-dedup — SIGNATURE-oracled since r7: the query exports
+    * (id, sig) and DuckDB derives banding, verification and clustering.
+    */
+  val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
+    (s, dir) => sigOracledDedup(s, Queries.table(s, dir, "documents"),
+      "doc_id", sigPath("simhash", scaleKey(dir)),
+      (withId, sink) =>
+        graft.dedup.SimHash.verifiedEdges(withId, "text", 3, sink)),
+    Some(simhashKeepFirstSql("simhash", 3, "documents", "doc_id")))
+
+  /** Two-stage (LSH + exact Jaccard) near-dedup — SIGNATURE-oracled since
+    * r7 (banded minhash frame exported; DuckDB derives candidates and
+    * re-verifies Jaccard itself). Reference-default n=5/threshold=0.7:
+    * lower thresholds on this tiny-vocabulary corpus degenerate to R=2
+    * bands that candidate nearly every pair.
     */
   val dedupJaccard: QueryDef = QueryDef("dedup_ngram_jaccard",
-    (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "documents"),
-      "doc_id", "ngram", dir,
-      withId => graft.dedup.NgramJaccard.verifiedEdges(withId, "text",
-        5, 0.7, graft.dedup.MinHashConfig())),
-    Some(keepFirstSql("ngram", "documents", "doc_id")))
+    (s, dir) => sigOracledDedup(s, Queries.table(s, dir, "documents"),
+      "doc_id", bandedPath("ngram", scaleKey(dir)),
+      (withId, sink) => graft.dedup.NgramJaccard.verifiedEdges(withId,
+        "text", 5, 0.7, graft.dedup.MinHashConfig(), sink)),
+    Some(ngramKeepFirstSql("ngram", 5, 0.7, "documents", "doc_id")))
 
-  /** Embedding-cosine near-dedup within label blocks — edge-list-oracled. */
+  /** Embedding-cosine near-dedup within label blocks — edge-list-oracled
+    * (the one variant whose oracle input stays at the edge level, by
+    * design: verification compares a JVM float-kernel cosine against the
+    * threshold, and DuckDB's double-only list math can disagree by an ulp
+    * exactly at the boundary — the pair-finding half is instead covered by
+    * DedupInvariantSpec's independent kernel re-verification).
+    */
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
     (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "embeddings"),
       "vec_id", "embedding", dir,
@@ -416,22 +584,26 @@ object QueriesExtra2 {
 
   /** The full flagship chat pipeline as a bench query: the E2E
     * explode→clean→filter→dedup→chatml dataflow at the bench scale
-    * factor — the headline number for the engine as a whole. Rows-only
-    * directly, but transitively oracled since r6: `flagship_e2e_minhash`
-    * is DuckDB-hash-checked and a parity spec asserts its output row set
-    * equals this query's. The harness-facing output is SCALAR-only (the
-    * driver loads parquet into pandas and sorts rows for hashing — an
-    * array<struct> column raises "unhashable type: numpy.ndarray" even
-    * for the rows-only check); the array-typed chatml API stays internal.
+    * factor — the headline number for the engine as a whole. Since r7 it
+    * carries its OWN DuckDB oracle (VERDICT r6 #2): the pipeline's dedup
+    * pass exports its banded signature frame and the oracle recomputes
+    * the whole trunk + clustering independently — the same replay the
+    * minhash twin gets, against this query's own export. The r6 parity
+    * spec (twin row set == headline row set) is retained as defense in
+    * depth. The harness-facing output is SCALAR-only (the driver loads
+    * parquet into pandas and sorts rows for hashing — an array<struct>
+    * column raises "unhashable type: numpy.ndarray" even for the
+    * rows-only check); the array-typed chatml API stays internal.
     */
   val flagship: QueryDef = QueryDef("flagship_chat_pipeline",
-    (s, dir) => graft.chat.ChatPipeline.flagship(s, dir)
+    (s, dir) => graft.chat.ChatPipeline.flagship(s, dir,
+      sinkOnce(bandedPath("flagship_main", scaleKey(dir))))
       .select(
         array_join(transform(col("conversation"), m => concat_ws(":",
           m.getField("role"), m.getField("content"),
           m.getField("do_train").cast("string"))), "|").as("rendered"),
         col("source")),
-    None)
+    Some(QueriesFlagshipOracle.flagshipMainOracle))
 
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
     dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet,

@@ -83,9 +83,10 @@ object QueriesFlagshipOracle {
 
   /** MinHash twin: the flagship's own response-dedup config
     * (ngram 5, 256 perms, threshold 0.7) and its own keep-first order
-    * (mid = custkey·2^20 + pos0), candidate edges materialized for the
-    * clustering oracle. Package-visible so the parity spec can compare it
-    * against `ChatPipeline.flagship`.
+    * (mid = custkey·2^20 + pos0), banded SIGNATURE frame materialized for
+    * the oracle (r7 — DuckDB derives the candidate edges itself).
+    * Package-visible so the parity spec can compare it against
+    * `ChatPipeline.flagship`.
     */
   private[graft] def runMinhash(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.{MinHashConfig, MinHashDedup}
@@ -93,18 +94,17 @@ object QueriesFlagshipOracle {
       .withColumn("__mid__", col("custkey") * (1L << 20) + col("pos0"))
     val cfg = MinHashConfig(ngramSize = 5, numPerm = 256, threshold = 0.7,
       minNgramSize = 5)
-    // assignId persists the rendered trunk: the edge write below both
+    // assignId persists the rendered trunk: the banded write below both
     // computes and caches it, and keepFirst's probe + the final scan reuse
     // the cache (same leak-until-action pattern as the other dedup
     // queries; a localCheckpoint here cost ~1s of copy at sf0.1)
     val path =
-      QueriesExtra2.dedupEdgesPath("flagship", QueriesExtra2.scaleKey(dir))
+      QueriesExtra2.bandedPath("flagship", QueriesExtra2.scaleKey(dir))
     val withId = MinHashDedup.assignId(rendered, Some("__mid__"))
-    MinHashDedup.candidateEdges(withId, "response", cfg)
-      .write.mode("overwrite")
-      .parquet(path)
     MinHashDedup
-      .keepFirst(withId, s.read.parquet(path), 10000000L)
+      .keepFirst(withId,
+        MinHashDedup.candidateEdges(withId, "response", cfg,
+          QueriesExtra2.sinkOnce(path)), 10000000L)
       .where(Filters.checkLowercaseRatio(0.55).keep(col("instruction")))
       .select(col("source"), col("rendered"))
       .orderBy("source", "rendered")
@@ -153,23 +153,43 @@ object QueriesFlagshipOracle {
       lowercaseRatio("instruction") + " >= 0.55 ORDER BY source, rendered"
   }
 
-  private val oracleMinhash: String = {
+  /** Shared minhash-clustering oracle over the recomputed trunk: the
+    * banded signature frame (keyed by mid) is the ONLY side-channel input;
+    * candidate edges (bucket-min per (band, bsig)), identical/short-class
+    * star edges (from the trunk's own responses), closure and keep-first
+    * are all DuckDB's. Used by both the twin and (r7) the headline
+    * `flagship_chat_pipeline` itself, each against its own export.
+    */
+  private def minhashOracleSql(variant: String): String = {
     import OracleSql._
-    val p = QueriesExtra2
-      .dedupEdgesPath("flagship", QueriesExtra2.OracleScaleKey) + "/*.parquet"
-    // RECURSIVE must follow WITH, so the shared closure CTEs lead the chain
-    "WITH RECURSIVE " + QueriesExtra2.closureCtes(p) + ", " +
-      trunkCtes.stripPrefix("WITH ") + ", " +
+    val glob = QueriesExtra2
+      .bandedPath(variant, QueriesExtra2.OracleScaleKey) + "/*.parquet"
+    // RECURSIVE must follow WITH; the trunk CTEs lead, the signature-
+    // derived clustering CTEs (which need the trunk's dsrc) follow
+    "WITH RECURSIVE " + trunkCtes.stripPrefix("WITH ") + ", " +
       "m AS (SELECT fio.*, o_custkey * 1048576 + (pos - 1) AS mid " +
-      "FROM fio) " +
+      "FROM fio), " +
+      "dsrc AS (SELECT mid AS id, response AS t FROM m), " +
+      QueriesExtra2.minhashCtes(glob, 5) + " " +
       "SELECT source, rendered FROM m LEFT JOIN root r ON m.mid = r.id " +
       "WHERE (r.root IS NULL OR r.root = m.mid) AND " +
       lowercaseRatio("instruction") + " >= 0.55 ORDER BY source, rendered"
   }
 
+  /** Oracle for the HEADLINE query (`flagship_chat_pipeline`): identical
+    * trunk/cluster replay as the twin's, reading the headline's own banded
+    * export. The headline renders via the chatml arrays and the oracle via
+    * string concat, but both produce `prefix|role:response:true` — the r6
+    * parity spec that proved that equivalence is retained as defense in
+    * depth.
+    */
+  private[graft] val flagshipMainOracle: String =
+    minhashOracleSql("flagship_main")
+
   val flagshipOracle: QueryDef =
     QueryDef("flagship_e2e_exact", run, Some(oracle))
 
   val flagshipOracleMinhash: QueryDef =
-    QueryDef("flagship_e2e_minhash", runMinhash, Some(oracleMinhash))
+    QueryDef("flagship_e2e_minhash", runMinhash,
+      Some(minhashOracleSql("flagship")))
 }

@@ -154,19 +154,23 @@ object QueriesPipeline {
     Some("SELECT min(doc_id) AS doc_id FROM documents " +
       "GROUP BY substr(text, 1, 20) ORDER BY doc_id"))
 
-  /** MinHash near-dedup over documents (SURVEY §2.6) — the signatures are
-    * not SQL-expressible, but the CLUSTERING is: the query materializes
-    * its candidate edge list and DuckDB replays transitive closure →
-    * component minima → keep-first over it (same pattern as the other
-    * dedup variants; reference-golden kept-id specs pin the signature
-    * side).
+  /** MinHash near-dedup over documents (SURVEY §2.6) — SIGNATURE-oracled
+    * since r7: the sha1/permutation math is the only thing that crosses
+    * the side-channel (the exploded (id, band, bsig) frame); DuckDB
+    * derives the bucket-min candidate edges, recomputes the identical/
+    * short-class star edges from the corpus, and replays transitive
+    * closure → component minima → keep-first. Reference-golden kept-id
+    * specs pin the signature math itself.
     */
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
-    (s, dir) => QueriesExtra2.edgeOracledDedup(s,
-      Queries.table(s, dir, "documents"), "doc_id", "minhash", dir,
-      withId => graft.dedup.MinHashDedup.candidateEdges(withId, "text",
-        graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3))),
-    Some(QueriesExtra2.keepFirstSql("minhash", "documents", "doc_id")))
+    (s, dir) => QueriesExtra2.sigOracledDedup(s,
+      Queries.table(s, dir, "documents"), "doc_id",
+      QueriesExtra2.bandedPath("minhash", QueriesExtra2.scaleKey(dir)),
+      (withId, sink) => graft.dedup.MinHashDedup.candidateEdges(withId,
+        "text", graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3),
+        sink)),
+    Some(QueriesExtra2.minhashKeepFirstSql("minhash", 3,
+      "documents", "doc_id")))
 
   val all: Seq[QueryDef] = Seq(
     s3, r6r7, r8r9, r10, p7, p8, p9, p10, dedupExact, dedupMinhash)

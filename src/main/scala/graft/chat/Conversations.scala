@@ -229,7 +229,8 @@ object ChatPipeline {
     * set of the headline pipeline, exposed so the sf0.1 golden spec can
     * pin it (the minhash twin of the DuckDB-oracled exact-dedup flagship).
     */
-  private[graft] def flagshipKept(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def flagshipKept(spark: SparkSession, dir: String,
+      dedupBandedSink: Option[String] = None): DataFrame = {
     import graft.pipeline.{MiniYaml, PipelineConfig, Preprocessor}
 
     val cfg = MiniYaml.parse(FlagshipYaml)
@@ -265,20 +266,22 @@ object ChatPipeline {
 
     val afterResponse = new Preprocessor(io, "response",
       respCfg.cleaners, respCfg.filters, respCfg.dedup,
-      dedupOrderCol = Some("__mid__")).run()
+      dedupOrderCol = Some("__mid__"),
+      dedupBandedSink = dedupBandedSink).run()
     new Preprocessor(afterResponse, "instruction",
       cleaners = Seq.empty, // main.py:54-56: cleaners never run on instructions
       filters = instrCfg.filters, dedup = instrCfg.dedup,
       dedupOrderCol = Some("__mid__")).run()
   }
 
-  def flagship(spark: SparkSession, dir: String): DataFrame = {
+  def flagship(spark: SparkSession, dir: String,
+      dedupBandedSink: Option[String] = None): DataFrame = {
     val msgs = syntheticMessages(spark, dir)
 
     // R3 chatml: rebuild each kept row's prefix (messages before pos0,
     // do_train forced false) from the flat view — the join output is
     // O(kept × prefix), a few thousand structs, not 75k arrays
-    val kept = flagshipKept(spark, dir)
+    val kept = flagshipKept(spark, dir, dedupBandedSink)
     val prefixParts = kept.select(col("custkey").as("k"), col("pos0").as("p"))
       .join(msgs.select(col("custkey").as("k"), col("pos0").as("mp"),
         col("content").as("mc"), col("role").as("mr")), Seq("k"))

@@ -334,9 +334,11 @@ object MinHashDedup {
   def deduplicate(df: DataFrame, column: String,
       cfg: MinHashConfig = MinHashConfig(),
       maxDriverEdges: Long = 10_000_000L,
-      orderCol: Option[String] = None): DataFrame = {
+      orderCol: Option[String] = None,
+      bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    keepFirst(withId, candidateEdges(withId, column, cfg), maxDriverEdges)
+    keepFirst(withId, candidateEdges(withId, column, cfg, bandedSink),
+      maxDriverEdges)
   }
 
   /** The candidate edge list feeding the clustering (identical-class star
@@ -344,9 +346,17 @@ object MinHashDedup {
     * reference treats any band collision as a duplicate,
     * minhash_deduplication.py:230-247). Exposed so the correctness oracle
     * can replay the clustering over a materialized edge list.
+    *
+    * `bandedSink`: when given, the exploded (id, band, bsig) SIGNATURE
+    * frame is written there (overwrite) and the LSH edges are computed
+    * from the read-back — so the correctness oracle's input is the
+    * signatures themselves, and DuckDB derives bucket-min candidate edges
+    * independently (the identical-text star edges are recomputed in SQL
+    * from the corpus; only the sha1/permutation math crosses the
+    * side-channel). See QueriesExtra2.minhashCtes.
     */
   private[graft] def candidateEdges(withId: DataFrame, column: String,
-      cfg: MinHashConfig): DataFrame = {
+      cfg: MinHashConfig, bandedSink: Option[String] = None): DataFrame = {
     val text = coalesce(col(column), lit(""))
 
     // 1) ONE streaming window does two jobs at once. Key = the text
@@ -382,7 +392,13 @@ object MinHashDedup {
     val banded = reps
       .select(col("id"), posexplode(sig(col("__t__")))
         .as(Seq("band", "bsig")))
-    val lshEdges = bucketMinEdges(banded)
+    val bandedUsed = bandedSink match {
+      case Some(p) =>
+        banded.write.mode("overwrite").parquet(p)
+        withId.sparkSession.read.parquet(p)
+      case None => banded
+    }
+    val lshEdges = bucketMinEdges(bandedUsed)
 
     lshEdges.union(identEdges)
   }

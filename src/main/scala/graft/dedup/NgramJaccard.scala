@@ -108,9 +108,17 @@ object NgramJaccard {
 
   /** Exact-Jaccard-verified candidate pairs — the edge list feeding the
     * clustering. Exposed for the keep-first invariant specs.
+    *
+    * `bandedSink`: when given, the exploded (id, band, bsig) frame is
+    * written there (overwrite) and candidates come from the read-back —
+    * the correctness oracle then derives bucket-min candidates AND the
+    * exact-Jaccard verification itself in SQL from the signatures + corpus
+    * (QueriesExtra2.ngramKeepFirstSql); both engines' division is IEEE
+    * double, so the ≥ threshold comparison agrees bit-for-bit.
     */
   private[graft] def verifiedEdges(withId: DataFrame, column: String,
-      n: Int, threshold: Double, cfg: MinHashConfig): DataFrame = {
+      n: Int, threshold: Double, cfg: MinHashConfig,
+      bandedSink: Option[String] = None): DataFrame = {
     val spark = withId.sparkSession
     val text = coalesce(col(column), lit(""))
     val sig = MinHashDedup.signatureColumn(cfg.copy(ngramSize = n,
@@ -132,7 +140,13 @@ object NgramJaccard {
     val banded = spread
       .select(col(MinHashDedup.IdCol).as("id"),
         posexplode(sig(text)).as(Seq("band", "bsig")))
-    val candidates = MinHashDedup.bucketMinEdges(banded)
+    val bandedUsed = bandedSink match {
+      case Some(p) =>
+        banded.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => banded
+    }
+    val candidates = MinHashDedup.bucketMinEdges(bandedUsed)
     // exact verification: only candidate pairs pull their texts back in
     // (broadcast-able candidate side at bench scale, shuffle join on id
     // at cluster scale); single-pass JVM kernel — see [[jaccardDocs]]

@@ -78,13 +78,26 @@ object SimHash {
     * plus band-join pairs checked at ≤ `maxHamming` bits. Exposed for the
     * keep-first invariant specs — the component-min of exactly these edges
     * IS the kept set.
+    *
+    * `sigSink`: when given, the (id, sig) frame is written there
+    * (overwrite) and the rest of the dataflow runs off the read-back — the
+    * correctness oracle's input is then the 64-bit signatures alone, and
+    * DuckDB re-derives banding (shift+mask chunks), the hamming-≤k verify
+    * (`bit_count(xor(...))`) and the clustering all by itself
+    * (QueriesExtra2.simhashKeepFirstSql).
     */
   private[graft] def verifiedEdges(withId: DataFrame, column: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, sigSink: Option[String] = None): DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands
-    val sigs = withId.select(col(MinHashDedup.IdCol).as("id"),
+    val sigsRaw = withId.select(col(MinHashDedup.IdCol).as("id"),
       signature(col(column)).as("sig"))
+    val sigs = sigSink match {
+      case Some(p) =>
+        sigsRaw.write.mode("overwrite").parquet(p)
+        withId.sparkSession.read.parquet(p)
+      case None => sigsRaw
+    }
     // hamming-0 collapse: one streaming window, star edges to the first
     // row of each identical-signature class
     val wSig = Window.partitionBy("sig")

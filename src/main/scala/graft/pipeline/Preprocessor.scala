@@ -21,7 +21,8 @@ final class Preprocessor(
     filters: Seq[TextFilter],
     dedup: Option[graft.dedup.MinHashConfig] = None,
     verbose: Boolean = false,
-    dedupOrderCol: Option[String] = None) {
+    dedupOrderCol: Option[String] = None,
+    dedupBandedSink: Option[String] = None) {
 
   def run(): DataFrame = {
     val cleaned = Preprocessor.clean(df, columnName, cleaners)
@@ -39,7 +40,7 @@ final class Preprocessor(
     dedup match {
       case Some(cfg) =>
         graft.dedup.MinHashDedup.deduplicate(filtered, columnName, cfg,
-          orderCol = dedupOrderCol)
+          orderCol = dedupOrderCol, bandedSink = dedupBandedSink)
       case None => filtered
     }
   }
