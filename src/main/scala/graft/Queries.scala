@@ -319,5 +319,6 @@ object Queries {
     c1, c2, c3, c4, c5,
     f1, f1score, f3, f4, f5, f6, f7, f8, f9, f10, f11) ++
     QueriesChat.all ++ QueriesPipeline.all ++ QueriesExtra.all ++
-    QueriesExtra2.all ++ QueriesExtra3.all ++ QueriesExtra4.all
+    QueriesExtra2.all ++ QueriesExtra3.all ++ QueriesExtra4.all ++
+    QueriesFuzz.all
 }
