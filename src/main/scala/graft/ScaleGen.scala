@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives a larger-scale corpus from the driver-provided sf0.1 testdata
+  * (VERDICT r6 #1: the scale-crossover machinery had never executed above
+  * sf0.1). Each fact table is replicated `factor` times with key offsets
+  * chosen far above the source key ranges, so joins stay consistent
+  * across copies; text copies beyond the first get a per-copy suffix
+  * (near-duplicates of the original — GROWING dedup cluster sizes and
+  * edge counts, the part of dedup that scales worst), and embeddings get
+  * a copy-indexed perturbation on one component while keeping their
+  * label blocks (so within-block pair counts grow quadratically — the
+  * stress the blocking design must absorb). Dimension tables
+  * (region/nation/customer/supplier/part) copy through unchanged apart
+  * from customer keys, which track the orders offsets.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <destDir> <factor>
+  */
+object ScaleGen {
+
+  private val KeyStride = 10_000_000L // > max o_orderkey at sf0.1 (6M)
+  private val CustStride = 1_000_000L // > max o_custkey at sf0.1 (150k)
+  private val DocStride = 1_000_000L
+  private val VecStride = 1_000_000L
+  private val UserStride = 1_000_000L
+  private val EventStride = 10_000_000L
+
+  private def copies(df: DataFrame, factor: Int)(
+      f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dest = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events.ts is TIMESTAMP(NANOS) — read as long; the derived table then
+    // carries plain int64 nanos, which Queries.events consumes identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$dest/$t.parquet")
+
+    write(copies(read("orders"), factor) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyStride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * CustStride))
+    }, "orders", 32)
+
+    write(copies(read("lineitem"), factor) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyStride))
+    }, "lineitem", 32)
+
+    write(copies(read("customer"), factor) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * CustStride))
+    }, "customer", 8)
+
+    write(copies(read("documents"), factor) { (df, i) =>
+      val t = if (i == 0) col("text")
+        else concat(col("text"), lit(s" variant$i"))
+      df.withColumn("doc_id", col("doc_id") + lit(i * DocStride))
+        .withColumn("text", t)
+    }, "documents", 32)
+
+    write(copies(read("embeddings"), factor) { (df, i) =>
+      val emb =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, idx) => when(idx === 0, x + lit(i * 1e-3f)).otherwise(x))
+      df.withColumn("vec_id", col("vec_id") + lit(i * VecStride))
+        .withColumn("embedding", emb)
+    }, "embeddings", 16)
+
+    write(copies(read("events"), factor) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * EventStride))
+        .withColumn("user_id", col("user_id") + lit(i * UserStride))
+        // nanos column: shift each copy by i seconds so timestamps stay
+        // distinct across copies without changing session structure
+        .withColumn("ts", col("ts") + lit(i * 1_000_000_000L))
+    }, "events", 32)
+
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      write(read(t), t, 1)
+    }
+
+    val counts = Seq("orders", "lineitem", "customer", "documents",
+      "embeddings", "events").map { t =>
+      t -> spark.read.parquet(s"$dest/$t.parquet").count()
+    }
+    println(s"[scalegen] $dest factor=$factor " +
+      counts.map { case (t, n) => s"$t=$n" }.mkString(" "))
+    spark.stop()
+  }
+}

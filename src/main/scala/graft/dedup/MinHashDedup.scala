@@ -296,8 +296,10 @@ object MinHashDedup {
       else None
     }
     val out = if (headOpt.exists(_.isEmpty)) {
+      DedupMetrics.emptyPath.incrementAndGet()
       withId.drop(IdCol)
     } else if (headOpt.isDefined) {
+      DedupMetrics.driverPath.incrementAndGet()
       val head = headOpt.get
       val pairs = head.map(r => (r.getLong(0), r.getLong(1)))
       val roots = ConnectedComponents.unionFindRoots(pairs)
@@ -307,6 +309,9 @@ object MinHashDedup {
     } else {
       // 100 TB path: roots computed distributed, dropped rows removed via
       // broadcast-able anti-join on the (id, root) pairs with root ≠ id
+      DedupMetrics.distributedPath.incrementAndGet()
+      println(s"[graft] keepFirst: edge list exceeded maxDriverEdges=" +
+        s"$maxDriverEdges — distributed min-label clustering engaged")
       val roots = ConnectedComponents.distributed(edges.toDF("id", "root"))
       val dropped = roots.where(col("root") =!= col("id")).select("id")
       withId.join(dropped.withColumnRenamed("id", IdCol),
@@ -436,6 +441,19 @@ object MinHashDedup {
       orderCol = Some(OrderCol))
       .where(col(MarkCol)).drop(MarkCol, OrderCol)
   }
+}
+
+/** Observability for the scale-crossover machinery: which clustering path
+  * each [[MinHashDedup.keepFirst]] call took. The soak harness asserts the
+  * distributed branch actually FIRES (VERDICT r6 #1 — before r7 it had
+  * never executed) and that its kept set equals the driver UnionFind's.
+  */
+object DedupMetrics {
+  val emptyPath = new java.util.concurrent.atomic.AtomicLong
+  val driverPath = new java.util.concurrent.atomic.AtomicLong
+  val distributedPath = new java.util.concurrent.atomic.AtomicLong
+  def snapshot: String = s"empty=${emptyPath.get} driver=${driverPath.get} " +
+    s"distributed=${distributedPath.get}"
 }
 
 /** Cluster-representative assignment. Driver UnionFind mirrors the

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Decon
+import graft.dedup.{DedupMetrics, MinHashConfig, MinHashDedup}
+
+/** Crossover-machinery equivalence (VERDICT r6 #1): the 100 TB fallback
+  * branches — distributed min-label clustering above `maxDriverEdges`,
+  * decon's broadcast→shuffle-join demotion above `maxBroadcastGrams` —
+  * must produce EXACTLY the result of the small-scale paths they replace,
+  * and must actually fire (DedupMetrics proves the branch was taken, not
+  * silently skipped).
+  */
+class ScaleSoakSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    .getOrCreate()
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("distributed min-label clustering == driver UnionFind kept set") {
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val driverKept = MinHashDedup
+      .deduplicate(docs, "text", cfg, maxDriverEdges = 10_000_000L,
+        orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = DedupMetrics.distributedPath.get
+    // maxDriverEdges = 1: any real edge list overflows → the probe
+    // count-only path decides, rows never land on the driver, and
+    // ConnectedComponents.distributed computes the roots
+    val distKept = MinHashDedup
+      .deduplicate(docs, "text", cfg, maxDriverEdges = 1L,
+        orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(DedupMetrics.distributedPath.get == before + 1,
+      s"distributed branch did not fire (${DedupMetrics.snapshot})")
+    assert(distKept == driverKept,
+      s"kept sets differ: driver-only=${(driverKept -- distKept).take(5)} " +
+        s"dist-only=${(distKept -- driverKept).take(5)}")
+    assert(driverKept.nonEmpty && driverKept.size < 500)
+  }
+
+  test("decon shuffle-join fallback == broadcast path scores") {
+    val corpus = docs.limit(200)
+    val benchmark = docs.where(col("doc_id") % 7 === 0).limit(50)
+      .select(col("doc_id").as("bid"), col("text"))
+    def scores(maxBroadcast: Long) = Decon
+      .overlapScore(corpus, benchmark.withColumnRenamed("bid", "doc_id"),
+        "doc_id", "text", 3, maxBroadcastGrams = maxBroadcast)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val viaBroadcast = scores(5_000_000L)
+    val viaShuffle = scores(1L) // any real gram set overflows → no hint
+    assert(viaBroadcast.sameElements(viaShuffle))
+    assert(viaBroadcast.exists(_._3 > 0), "no overlap found — vacuous test")
+  }
+
+  test("incremental dedup crossover: distributed branch preserves " +
+    "reference-corpus immutability") {
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val newDf = docs.where(col("doc_id") % 2 === 1)
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val small = MinHashDedup
+      .deduplicateAgainst(newDf, ref, "text", cfg,
+        maxDriverEdges = 10_000_000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dist = MinHashDedup
+      .deduplicateAgainst(newDf, ref, "text", cfg, maxDriverEdges = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small == dist)
+    // survivors are new-side rows only
+    assert(small.forall(_ % 2 == 1))
+  }
+}
