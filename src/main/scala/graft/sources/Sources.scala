@@ -35,7 +35,22 @@ object Sources {
       else df.withColumn("source", lit(p))
     })
 
-  /** S5 `push_to_hub` → publish as parquet. */
+  /** S5 `push_to_hub` → publish as parquet (main.py:74).
+    *
+    * Hub compatibility: the output is a directory of plain snappy
+    * parquet files — exactly the layout `datasets.load_dataset("parquet",
+    * data_files=...)` (or a hub repo's auto-converted parquet branch)
+    * ingests, so a reference user can point HF `datasets` at a published
+    * directory and get the same rows back. The chat data model survives
+    * the round-trip structurally: `conversation` is
+    * `array<struct<content, do_train, role>>` in Spark and
+    * `list<struct<...>>` in Arrow — the exact nested shape the reference
+    * stores on the hub (HF features: `[{"content": string, "do_train":
+    * bool, "role": string}]`). Spark writes INT64/DOUBLE/BOOL/BINARY/UTF8
+    * primitives that Arrow maps 1:1; nothing in the schema uses
+    * Spark-only logical types. `SourcesSpec` pins the published schema
+    * shape so a refactor cannot silently break hub ingestibility.
+    */
   def publish(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
