@@ -139,13 +139,13 @@ object QueriesExtra2 {
     * first run in this JVM writes them; later runs — bench repetitions —
     * skip the parquet write but still recompute everything the query is
     * timed on (signatures, edges, clustering). Amortizes the write the
-    * same way the f2 ARPA dump and the IVF probe already are.
+    * same way the f2 ARPA dump and the IVF probe already are. Claim
+    * bookkeeping (including un-claim when a write fails, so the export
+    * can never be permanently suppressed within a JVM) lives in
+    * [[graft.dedup.SideChannel]].
     */
-  private val sunk =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private[graft] def sinkOnce(path: String): Option[String] =
-    if (sunk.add(path)) Some(path) else None
+    graft.dedup.SideChannel.once(path)
 
   /** The symmetrize → transitive-closure → component-min CTE chain over a
     * materialized undirected edge list. ONE definition shared by every
@@ -291,13 +291,7 @@ object QueriesExtra2 {
     import graft.dedup.MinHashDedup
     val path = dedupEdgesPath(variant, scaleKey(dir))
     val withId = MinHashDedup.assignId(corpus, Some(idCol))
-    val eRaw = edges(withId)
-    val e = sinkOnce(path) match {
-      case Some(p) =>
-        eRaw.write.mode("overwrite").parquet(p)
-        s.read.parquet(p)
-      case None => eRaw
-    }
+    val e = graft.dedup.SideChannel.through(edges(withId), sinkOnce(path))
     val out = MinHashDedup
       .keepFirst(withId, e, 10000000L)
       .select(idCol).orderBy(idCol)

@@ -397,13 +397,7 @@ object MinHashDedup {
     val banded = reps
       .select(col("id"), posexplode(sig(col("__t__")))
         .as(Seq("band", "bsig")))
-    val bandedUsed = bandedSink match {
-      case Some(p) =>
-        banded.write.mode("overwrite").parquet(p)
-        withId.sparkSession.read.parquet(p)
-      case None => banded
-    }
-    val lshEdges = bucketMinEdges(bandedUsed)
+    val lshEdges = bucketMinEdges(SideChannel.through(banded, bandedSink))
 
     lshEdges.union(identEdges)
   }
@@ -440,6 +434,31 @@ object MinHashDedup {
     deduplicate(tagged, column, cfg, maxDriverEdges,
       orderCol = Some(OrderCol))
       .where(col(MarkCol)).drop(MarkCol, OrderCol)
+  }
+}
+
+/** Oracle side-channel export bookkeeping, shared by every dedup variant:
+  * `once` claims a path the first time it is seen in this JVM (exports are
+  * deterministic per (variant, scale), so later bench repetitions skip the
+  * write but still recompute everything the query is timed on); `through`
+  * performs the write-then-read-back so the clustering consumes exactly
+  * the bytes the oracle will read — and UN-claims the path if the write
+  * fails, so a transient failure cannot permanently suppress the export
+  * (which would leave DuckDB comparing against a stale or missing frame).
+  */
+object SideChannel {
+  private val claimed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def once(path: String): Option[String] =
+    if (claimed.add(path)) Some(path) else None
+
+  def through(df: DataFrame, sink: Option[String]): DataFrame = sink match {
+    case Some(p) =>
+      try df.write.mode("overwrite").parquet(p)
+      catch { case e: Throwable => claimed.remove(p); throw e }
+      df.sparkSession.read.parquet(p)
+    case None => df
   }
 }
 

@@ -140,13 +140,8 @@ object NgramJaccard {
     val banded = spread
       .select(col(MinHashDedup.IdCol).as("id"),
         posexplode(sig(text)).as(Seq("band", "bsig")))
-    val bandedUsed = bandedSink match {
-      case Some(p) =>
-        banded.write.mode("overwrite").parquet(p)
-        spark.read.parquet(p)
-      case None => banded
-    }
-    val candidates = MinHashDedup.bucketMinEdges(bandedUsed)
+    val candidates = MinHashDedup.bucketMinEdges(
+      SideChannel.through(banded, bandedSink))
     // exact verification: only candidate pairs pull their texts back in
     // (broadcast-able candidate side at bench scale, shuffle join on id
     // at cluster scale); single-pass JVM kernel — see [[jaccardDocs]]

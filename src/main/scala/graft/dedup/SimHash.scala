@@ -90,14 +90,10 @@ object SimHash {
       maxHamming: Int, sigSink: Option[String] = None): DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands
-    val sigsRaw = withId.select(col(MinHashDedup.IdCol).as("id"),
-      signature(col(column)).as("sig"))
-    val sigs = sigSink match {
-      case Some(p) =>
-        sigsRaw.write.mode("overwrite").parquet(p)
-        withId.sparkSession.read.parquet(p)
-      case None => sigsRaw
-    }
+    val sigs = SideChannel.through(
+      withId.select(col(MinHashDedup.IdCol).as("id"),
+        signature(col(column)).as("sig")),
+      sigSink)
     // hamming-0 collapse: one streaming window, star edges to the first
     // row of each identical-signature class
     val wSig = Window.partitionBy("sig")

@@ -58,6 +58,10 @@ class FuzzSpec extends AnyFunSuite {
     val texts = spark.read.parquet(QueriesFuzz.CorpusPath)
       .select("text").collect().map(_.getString(0))
     assert(texts.length == 576)
+    // genuinely distinct compositions — all 24x24 (j, k) fragment pairs
+    // (the first cut collapsed to 24 texts; this pins the fix)
+    assert(texts.distinct.length == 576,
+      s"only ${texts.distinct.length} distinct texts")
     assert(texts.exists(t => t.codePoints().anyMatch(_ > 0xFFFF)),
       "astral chars survived")
     assert(texts.exists(hasCp(_, 0x2028)), "LS survived")
