@@ -172,6 +172,47 @@ object QueriesPipeline {
     Some(QueriesExtra2.minhashKeepFirstSql("minhash", 3,
       "documents", "doc_id")))
 
+  /** Dedup observability (§2.6-adjacent, beyond-reference): cluster-size
+    * histogram of the minhash clustering — "how duplicated is my corpus"
+    * — singletons included. Signature-oracled like dedup_minhash: DuckDB
+    * derives candidates from the exported banding, recomputes ident/short
+    * star edges from the corpus, clusters, then LEFT JOINs every doc to
+    * its root (no-edge docs root to themselves) and histograms the
+    * component sizes.
+    */
+  val dedupClusterStats: QueryDef = QueryDef("dedup_cluster_stats",
+    (s, dir) => {
+      import graft.dedup.{MinHashConfig, MinHashDedup}
+      val path = QueriesExtra2
+        .bandedPath("minhash_stats", QueriesExtra2.scaleKey(dir))
+      val withId = MinHashDedup.assignId(
+        Queries.table(s, dir, "documents"), Some("doc_id"))
+      val roots = MinHashDedup.componentRoots(withId,
+        MinHashDedup.candidateEdges(withId, "text",
+          MinHashConfig(ngramSize = 3, minNgramSize = 3),
+          QueriesExtra2.sinkOnce(path)), 10000000L)
+      val out = roots
+        .groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+        .localCheckpoint(true)
+      withId.unpersist()
+      out
+    },
+    Some {
+      val glob = QueriesExtra2
+        .bandedPath("minhash_stats", QueriesExtra2.OracleScaleKey) +
+        "/*.parquet"
+      "WITH RECURSIVE dsrc AS (SELECT doc_id AS id, text AS t FROM " +
+        "documents), " + QueriesExtra2.minhashCtes(glob, 3) + ", " +
+        "rts AS (SELECT d.id, coalesce(r.root, d.id) AS root FROM dsrc d " +
+        "LEFT JOIN root r ON d.id = r.id), " +
+        "cs AS (SELECT root, count(*) AS cluster_size FROM rts GROUP BY " +
+        "root) SELECT cluster_size, count(*) AS n_clusters FROM cs " +
+        "GROUP BY cluster_size ORDER BY cluster_size"
+    })
+
   val all: Seq[QueryDef] = Seq(
-    s3, r6r7, r8r9, r10, p7, p8, p9, p10, dedupExact, dedupMinhash)
+    s3, r6r7, r8r9, r10, p7, p8, p9, p10, dedupExact, dedupMinhash,
+    dedupClusterStats)
 }

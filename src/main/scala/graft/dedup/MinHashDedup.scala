@@ -275,26 +275,31 @@ object MinHashDedup {
     * `maxDriverEdges`; distributed min-label propagation above — no
     * unconditional driver materialization anywhere.
     */
+  /** ONE limited collect decides the clustering branch AND delivers the
+    * edges in the common case (a separate count() would be a whole extra
+    * job), but the speculative collect is BOUNDED at ~1M rows: above
+    * that, a count-only probe (limit stops early; no rows reach the
+    * driver) decides driver-vs-distributed, and rows are collected only
+    * when the driver path is actually taken — an edge set overflowing
+    * `maxDriverEdges` never materializes ~10M Rows on the driver just to
+    * be discarded. The probe and the collect share the persisted
+    * partitions. None = over budget (distributed path).
+    */
+  private def boundedEdgeHead(edges: DataFrame,
+      maxDriverEdges: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    val cap = math.min(maxDriverEdges, Int.MaxValue - 2L).toInt
+    val directCap = math.min(cap, 1 << 20)
+    val probe = edges.limit(directCap + 1).collect()
+    if (probe.length <= directCap) Some(probe)
+    else if (cap > directCap && edges.limit(cap + 1).count() <= cap)
+      Some(edges.collect())
+    else None
+  }
+
   private[graft] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
       maxDriverEdges: Long): DataFrame = {
     val edges = edgesRaw.toDF("__x__", "__y__").persist()
-    // ONE limited collect decides the branch AND delivers the edges in the
-    // common case (a separate count() would be a whole extra job), but the
-    // speculative collect is BOUNDED at ~1M rows: above that, a count-only
-    // probe (limit stops early; no rows reach the driver) decides
-    // driver-vs-distributed, and rows are collected only when the driver
-    // path is actually taken — an edge set overflowing `maxDriverEdges`
-    // never materializes ~10M Rows on the driver just to be discarded.
-    // The probe and the collect share the persisted partitions.
-    val cap = math.min(maxDriverEdges, Int.MaxValue - 2L).toInt
-    val directCap = math.min(cap, 1 << 20)
-    val headOpt: Option[Array[org.apache.spark.sql.Row]] = {
-      val probe = edges.limit(directCap + 1).collect()
-      if (probe.length <= directCap) Some(probe)
-      else if (cap > directCap && edges.limit(cap + 1).count() <= cap)
-        Some(edges.collect())
-      else None
-    }
+    val headOpt = boundedEdgeHead(edges, maxDriverEdges)
     val out = if (headOpt.exists(_.isEmpty)) {
       DedupMetrics.emptyPath.incrementAndGet()
       withId.drop(IdCol)
@@ -319,6 +324,55 @@ object MinHashDedup {
     }
     edges.unpersist()
     out
+  }
+
+  /** (id, root) for EVERY row — rows in no duplicate cluster root to
+    * themselves. The dedup OBSERVABILITY surface (cluster membership and
+    * size auditing — "how duplicated is my corpus"), sharing the driver
+    * UnionFind ↔ distributed min-label crossover with [[keepFirst]].
+    */
+  private[graft] def componentRoots(withId: DataFrame, edgesRaw: DataFrame,
+      maxDriverEdges: Long): DataFrame = {
+    val edges = edgesRaw.toDF("__x__", "__y__").persist()
+    val headOpt = boundedEdgeHead(edges, maxDriverEdges)
+    val ids = withId.select(col(IdCol).as("id"))
+    val out = if (headOpt.exists(_.isEmpty)) {
+      DedupMetrics.emptyPath.incrementAndGet()
+      ids.withColumn("root", col("id"))
+    } else if (headOpt.isDefined) {
+      DedupMetrics.driverPath.incrementAndGet()
+      val pairs = headOpt.get.map(r => (r.getLong(0), r.getLong(1)))
+      val roots = ConnectedComponents.unionFindRoots(pairs)
+      val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
+      val rootUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) }
+      ids.withColumn("root", rootUdf(col("id")))
+    } else {
+      DedupMetrics.distributedPath.incrementAndGet()
+      val roots = ConnectedComponents.distributed(edges)
+        .withColumnRenamed("id", "__rid__")
+      ids.join(roots, ids("id") === col("__rid__"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+    }
+    edges.unpersist()
+    out
+  }
+
+  /** Cluster-size histogram of the near-dup clustering over `column`:
+    * (cluster_size, n_clusters), singletons included as size-1 clusters.
+    * Invariants: Σ cluster_size·n_clusters = corpus rows and
+    * Σ n_clusters = the kept-row count of [[deduplicate]] under the same
+    * config — each cluster keeps exactly one representative.
+    */
+  def clusterSizeStats(df: DataFrame, column: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None,
+      bandedSink: Option[String] = None): DataFrame = {
+    val withId = assignId(df, orderCol)
+    componentRoots(withId, candidateEdges(withId, column, cfg, bandedSink),
+      maxDriverEdges)
+      .groupBy("root").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
   /** Near-dedup `df` on `column`, keeping each cluster's first row

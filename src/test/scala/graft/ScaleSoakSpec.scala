@@ -64,6 +64,26 @@ class ScaleSoakSpec extends AnyFunSuite {
     assert(viaBroadcast.exists(_._3 > 0), "no overlap found — vacuous test")
   }
 
+  test("clusterSizeStats: sizes partition the corpus; clusters == kept rows") {
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val hist = MinHashDedup.clusterSizeStats(docs, "text", cfg,
+      orderCol = Some("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = docs.count()
+    assert(hist.map { case (sz, n) => sz * n }.sum == total,
+      "cluster sizes must partition the corpus")
+    val kept = MinHashDedup.deduplicate(docs, "text", cfg,
+      orderCol = Some("doc_id")).count()
+    assert(hist.map(_._2).sum == kept,
+      "one representative kept per cluster")
+    assert(hist.exists { case (sz, _) => sz > 1 }, "no duplicate clusters — vacuous")
+    // and the histogram is identical through the distributed branch
+    val histDist = MinHashDedup.clusterSizeStats(docs, "text", cfg,
+      maxDriverEdges = 1L, orderCol = Some("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(histDist.sortBy(_._1).sameElements(hist.sortBy(_._1)))
+  }
+
   test("incremental dedup crossover: distributed branch preserves " +
     "reference-corpus immutability") {
     val ref = docs.where(col("doc_id") % 2 === 0)
