@@ -47,6 +47,30 @@ object Soak {
       s"(${DedupMetrics.snapshot})")
     assert(fired && keptDriver == keptDist,
       "distributed clustering diverged or did not fire")
+
+    // Skewed-banding soak: a ~20k-deep NEAR-dup cluster (unique suffixes,
+    // so the identical-text collapse cannot absorb it — every row really
+    // reaches banding and lands in the same hot (band, bsig) buckets).
+    // The streaming window bucket-min must survive it without a
+    // reducer-side array; the star edges keep the edge count linear in
+    // bucket depth (not quadratic).
+    val hotText = docs.where(col("doc_id") === 7)
+      .select("text").head().getString(0)
+    val hot = spark.range(20000).select(
+      (col("id") + 100_000_000L).as("doc_id"),
+      concat(lit(hotText), lit(" v"), col("id")).as("text"))
+    val skewed = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).unionByName(hot)
+    val t2 = System.nanoTime()
+    val top = graft.dedup.MinHashDedup
+      .clusterSizeStats(skewed, "text", cfg, orderCol = Some("doc_id"))
+      .orderBy(col("cluster_size").desc).limit(1).collect()
+    val tSkew = (System.nanoTime() - t2) / 1e9
+    val largest = top.head.getLong(0)
+    println(f"[soak] skew: ${skewed.count()} docs incl one 20k near-dup " +
+      f"class; largest cluster=$largest in $tSkew%.1fs")
+    assert(largest >= 20000L,
+      s"hot near-dup class did not cluster (largest=$largest)")
     spark.stop()
   }
 }
