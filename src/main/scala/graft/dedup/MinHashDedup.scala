@@ -480,7 +480,7 @@ object MinHashDedup {
       cfg: MinHashConfig = MinHashConfig(),
       maxDriverEdges: Long = 10_000_000L): DataFrame = {
     val cols = newDf.columns
-    val tagged = refDf.selectExpr(cols.map(c => s"`$c`"): _*)
+    val tagged = refDf.selectExpr(cols.map(c => s"`$c`").toIndexedSeq: _*)
       .withColumn(MarkCol, lit(false))
       .withColumn(OrderCol, monotonically_increasing_id())
       .unionByName(newDf.withColumn(MarkCol, lit(true))

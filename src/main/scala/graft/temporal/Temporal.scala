@@ -62,14 +62,16 @@ object Temporal {
     val sideCol = "__asof_side__"
     val l = left
       .withColumn(sideCol, lit(1))
-      .select(leftCols.map(col) ++ (payload.map(p => lit(null).as(p + suffix)) :+ col(sideCol)): _*)
+      .select((leftCols.map(col) ++
+        (payload.map(p => lit(null).as(p + suffix)) :+ col(sideCol)))
+        .toIndexedSeq: _*)
     val r = right
       .select(keys.map(col) ++ (col(tsCol) +: payload.map(p => col(p).as(p + suffix))): _*)
       .withColumn(sideCol, lit(0))
     // left-only columns are null on right rows
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.map(col).toIndexedSeq: _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrd(col(tsCol)), col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
