@@ -46,23 +46,28 @@ object QueriesExtra {
       s"'[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS bpe_tokens, " +
       s"${wordsSql("text")} AS words FROM documents ORDER BY doc_id"))
 
+  /** The composite quality score's DuckDB mirror over a text expression —
+    * shared with the quality-quota oracle (QueriesExtra4.qualityCap).
+    */
+  private[graft] def qualityScoreSql(e: String): String = {
+    val stop = TextAnalysis.EnStopwords
+      .map(w => cntSql(e, w)).mkString("(", "+", ")")
+    val punct = s"(length($e)-length(regexp_replace($e, '[.!?,;:]', " +
+      "'', 'g')))"
+    val words = wordsSql(e)
+    s"0.4 * least(CAST($words AS DOUBLE)/100.0, 1.0) + " +
+      s"0.3 * (1.0 - CAST($punct AS DOUBLE)/CAST(greatest(length($e),1) " +
+      s"AS DOUBLE)) + 0.3 * least(CAST($stop AS DOUBLE)/CAST(greatest(" +
+      s"$words,1) AS DOUBLE) * 5.0, 1.0)"
+  }
+
   val taQuality: QueryDef = QueryDef("ta_quality_score",
     (s, dir) => Queries.table(s, dir, "documents")
       .select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id"),
-    Some {
-      val stop = TextAnalysis.EnStopwords
-        .map(w => cntSql("text", w)).mkString("(", "+", ")")
-      val punct = "(length(text)-length(regexp_replace(text, '[.!?,;:]', " +
-        "'', 'g')))"
-      val words = wordsSql("text")
-      s"SELECT doc_id, 0.4 * least(CAST($words AS DOUBLE)/100.0, 1.0) + " +
-        s"0.3 * (1.0 - CAST($punct AS DOUBLE)/CAST(greatest(length(text),1) " +
-        s"AS DOUBLE)) + 0.3 * least(CAST($stop AS DOUBLE)/CAST(greatest(" +
-        s"$words,1) AS DOUBLE) * 5.0, 1.0) AS quality " +
-        "FROM documents ORDER BY doc_id"
-    })
+    Some(s"SELECT doc_id, ${qualityScoreSql("text")} AS quality " +
+      "FROM documents ORDER BY doc_id"))
 
   val taLangId: QueryDef = QueryDef("ta_lang_id",
     (s, dir) => Queries.table(s, dir, "documents")

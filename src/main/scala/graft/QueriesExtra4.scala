@@ -164,7 +164,28 @@ object QueriesExtra4 {
       "min_len, max(n_chars) AS max_len FROM documents GROUP BY source, " +
       "len_bucket ORDER BY source, len_bucket"))
 
+  /** FineWeb-style per-source quality quota: keep each source's top 30%
+    * by the composite quality score (unique doc_id tie-break ⇒ the kept
+    * set is deterministic and both engines agree even on equal scores).
+    * One shuffle — the rank and count windows share the source
+    * partitioning. The ⌈count·0.3⌉ arithmetic is IEEE double on both
+    * engines, so boundary cases (e.g. 25·0.3 = 7.4999…) round
+    * identically.
+    */
+  val qualityCap: QueryDef = QueryDef("quality_cap_per_source",
+    (s, dir) => graft.sampling.Splits.topFractionPerGroup(
+        docs(s, dir).select(col(d), col("source"),
+          graft.analysis.TextAnalysis.qualityScore(col("text"))
+            .as("quality")),
+        col("source"), col("quality"), col(d), 0.3)
+      .orderBy(d),
+    Some("WITH q AS (SELECT doc_id, source, " +
+      QueriesExtra.qualityScoreSql("text") + " AS quality FROM documents) " +
+      "SELECT doc_id, source, quality FROM q QUALIFY row_number() OVER " +
+      "(PARTITION BY source ORDER BY quality DESC, doc_id) <= " +
+      "ceil(count(*) OVER (PARTITION BY source) * 0.3) ORDER BY doc_id"))
+
   val all: Seq[QueryDef] =
     Seq(splitAssign, capPerSource, chunkWindows, boilerplateRemoval,
-      compressRatio, deconOverlap, lenHistogram)
+      compressRatio, deconOverlap, lenHistogram, qualityCap)
 }

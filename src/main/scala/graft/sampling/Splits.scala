@@ -60,4 +60,22 @@ object Splits {
       .where(col("__rn__") <= k)
       .drop("__rn__")
   }
+
+  /** FineWeb-style per-group quality quota: keep the top ⌈frac·|group|⌉
+    * rows of each group by (rank desc, tieBreak asc). ONE shuffle — the
+    * rank window and the group-count window share the same partitioning,
+    * so Catalyst plans a single exchange; rows stream through the sorted
+    * run (no per-group array). The tie-break must be unique for a
+    * deterministic kept set under any partitioning.
+    */
+  def topFractionPerGroup(df: DataFrame, group: Column, rank: Column,
+      tieBreak: Column, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    val w = Window.partitionBy(group).orderBy(rank.desc, tieBreak)
+    val wg = Window.partitionBy(group)
+    df.withColumn("__rn__", row_number().over(w))
+      .withColumn("__n__", count(lit(1)).over(wg))
+      .where(col("__rn__") <= ceil(col("__n__") * lit(frac)))
+      .drop("__rn__", "__n__")
+  }
 }
