@@ -181,24 +181,13 @@ object QueriesPipeline {
     * component sizes.
     */
   val dedupClusterStats: QueryDef = QueryDef("dedup_cluster_stats",
-    (s, dir) => {
-      import graft.dedup.{MinHashConfig, MinHashDedup}
-      val path = QueriesExtra2
-        .bandedPath("minhash_stats", QueriesExtra2.scaleKey(dir))
-      val withId = MinHashDedup.assignId(
-        Queries.table(s, dir, "documents"), Some("doc_id"))
-      val roots = MinHashDedup.componentRoots(withId,
-        MinHashDedup.candidateEdges(withId, "text",
-          MinHashConfig(ngramSize = 3, minNgramSize = 3),
-          QueriesExtra2.sinkOnce(path)), 10000000L)
-      val out = roots
-        .groupBy("root").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_size")
-        .localCheckpoint(true)
-      withId.unpersist()
-      out
-    },
+    (s, dir) => graft.dedup.MinHashDedup.clusterSizeStats(
+        Queries.table(s, dir, "documents"), "text",
+        graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3),
+        orderCol = Some("doc_id"),
+        bandedSink = QueriesExtra2.sinkOnce(QueriesExtra2
+          .bandedPath("minhash_stats", QueriesExtra2.scaleKey(dir))))
+      .orderBy("cluster_size"),
     Some {
       val glob = QueriesExtra2
         .bandedPath("minhash_stats", QueriesExtra2.OracleScaleKey) +

@@ -269,12 +269,6 @@ object MinHashDedup {
       .distinct()
   }
 
-  /** Shared clustering tail for every dedup variant: edge list →
-    * component-min roots → keep rows that are their own root. Driver
-    * UnionFind (mirrors minhash_deduplication.py:179-193,273-280) below
-    * `maxDriverEdges`; distributed min-label propagation above — no
-    * unconditional driver materialization anywhere.
-    */
   /** ONE limited collect decides the clustering branch AND delivers the
     * edges in the common case (a separate count() would be a whole extra
     * job), but the speculative collect is BOUNDED at ~1M rows: above
@@ -296,6 +290,12 @@ object MinHashDedup {
     else None
   }
 
+  /** Shared clustering tail for every dedup variant: edge list →
+    * component-min roots → keep rows that are their own root. Driver
+    * UnionFind (mirrors minhash_deduplication.py:179-193,273-280) below
+    * `maxDriverEdges`; distributed min-label propagation above — no
+    * unconditional driver materialization anywhere.
+    */
   private[graft] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
       maxDriverEdges: Long): DataFrame = {
     val edges = edgesRaw.toDF("__x__", "__y__").persist()
@@ -362,6 +362,12 @@ object MinHashDedup {
     * Invariants: Σ cluster_size·n_clusters = corpus rows and
     * Σ n_clusters = the kept-row count of [[deduplicate]] under the same
     * config — each cluster keeps exactly one representative.
+    *
+    * EAGER, unlike the dedup entry points: the histogram is tiny (one
+    * row per distinct cluster size), so it is materialized via
+    * localCheckpoint and the corpus cache `assignId` pinned is released
+    * before returning — a long-running pipeline JVM calling this per
+    * batch must not accumulate cached corpus copies.
     */
   def clusterSizeStats(df: DataFrame, column: String,
       cfg: MinHashConfig = MinHashConfig(),
@@ -369,10 +375,13 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    componentRoots(withId, candidateEdges(withId, column, cfg, bandedSink),
-      maxDriverEdges)
+    val out = componentRoots(withId,
+      candidateEdges(withId, column, cfg, bandedSink), maxDriverEdges)
       .groupBy("root").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .localCheckpoint(true)
+    withId.unpersist()
+    out
   }
 
   /** Near-dedup `df` on `column`, keeping each cluster's first row
