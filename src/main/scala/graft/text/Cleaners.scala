@@ -117,12 +117,13 @@ object Cleaners {
   */
 object FtfyLite extends Serializable {
   private val cp1252 = Charset.forName("windows-1252")
+  private val latin1 = Charset.forName("ISO-8859-1")
 
-  private def tryRepair(s: String): Option[String] = {
-    // Only attempt when the string contains the telltale high-latin lead
-    // bytes of UTF-8 seen through a 1-byte codec.
-    if (!s.exists(ch => ch >= 'Â' && ch <= 'ô')) return None
-    val enc = cp1252.newEncoder()
+  /** One byte-codec round-trip: re-encode through `cs`, strict-decode as
+    * UTF-8; any unmappable char or invalid sequence aborts the attempt.
+    */
+  private def roundTrip(s: String, cs: Charset): Option[String] = {
+    val enc = cs.newEncoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
     val dec = Charset.forName("UTF-8").newDecoder()
@@ -133,6 +134,17 @@ object FtfyLite extends Serializable {
       val out = dec.decode(bytes).toString
       if (out != s) Some(out) else None
     } catch { case _: Exception => None }
+  }
+
+  private def tryRepair(s: String): Option[String] = {
+    // Only attempt when the string contains the telltale high-latin lead
+    // bytes of UTF-8 seen through a 1-byte codec. cp1252 first (the
+    // common mis-decode), then latin-1 — which covers mojibake carrying
+    // raw C1 codepoints (cp1252's holes, e.g. "Ãngel" → "Ángel");
+    // ftfy's sloppy-windows-1252 additionally repairs strings mixing
+    // cp1252-only AND hole chars in one text — documented subset gap.
+    if (!s.exists(ch => ch >= 'Â' && ch <= 'ô')) return None
+    roundTrip(s, cp1252).orElse(roundTrip(s, latin1))
   }
 
   /** ftfy `unescape_html="auto"`: only when the text has entity-looking

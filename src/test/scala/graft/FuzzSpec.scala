@@ -52,15 +52,16 @@ class FuzzSpec extends AnyFunSuite {
   }
 
   test("stored corpus preserves hostile bytes through parquet round-trip") {
+    val n2 = QueriesFuzz.Rows.toLong
     val rows = QueriesFuzz.fuzzCleaners
       .run(spark, "/root/testdata/sf0.001").count()
-    assert(rows == 576L)
+    assert(rows == n2)
     val texts = spark.read.parquet(QueriesFuzz.CorpusPath)
       .select("text").collect().map(_.getString(0))
-    assert(texts.length == 576)
-    // genuinely distinct compositions — all 24x24 (j, k) fragment pairs
-    // (the first cut collapsed to 24 texts; this pins the fix)
-    assert(texts.distinct.length == 576,
+    assert(texts.length == n2)
+    // genuinely distinct compositions — all NxN (j, k) fragment pairs
+    // (the first cut collapsed to N texts; this pins the fix)
+    assert(texts.distinct.length == n2,
       s"only ${texts.distinct.length} distinct texts")
     assert(texts.exists(t => t.codePoints().anyMatch(_ > 0xFFFF)),
       "astral chars survived")
