@@ -135,6 +135,12 @@ object QueriesExtra2 {
   private[graft] def sigPath(variant: String, key: String) =
     s"/tmp/graft_dedup_sigs_${variant}_$key"
 
+  /** (doc_id, deflate-compressed length) frame for the ta_compress_ratio
+    * oracle — see [[graft.analysis.Compression.deflateLen]].
+    */
+  private[graft] def compLenPath(key: String) =
+    s"/tmp/graft_compress_len_$key"
+
   /** The side-channel exports are deterministic per (variant, scale): the
     * first run in this JVM writes them; later runs — bench repetitions —
     * skip the parquet write but still recompute everything the query is

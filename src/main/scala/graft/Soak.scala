@@ -74,3 +74,90 @@ object Soak {
     spark.stop()
   }
 }
+
+/** Genuine-crossover soak (VERDICT r7 #6): run `deduplicate` with the
+  * DEFAULT `maxDriverEdges` (10M) on a synthetic corpus whose candidate
+  * edge list GENUINELY exceeds it — so the distributed min-label branch
+  * fires because the data demands it, not because a knob forced it
+  * (`Soak` above proves path equality with `maxDriverEdges=1`; this
+  * proves the real overflow). 12M rows:
+  *
+  *   - 95k EXACT-dup classes × 120 copies (11.4M rows): the identical-
+  *     text collapse absorbs them pre-banding, so signatures are computed
+  *     for 95k representatives only, while the ident star edges carry
+  *     ~11.3M of the >10M edge volume — exactly the web-corpus shape
+  *     (~30% exact dups at 100 TB);
+  *   - 25k NEAR-dup classes × 20 (500k rows, unique tails over a long
+  *     shared prefix): all 500k genuinely reach banding, so the LSH
+  *     shuffle also runs at volume.
+  *
+  * Asserts: the distributed branch fired under DEFAULT config; exactly
+  * one representative kept per exact class and it is the class MINIMUM
+  * id (keep-first semantics at scale); near-dup kept count within the
+  * banding-probability slack. Prints wall time + rounds-to-convergence
+  * (star edges ⇒ expect ≤3) for the PERF.md entry.
+  *
+  * Usage: runMain graft.SoakEdges
+  */
+object SoakEdges {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+
+    val identClasses = 95000L
+    val identCopies = 120L
+    val nearClasses = 25000L
+    val nearCopies = 20L
+    val nearBase = 1_000_000_000L
+    val ident = spark.range(identClasses * identCopies).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta shared body of the class "),
+        (col("id") % identClasses).cast("string")).as("text"))
+    // 30-token shared prefix + unique 2-token tail: shingle overlap ~0.88,
+    // far above the 0.7 threshold, so bands collide reliably
+    val prefix = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = spark.range(nearClasses * nearCopies).select(
+      (col("id") + nearBase).as("doc_id"),
+      concat(lit(prefix + " fam"),
+        (col("id") % nearClasses).cast("string"),
+        lit(" tail"), col("id").cast("string")).as("text"))
+    val corpus = ident.unionByName(near)
+
+    val edges = MinHashDedup.candidateEdges(
+      MinHashDedup.assignId(corpus, Some("doc_id")), "text", cfg)
+    val nEdges = edges.count()
+    println(s"[soak-edges] candidate edges = $nEdges (must be > 10M)")
+    assert(nEdges > 10_000_000L, s"edge list too small: $nEdges")
+
+    val before = DedupMetrics.distributedPath.get
+    val t0 = System.nanoTime()
+    val kept = MinHashDedup.deduplicate(corpus, "text", cfg,
+      orderCol = Some("doc_id")) // DEFAULT maxDriverEdges = 10M
+    val keptIdent = kept.where(col("doc_id") < nearBase)
+      .select("doc_id").persist()
+    val nKeptIdent = keptIdent.count()
+    val nKeptNear = kept.where(col("doc_id") >= nearBase).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val fired = DedupMetrics.distributedPath.get == before + 1
+    // keep-first at scale: the kept exact-class representatives must be
+    // EXACTLY the class minima {0..identClasses-1}
+    val badReps = keptIdent.where(col("doc_id") >= identClasses).count()
+    println(f"[soak-edges] docs=${identClasses * identCopies +
+      nearClasses * nearCopies} kept: ident=$nKeptIdent (expect " +
+      f"$identClasses) near=$nKeptNear (expect ~$nearClasses) in " +
+      f"$wall%.1fs; branchFired=$fired badReps=$badReps " +
+      s"(${DedupMetrics.snapshot})")
+    assert(fired, "distributed branch did not fire under DEFAULT config")
+    assert(nKeptIdent == identClasses && badReps == 0L,
+      s"exact-class keep-first broken: $nKeptIdent kept, $badReps non-min")
+    assert(nKeptNear >= nearClasses && nKeptNear <= nearClasses * 11 / 10,
+      s"near-dup kept $nKeptNear outside [$nearClasses, +10%]")
+    spark.stop()
+  }
+}

@@ -21,22 +21,40 @@ import org.apache.spark.sql.functions.udf
   */
 object Compression {
 
+  private def compressedLen(in: Array[Byte]): Long = {
+    // raw deflate (nowrap), fixed level: deterministic for a given JDK
+    val d = new Deflater(Deflater.BEST_SPEED, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      out
+    } finally d.end()
+  }
+
   private val ratioUdf = udf { (s: String) =>
     if (s == null || s.isEmpty) 1.0
     else {
       val in = s.getBytes(StandardCharsets.UTF_8)
-      // raw deflate (nowrap), fixed level: deterministic for a given JDK
-      val d = new Deflater(Deflater.BEST_SPEED, true)
-      try {
-        d.setInput(in)
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var out = 0L
-        while (!d.finished()) out += d.deflate(buf)
-        out.toDouble / in.length
-      } finally d.end()
+      compressedLen(in).toDouble / in.length
     }
   }
 
   def deflateRatio(c: Column): Column = ratioUdf(c)
+
+  /** Compressed byte length, 0 for null/empty (the ratio's 1.0 special
+    * case carries no deflate information). This is the `ta_compress_ratio`
+    * side-channel export: the deflate byte stream is the ONE thing DuckDB
+    * cannot recompute (no SQL zlib), so just its length crosses the
+    * channel — UTF-8 byte counts, the ratio division and the empty-text
+    * case are all recomputed by the oracle (VERDICT r7 #5).
+    */
+  private val lenUdf = udf { (s: String) =>
+    if (s == null || s.isEmpty) 0L
+    else compressedLen(s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def deflateLen(c: Column): Column = lenUdf(c)
 }

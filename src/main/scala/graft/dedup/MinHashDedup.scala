@@ -384,6 +384,41 @@ object MinHashDedup {
     out
   }
 
+  /** One clustering pass, two outputs: (kept rows, cluster-size
+    * histogram). Calling [[deduplicate]] and [[clusterSizeStats]]
+    * separately pays signatures + banding + clustering TWICE — at 100 TB
+    * that is the single largest avoidable cost of "dedup with auditing"
+    * (VERDICT r7 #2). Here [[componentRoots]] runs ONCE; the roots frame
+    * (two Longs per row) is eagerly localCheckpointed so neither consumer
+    * re-derives the banding, then
+    *   - kept  = corpus anti-joined against the root≠id rows (the
+    *     duplicates — usually the small side, so AQE broadcasts it; same
+    *     kept SET as [[deduplicate]], proven by DedupInvariantSpec), and
+    *   - stats = the same histogram as [[clusterSizeStats]], materialized
+    *     eagerly (it is tiny).
+    * The corpus cache `assignId` pinned stays live for the lazy kept
+    * frame, exactly like [[deduplicate]] — callers that materialize kept
+    * and want the memory back call `kept.sparkSession.catalog.clearCache()`
+    * or unpersist explicitly.
+    */
+  def deduplicateWithStats(df: DataFrame, column: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None,
+      bandedSink: Option[String] = None): (DataFrame, DataFrame) = {
+    val withId = assignId(df, orderCol)
+    val roots = componentRoots(withId,
+      candidateEdges(withId, column, cfg, bandedSink), maxDriverEdges)
+      .localCheckpoint(true)
+    val dropped = roots.where(col("root") =!= col("id"))
+      .select(col("id").as(IdCol))
+    val kept = withId.join(dropped, Seq(IdCol), "left_anti").drop(IdCol)
+    val stats = roots.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .localCheckpoint(true)
+    (kept, stats)
+  }
+
   /** Near-dedup `df` on `column`, keeping each cluster's first row
     * (min id == first in row order, matching the reference's contiguous-id
     * keep-first semantics — monotonically_increasing_id preserves row
@@ -501,25 +536,31 @@ object MinHashDedup {
 }
 
 /** Oracle side-channel export bookkeeping, shared by every dedup variant:
-  * `once` claims a path the first time it is seen in this JVM (exports are
-  * deterministic per (variant, scale), so later bench repetitions skip the
-  * write but still recompute everything the query is timed on); `through`
-  * performs the write-then-read-back so the clustering consumes exactly
-  * the bytes the oracle will read — and UN-claims the path if the write
-  * fails, so a transient failure cannot permanently suppress the export
-  * (which would leave DuckDB comparing against a stale or missing frame).
+  * `once` reports whether a path still needs exporting in this JVM
+  * (exports are deterministic per (variant, scale), so later bench
+  * repetitions skip the write but still recompute everything the query is
+  * timed on); `through` performs the write-then-read-back so the
+  * clustering consumes exactly the bytes the oracle will read. The claim
+  * is recorded only AFTER the write action succeeds (ADVICE r7: a
+  * claim-at-`once` design left the claim set if the query failed anywhere
+  * between `once` and the write — the export would then be silently
+  * skipped for the JVM lifetime and the oracle could read a stale frame
+  * from a previous JVM at the same /tmp path). Two concurrent unclaimed
+  * calls can both write; that is benign-by-determinism (same variant +
+  * scale ⇒ byte-identical content) and cannot happen in the sequential
+  * bench/verify drivers anyway.
   */
 object SideChannel {
   private val claimed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def once(path: String): Option[String] =
-    if (claimed.add(path)) Some(path) else None
+    if (claimed.contains(path)) None else Some(path)
 
   def through(df: DataFrame, sink: Option[String]): DataFrame = sink match {
     case Some(p) =>
-      try df.write.mode("overwrite").parquet(p)
-      catch { case e: Throwable => claimed.remove(p); throw e }
+      df.write.mode("overwrite").parquet(p)
+      claimed.add(p) // write-then-claim: only a SUCCESSFUL export claims
       df.sparkSession.read.parquet(p)
     case None => df
   }
@@ -534,8 +575,13 @@ object DedupMetrics {
   val emptyPath = new java.util.concurrent.atomic.AtomicLong
   val driverPath = new java.util.concurrent.atomic.AtomicLong
   val distributedPath = new java.util.concurrent.atomic.AtomicLong
+  /** Rounds the last [[ConnectedComponents.distributed]] run took to
+    * converge (star-shaped LSH components ⇒ expect 2-3; a high value
+    * means long propagation chains — worth a look at the edge shape).
+    */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicLong
   def snapshot: String = s"empty=${emptyPath.get} driver=${driverPath.get} " +
-    s"distributed=${distributedPath.get}"
+    s"distributed=${distributedPath.get} ccRounds=${lastCcRounds.get}"
 }
 
 /** Cluster-representative assignment. Driver UnionFind mirrors the
@@ -610,6 +656,7 @@ object ConnectedComponents {
       converged = changed == 0
       i += 1
     }
+    DedupMetrics.lastCcRounds.set(i)
     sym.unpersist()
     cur
   }

@@ -183,6 +183,29 @@ class DedupInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("deduplicateWithStats: one clustering pass == deduplicate + clusterSizeStats") {
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val corpus = corpusWithDupes
+    val (kept, stats) = MinHashDedup.deduplicateWithStats(
+      corpus, "text", cfg, orderCol = Some("doc_id"))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val indepKept = MinHashDedup.deduplicate(
+        corpus, "text", cfg, orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == indepKept,
+      s"kept diff: extra=${keptIds -- indepKept}, missing=${indepKept -- keptIds}")
+    val hist = stats.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val indepHist = MinHashDedup.clusterSizeStats(
+        corpus, "text", cfg, orderCol = Some("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == indepHist, s"histogram diff: $hist vs $indepHist")
+    // cross-invariants tying the two outputs together: every cluster
+    // keeps exactly one representative, and sizes add back to the corpus
+    assert(hist.values.sum == keptIds.size.toLong)
+    assert(hist.map { case (sz, n) => sz * n }.sum == corpus.count())
+  }
+
   test("embedding: edges valid, kept = component mins, within-block complete") {
     val threshold = 0.35
     val base = spark.read.parquet(s"$sf001/embeddings.parquet")

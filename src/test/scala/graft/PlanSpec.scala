@@ -54,6 +54,24 @@ class PlanSpec extends AnyFunSuite {
     assert(ranges === 1, s"expected exactly 1 rangepartitioning, got $ranges")
   }
 
+  test("flagship plan scale guard: no cartesian, bounded exchange count") {
+    // VERDICT r7 #8: every r7 regression (even as noise) concentrated in
+    // the flagship family — freeze its plan shape so a refactor cannot
+    // silently reintroduce the r3 global sort or an accidental join
+    // explosion. Ceilings are the counts measured at r8 (update ONLY with
+    // a PERF.md entry explaining the new plan).
+    val p = plan("flagship_chat_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "flagship must not contain an unbounded join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val r8Ceiling = 12
+    assert(exchanges <= r8Ceiling,
+      s"flagship exchange count grew to $exchanges (r8 ceiling $r8Ceiling) " +
+        "— a new shuffle entered the plan; justify in PERF.md and re-pin")
+    info(s"flagship exchanges=$exchanges rangepartitionings=1")
+  }
+
   test("asof join plans one shuffle and no join operator") {
     val p = plan("ev_asof_join")
     assert(!p.contains("Join"), "asof must be the union+window shape, not a join")

@@ -48,27 +48,41 @@ class StreamingSoakSpec extends AnyFunSuite {
         if (p != null && p.stateOperators.nonEmpty)
           stateSizes += p.stateOperators.head.numRowsTotal
       }
+      // drain batch (ADVICE r7: eviction can lag a trigger cycle under a
+      // loaded executor, so sample the FINAL size only after one more
+      // watermark advance gives eviction a cycle to land): a single key
+      // far past every prior event time flushes all earlier state
+      mem.addData(Seq((999999L,
+        new java.sql.Timestamp(batches * 60000L + 3600000L), "drain row")))
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        stateSizes += p.stateOperators.head.numRowsTotal
     } finally q.stop()
     assert(stateSizes.nonEmpty)
     val inserted = (perBatch * batches).toLong // 480 distinct keys total
     val maxState = stateSizes.max
-    // bounded: the store holds at most ~2 batches of keys (current batch
-    // + not-yet-evicted predecessor), never the whole key history —
-    // observed plateau is exactly one batch (40), eviction of batch b's
-    // keys lands in the same trigger cycle that admits batch b+1
-    assert(maxState <= perBatch * 3L,
+    // bounded — the DISCRIMINATING property (ADVICE r7): the store never
+    // holds more than a small multiple of one batch, far below the full
+    // key history (the control below plateaus at ~inserted). The observed
+    // steady plateau is exactly one batch (40); inserted/2 leaves room
+    // for eviction lagging a cycle or two without ever conflating the
+    // bounded operator with the monotonic-growth failure mode.
+    assert(maxState < inserted / 2,
       s"state grew to $maxState rows (inserted $inserted): " +
         s"sizes=${stateSizes.mkString(",")}")
+    // after the drain cycle everything older than the watermark is gone:
+    // at most the drain row's own batch (plus a laggard batch) remains
     assert(stateSizes.last <= perBatch * 2L,
-      s"final state ${stateSizes.last} did not stay near one batch: " +
+      s"final state ${stateSizes.last} did not drain: " +
         s"sizes=${stateSizes.mkString(",")}")
     // nearly all fresh keys pass the dedup while their predecessors hold
     // state (distinct short texts occasionally COLLIDE to one simhash —
     // ~1-4 per 40 observed — and collide-then-drop is correct near-dedup
     // behavior, so the bound tolerates it)
     val emitted = spark.table("soak_nd").count()
-    assert(emitted >= inserted * 9 / 10 && emitted <= inserted,
-      s"emitted $emitted of $inserted distinct keys")
+    assert(emitted >= inserted * 9 / 10 && emitted <= inserted + 1,
+      s"emitted $emitted of $inserted distinct keys (+1 drain row)")
   }
 
   test("control: plain dropDuplicates DOES grow state monotonically") {
