@@ -115,17 +115,26 @@ object SoakEdges {
     val nearClasses = 25000L
     val nearCopies = 20L
     val nearBase = 1_000_000_000L
+    // EVERY token carries the class id: ZERO shingle overlap between
+    // different classes, so clusters are exactly the intended classes.
+    // (The first cut shared a global prefix across classes — cross-class
+    // Jaccard 0.6-0.78 — and LSH CORRECTLY merged the whole corpus into
+    // a handful of components, kept=13 of 11.9M: any-band-collision
+    // semantics are unforgiving about sloppy synthetic corpora. The
+    // assertion below is what caught it.)
+    def classText(cls: org.apache.spark.sql.Column, tokens: Int,
+        tag: String): org.apache.spark.sql.Column =
+      concat_ws(" ", (1 to tokens).map(i =>
+        concat(lit(s"$tag${i}x"), cls.cast("string"))): _*)
     val ident = spark.range(identClasses * identCopies).select(
       col("id").as("doc_id"),
-      concat(lit("alpha beta gamma delta shared body of the class "),
-        (col("id") % identClasses).cast("string")).as("text"))
-    // 30-token shared prefix + unique 2-token tail: shingle overlap ~0.88,
-    // far above the 0.7 threshold, so bands collide reliably
-    val prefix = (1 to 30).map(i => s"w$i").mkString(" ")
+      classText(col("id") % identClasses, 10, "w").as("text"))
+    // 30-token class-tagged prefix + unique tail token: within-class
+    // shingle overlap ~0.93 (>> 0.7 threshold, bands collide reliably),
+    // across-class overlap zero
     val near = spark.range(nearClasses * nearCopies).select(
       (col("id") + nearBase).as("doc_id"),
-      concat(lit(prefix + " fam"),
-        (col("id") % nearClasses).cast("string"),
+      concat(classText(col("id") % nearClasses, 30, "p"),
         lit(" tail"), col("id").cast("string")).as("text"))
     val corpus = ident.unionByName(near)
 

@@ -52,6 +52,28 @@ class ExtrasSpec extends AnyFunSuite {
     assert(col.dedup === Some(graft.dedup.MinHashConfig(5, 256, 0.7, 5)))
   }
 
+  test("side-channel claims only after a successful write (ADVICE r7)") {
+    import graft.dedup.SideChannel
+    val good = s"/tmp/graft_sidechannel_spec_${System.nanoTime()}"
+    val df = spark.range(3).toDF("id")
+    // unclaimed until written: once() keeps offering the path
+    assert(SideChannel.once(good).contains(good))
+    assert(SideChannel.once(good).contains(good),
+      "once() must not claim before the write lands")
+    // a FAILED write must leave the path unclaimed (a claim-at-once
+    // design silently suppressed the export for the JVM lifetime)
+    val bad = "/proc/graft_no_such_dir/x"
+    intercept[Exception] {
+      SideChannel.through(df, SideChannel.once(bad))
+    }
+    assert(SideChannel.once(bad).contains(bad),
+      "failed write must not claim")
+    // a successful write claims: later once() calls skip the export
+    val back = SideChannel.through(df, SideChannel.once(good))
+    assert(back.count() == 3)
+    assert(SideChannel.once(good).isEmpty, "successful write must claim")
+  }
+
   test("simhash: identical docs collapse, distinct survive") {
     import spark.implicits._
     val docs = Seq(

@@ -84,6 +84,28 @@ class ScaleSoakSpec extends AnyFunSuite {
     assert(histDist.sortBy(_._1).sameElements(hist.sortBy(_._1)))
   }
 
+  test("deduplicateWithStats: identical outputs through the distributed branch") {
+    // the combined one-pass API (r8) must hold the same kept-set and
+    // histogram equality across the clustering crossover as the
+    // independent paths do (its driver-path equality is proven by
+    // DedupInvariantSpec; this is the 100 TB branch)
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val (kept, stats) = MinHashDedup.deduplicateWithStats(
+      docs, "text", cfg, orderCol = Some("doc_id"))
+    val before = DedupMetrics.distributedPath.get
+    val (keptD, statsD) = MinHashDedup.deduplicateWithStats(
+      docs, "text", cfg, maxDriverEdges = 1L, orderCol = Some("doc_id"))
+    assert(DedupMetrics.distributedPath.get == before + 1,
+      s"distributed branch did not fire (${DedupMetrics.snapshot})")
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = keptD.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, s"kept sets differ across branches: " +
+      s"driver-only=${(a -- b).take(5)} dist-only=${(b -- a).take(5)}")
+    val h1 = stats.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val h2 = statsD.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(h1.sameElements(h2), "histograms differ across branches")
+  }
+
   test("incremental dedup crossover: distributed branch preserves " +
     "reference-corpus immutability") {
     val ref = docs.where(col("doc_id") % 2 === 0)
