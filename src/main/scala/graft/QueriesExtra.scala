@@ -330,12 +330,21 @@ object QueriesExtra {
       val key = QueriesExtra2.scaleKey(dir)
       val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
         k = 8, iters = 3, trainFraction = 0.2).persist()
-      if (ivfWritten.add(key)) {
+      // write-then-claim (same contract as dedup.SideChannel, ADVICE r7):
+      // the key is recorded only after BOTH exports succeed, so a failed
+      // probe write cannot leave later invocations silently reading a
+      // stale/absent frame for the JVM lifetime. Concurrent unclaimed
+      // calls may both write — benign, the content is deterministic per
+      // (corpus, seed) and mode is overwrite.
+      if (!ivfWritten.contains(key)) {
         cells.select(col("vec_id"), col("__cell__").as("cell"))
           .write.mode("overwrite").parquet(ivfCellsPath(key))
         Ann.probeCells(cells, query, "embedding", "__cell__", nprobe = 3)
           .select(col("__cell__").as("cell"))
           .write.mode("overwrite").parquet(ivfProbedPath(key))
+        ivfWritten.add(key)
+        graft.dedup.SideChannel.record(ivfCellsPath(key))
+        graft.dedup.SideChannel.record(ivfProbedPath(key))
       }
       // prune against the JUST-WRITTEN probe list instead of re-deriving
       // it (a second centroids aggregate over the corpus) — the oracle and

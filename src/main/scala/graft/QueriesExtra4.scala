@@ -113,7 +113,11 @@ object QueriesExtra4 {
         QueriesExtra2.sinkOnce(
           QueriesExtra2.compLenPath(QueriesExtra2.scaleKey(dir))))
       docs(s, dir)
-        .select(col(d), octet_length(col("text")).cast("long").as("n_bytes"))
+        // coalesce: null text must keep deflateRatio's null/empty ⇒ 1.0
+        // contract (octet_length(NULL) is NULL, which would leak a NULL
+        // ratio both engines silently agree on)
+        .select(col(d), coalesce(octet_length(col("text")).cast("long"),
+          lit(0L)).as("n_bytes"))
         .join(side, col(d) === col("id"))
         .select(col(d), col("n_bytes"), col("comp_len"),
           when(col("n_bytes") === 0, lit(1.0))
@@ -124,8 +128,9 @@ object QueriesExtra4 {
     Some {
       val p = QueriesExtra2.compLenPath(QueriesExtra2.OracleScaleKey) +
         "/*.parquet"
-      "SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes, " +
-        "s.comp_len, CASE WHEN strlen(d.text) = 0 THEN 1.0 ELSE " +
+      "SELECT d.doc_id, CAST(COALESCE(strlen(d.text), 0) AS BIGINT) " +
+        "AS n_bytes, s.comp_len, " +
+        "CASE WHEN COALESCE(strlen(d.text), 0) = 0 THEN 1.0 ELSE " +
         "CAST(s.comp_len AS DOUBLE) / strlen(d.text) END AS deflate_ratio " +
         s"FROM documents d JOIN parquet_scan('$p') s ON d.doc_id = s.id " +
         "ORDER BY d.doc_id"

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{DedupMetrics, MinHashConfig, MinHashDedup}
+import graft.dedup.{DedupMetrics, MinHash, MinHashConfig, MinHashDedup}
 
 /** One-shot scale soak (VERDICT r6 #1): at the derived sf1 corpus, run
   * minhash dedup through BOTH clustering paths — driver UnionFind and the
@@ -138,12 +138,13 @@ object SoakEdges {
         lit(" tail"), col("id").cast("string")).as("text"))
     val corpus = ident.unionByName(near)
 
-    val edges = MinHashDedup.candidateEdges(
-      MinHashDedup.assignId(corpus, Some("doc_id")), "text", cfg)
-    val nEdges = edges.count()
-    println(s"[soak-edges] candidate edges = $nEdges (must be > 10M)")
-    assert(nEdges > 10_000_000L, s"edge list too small: $nEdges")
-
+    // Timed pass FIRST, caches cold (clearPermCache like Bench, and no
+    // prior pass to warm the per-JVM shingle machinery) — the printed
+    // wall time is what a first production `deduplicate` call pays. The
+    // >10M edge-volume proof runs AFTER as an untimed verification pass
+    // (it recomputes signatures+banding; doing it before the clock was
+    // both a double-compute and a warm-cache flattering of the number).
+    MinHash.clearPermCache()
     val before = DedupMetrics.distributedPath.get
     val t0 = System.nanoTime()
     val kept = MinHashDedup.deduplicate(corpus, "text", cfg,
@@ -154,6 +155,13 @@ object SoakEdges {
     val nKeptNear = kept.where(col("doc_id") >= nearBase).count()
     val wall = (System.nanoTime() - t0) / 1e9
     val fired = DedupMetrics.distributedPath.get == before + 1
+    // untimed verification: the corpus really does exceed the 10M-edge
+    // driver crossover (so the distributed branch fired on volume, not
+    // on a lowered threshold)
+    val nEdges = MinHashDedup.candidateEdges(
+      MinHashDedup.assignId(corpus, Some("doc_id")), "text", cfg).count()
+    println(s"[soak-edges] candidate edges = $nEdges (must be > 10M)")
+    assert(nEdges > 10_000_000L, s"edge list too small: $nEdges")
     // keep-first at scale: the kept exact-class representatives must be
     // EXACTLY the class minima {0..identClasses-1}
     val badReps = keptIdent.where(col("doc_id") >= identClasses).count()

@@ -38,6 +38,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // provenance manifest: every /tmp side-channel frame THIS run exported.
+    // verify_local retargets scale-pinned oracles only against manifested
+    // paths — an existing dir alone could be stale (older JVM/code/corpus)
+    // and would silently corrupt the compare.
+    Files.writeString(Paths.get(s"$outDir/side_channels.json"),
+      graft.dedup.SideChannel.exportedPaths.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -564,6 +564,21 @@ object SideChannel {
       df.sparkSession.read.parquet(p)
     case None => df
   }
+
+  /** Register an export performed outside [[through]] (e.g. the IVF
+    * cells/probe frames) so it appears in [[exportedPaths]]. */
+  def record(path: String): Unit = claimed.add(path)
+
+  /** Every side-channel path successfully exported by THIS JVM.
+    * `graft.Verify` dumps this as `side_channels.json` next to the query
+    * outputs so the oracle harness can prove a /tmp frame came from the
+    * same run as the artifacts it is compared against — an existing
+    * directory alone could be a stale frame from an older JVM, code
+    * version, or corpus. */
+  def exportedPaths: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    claimed.asScala.toSeq.sorted
+  }
 }
 
 /** Observability for the scale-crossover machinery: which clustering path

@@ -63,12 +63,14 @@ class StreamingSoakSpec extends AnyFunSuite {
     val inserted = (perBatch * batches).toLong // 480 distinct keys total
     val maxState = stateSizes.max
     // bounded — the DISCRIMINATING property (ADVICE r7): the store never
-    // holds more than a small multiple of one batch, far below the full
+    // holds more than a small multiple of ONE BATCH, far below the full
     // key history (the control below plateaus at ~inserted). The observed
-    // steady plateau is exactly one batch (40); inserted/2 leaves room
-    // for eviction lagging a cycle or two without ever conflating the
-    // bounded operator with the monotonic-growth failure mode.
-    assert(maxState < inserted / 2,
+    // steady plateau is exactly one batch (40); 4 batches of slack lets
+    // eviction lag up to three trigger cycles on a loaded executor
+    // without flaking, while a retention regression of 5+ batches still
+    // fails. Deliberately a fixed per-batch multiple, NOT a fraction of
+    // `inserted` — a fraction would loosen as batch count grows.
+    assert(maxState <= perBatch * 4L,
       s"state grew to $maxState rows (inserted $inserted): " +
         s"sizes=${stateSizes.mkString(",")}")
     // after the drain cycle everything older than the watermark is gone:

@@ -69,6 +69,14 @@ def main():
     import os
     import re
     scale = os.path.basename(SF_DIR.rstrip("/"))
+    # provenance manifest (written by graft.Verify since r8): the set of
+    # /tmp side-channel frames THAT run exported. A dir merely existing is
+    # not enough — it could be a stale frame from an older JVM, code
+    # version, or regenerated corpus, and comparing against it corrupts
+    # the gate in both directions (false FAIL or vacuous PASS).
+    manifest_file = OUT / "side_channels.json"
+    manifest = (set(json.loads(manifest_file.read_text()))
+                if manifest_file.exists() else None)
     if scale != "sf0.01":
         # the ARPA model dump and fuzz corpus are corpus-independent (no
         # scale key in their paths) and stay comparable at every scale
@@ -78,13 +86,19 @@ def main():
                 new_sql = sql.replace("sf0.01", scale)
                 dirs = {p.split("/*")[0] for p in
                         re.findall(r"/tmp/graft_[A-Za-z0-9_.]+", new_sql)}
-                if all(os.path.isdir(d) for d in dirs):
+                fresh = (all(d in manifest for d in dirs) if manifest
+                         is not None else False)
+                if fresh and all(os.path.isdir(d) for d in dirs):
                     retargeted[n] = new_sql
                     print(f"INFO {n}: oracle retargeted to {scale} "
                           "side-channels")
                 else:
+                    why = ("side-channel not in this run's manifest"
+                           if manifest is not None else
+                           "no side_channels.json — rerun without "
+                           "--skip-spark for frame provenance")
                     print(f"INFO {n}: scale-pinned oracle, rows-only at "
-                          f"{scale} (side-channel not materialized)")
+                          f"{scale} ({why})")
             else:
                 retargeted[n] = sql
         oracle = retargeted
