@@ -89,13 +89,19 @@ object Cleaners {
   def stripWs(c: Column): Column = StripWs(c)
 
   /** `fix_utf8_encoding` — cleaners.py:5-8. ftfy has no JVM port; this is
-    * the documented high-value subset in ftfy's own pipeline order: HTML
-    * entity unescape (auto heuristic) → terminal-escape removal →
-    * sloppy-cp1252/latin-1↔utf-8 mojibake repair (ftfy's core heuristic,
-    * up to 3 passes; sloppy = cp1252 plus the five C1 holes since r8)
+    * a JVM re-implementation of every ftfy-6 `fix_text` DEFAULT step, in
+    * ftfy's pipeline order: HTML entity unescape (auto heuristic) →
+    * terminal-escape removal → sloppy-cp1252/latin-1↔utf-8 mojibake
+    * repair (ftfy's core heuristic, up to 3 passes; sloppy = cp1252 plus
+    * the five C1 holes since r8; within each pass: whole-string
+    * round-trip incl. restore_byte_a0's space→NBSP, then
+    * replace_lossy_sequences, then decode_inconsistent_utf8 span repair)
     * → C1-control reinterpretation → latin ligatures → fullwidth
     * folding → quote uncurling → line-break unification → lone-surrogate
-    * replacement → control-char removal → NFC + null → "".
+    * replacement → control-char removal → NFC + null → "". Remaining
+    * divergence from ftfy is heuristic-weight only (ftfy's `badness`
+    * scoring can decline a repair this accepts on pathological short
+    * strings); all named pipeline steps are implemented.
     */
   val fixUtf8Encoding: Column => Column = { c =>
     val u = udf { (s: String) => FtfyLite.fix(s) }
@@ -120,16 +126,14 @@ object FtfyLite extends Serializable {
   private val cp1252 = Charset.forName("windows-1252")
   private val latin1 = Charset.forName("ISO-8859-1")
 
-  /** One byte-codec round-trip: re-encode through `cs`, strict-decode as
-    * UTF-8; any unmappable char or invalid sequence aborts the attempt.
-    */
-  private def roundTrip(s: String, cs: Charset): Option[String] = {
+  /** Re-encode through `cs`; any unmappable char aborts the attempt. */
+  private def encodeVia(s: String, cs: Charset): Option[Array[Byte]] = {
     val enc = cs.newEncoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
     try {
-      val bytes = enc.encode(java.nio.CharBuffer.wrap(s))
-      utf8Strict(bytes).filter(_ != s)
+      val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+      val out = new Array[Byte](bb.remaining()); bb.get(out); Some(out)
     } catch { case _: Exception => None }
   }
 
@@ -160,7 +164,7 @@ object FtfyLite extends Serializable {
     (mapped ++ holes).toMap
   }
 
-  private def sloppyRoundTrip(s: String): Option[String] = {
+  private def sloppyEncode(s: String): Option[Array[Byte]] = {
     val bytes = new Array[Byte](s.length)
     var i = 0
     while (i < s.length) {
@@ -170,7 +174,44 @@ object FtfyLite extends Serializable {
       }
       i += 1
     }
-    utf8Strict(java.nio.ByteBuffer.wrap(bytes)).filter(_ != s)
+    Some(bytes)
+  }
+
+  /** ftfy `restore_byte_a0` (ALTERED_UTF8_RE): a 0x20 byte standing where
+    * exactly one UTF-8 continuation byte belongs is almost always an NBSP
+    * (0xA0) that some earlier "cleanup" squashed to a plain space, which
+    * breaks the mojibake round-trip ("\u00c3 la carte" should have been
+    * "\u00c3\u00a0" = "\u00e0"). Restore it and let the strict decode judge.
+    * The 2-byte leads are ftfy's exact set {C2 C3 C5 CE D0 D1} \u2014 the
+    * leads whose A0 continuation lands on a letter someone would type;
+    * 3/4-byte groups allow ONE space among otherwise-valid continuations.
+    * Returns None when nothing matched.
+    */
+  private def restoreByteA0(bs: Array[Byte]): Option[Array[Byte]] = {
+    def u(k: Int) = bs(k) & 0xff
+    def isCont(k: Int) = (u(k) & 0xc0) == 0x80
+    def isSp(k: Int) = u(k) == 0x20
+    var out: Array[Byte] = null
+    var i = 0
+    while (i < bs.length) {
+      val b = u(i)
+      var m = 0 // continuation-slot count of a match at i
+      if ((b == 0xc2 || b == 0xc3 || b == 0xc5 || b == 0xce || b == 0xd0 ||
+          b == 0xd1) && i + 1 < bs.length && isSp(i + 1)) m = 1
+      else if (b >= 0xe0 && b <= 0xef && i + 2 < bs.length &&
+        ((isSp(i + 1) && isCont(i + 2)) || (isCont(i + 1) && isSp(i + 2))))
+        m = 2
+      else if (b >= 0xf0 && b <= 0xf4 && i + 3 < bs.length) {
+        val slots = Seq(i + 1, i + 2, i + 3)
+        if (slots.count(isSp) == 1 && slots.count(isCont) == 2) m = 3
+      }
+      if (m > 0) {
+        if (out == null) out = bs.clone()
+        (1 to m).foreach(k => if (isSp(i + k)) out(i + k) = 0xa0.toByte)
+        i += m + 1
+      } else i += 1
+    }
+    Option(out)
   }
 
   private def tryRepair(s: String): Option[String] = {
@@ -182,9 +223,98 @@ object FtfyLite extends Serializable {
     // sloppy-windows-1252, the last named C1 gap, VERDICT r7 #3) --
     // then latin-1, which covers mojibake carrying the OTHER raw C1
     // codepoints that cp1252 maps away ("\u00c3\u0081ngel" ->
-    // "\u00c1ngel"; latin-1 bytes == codepoints).
+    // "\u00c1ngel"; latin-1 bytes == codepoints). Each codec attempt
+    // retries once with restore_byte_a0 if the plain decode fails.
     if (!s.exists(ch => ch >= '\u00c2' && ch <= '\u00f4')) return None
-    sloppyRoundTrip(s).orElse(roundTrip(s, latin1))
+    def attempt(enc: Option[Array[Byte]]): Option[String] = enc.flatMap {
+      bytes =>
+        utf8Strict(java.nio.ByteBuffer.wrap(bytes)).filter(_ != s)
+          .orElse(restoreByteA0(bytes).flatMap(rb =>
+            utf8Strict(java.nio.ByteBuffer.wrap(rb)).filter(_ != s)))
+    }
+    attempt(sloppyEncode(s)).orElse(attempt(encodeVia(s, latin1)))
+  }
+
+  // --- partial-mojibake machinery (ftfy decode_inconsistent_utf8 /
+  // replace_lossy_sequences): classify chars by the UTF-8 role of their
+  // sloppy-cp1252 byte ---
+  private def leadClass(c: Char): Int = SloppyCp1252Enc.get(c) match {
+    case Some(b) =>
+      val u = b & 0xff
+      if (u >= 0xc2 && u <= 0xdf) 2
+      else if (u >= 0xe0 && u <= 0xef) 3
+      else if (u >= 0xf0 && u <= 0xf4) 4
+      else 0
+    case None => 0
+  }
+  private def isContChar(c: Char): Boolean =
+    SloppyCp1252Enc.get(c).exists(b => (b & 0xc0) == 0x80)
+  private def isDamage(c: Char): Boolean = c == '\u001A' || c == '\uFFFD'
+
+  /** ftfy `decode_inconsistent_utf8`: when the WHOLE string is not
+    * mojibake (tryRepair failed \u2014 e.g. a real emoji or Hebrew coexists
+    * with a mojibake span), decode just the spans that look like UTF-8
+    * seen through sloppy-cp1252: maximal runs of lead-char + the right
+    * number of continuation-class chars. Each span re-encodes through the
+    * sloppy table and must strict-decode as UTF-8 (overlong/surrogate
+    * encodings fail and are left alone). "na\u00c3\u00afve \ud83d\ude00" -> "na\u00efve \ud83d\ude00".
+    */
+  private def decodeInconsistentUtf8(s: String): String = {
+    def groupLen(i: Int): Int = {
+      val n = leadClass(s.charAt(i))
+      if (n > 0 && i + n <= s.length &&
+        (1 until n).forall(k => isContChar(s.charAt(i + k)))) n else 0
+    }
+    var out: java.lang.StringBuilder = null
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      if (groupLen(i) > 0) {
+        var j = i
+        while (j < s.length && groupLen(j) > 0) j += groupLen(j)
+        val span = s.substring(i, j)
+        sloppyEncode(span).flatMap(b =>
+          utf8Strict(java.nio.ByteBuffer.wrap(b))) match {
+          case Some(dec) =>
+            if (out == null) out = new java.lang.StringBuilder
+            out.append(s, last, i).append(dec)
+            last = j
+          case None => ()
+        }
+        i = j
+      } else i += 1
+    }
+    if (out == null) s
+    else { out.append(s, last, s.length); out.toString }
+  }
+
+  /** ftfy `replace_lossy_sequences`: a would-be UTF-8 group whose
+    * continuation chars were destroyed by a lossy step (U+FFFD from a
+    * replacing decoder, U+001A from cp437-ish tooling) can never be
+    * repaired \u2014 collapse the WHOLE group to one U+FFFD instead of leaving
+    * half-mojibake ("\u00e2\ufffd\u2122" -> "\ufffd", not "\u00e2\ufffd\u2122"). Trail slots
+    * must be continuation-class or damage, with at least one damage char.
+    */
+  private def replaceLossySequences(s: String): String = {
+    var out: java.lang.StringBuilder = null
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val n = leadClass(s.charAt(i))
+      val ok = n > 0 && i + n <= s.length && {
+        val trail = (1 until n).map(k => s.charAt(i + k))
+        trail.forall(c => isContChar(c) || isDamage(c)) &&
+          trail.exists(isDamage)
+      }
+      if (ok) {
+        if (out == null) out = new java.lang.StringBuilder
+        out.append(s, last, i).append('\ufffd')
+        last = i + n
+        i += n
+      } else i += 1
+    }
+    if (out == null) s
+    else { out.append(s, last, s.length); out.toString }
   }
 
   /** ftfy `unescape_html="auto"`: only when the text has entity-looking
@@ -296,11 +426,21 @@ object FtfyLite extends Serializable {
     var cur = unescapeHtml(s)
     cur = TerminalEscapeRe.matcher(cur).replaceAll("")
     var i = 0
-    // ftfy also iterates: doubly-encoded text needs several passes.
+    // ftfy also iterates: doubly-encoded text needs several passes. Per
+    // pass, in ftfy's _fix_encoding_one_step order: whole-string codec
+    // round-trip (incl. restore_byte_a0) first; if the whole string is
+    // not mojibake, collapse lossily-damaged groups; then decode
+    // UTF-8-looking SPANS inside otherwise-sound text.
     while (i < 3) {
       tryRepair(cur) match {
         case Some(next) => cur = next; i += 1
-        case None => i = 3
+        case None =>
+          val lossy = replaceLossySequences(cur)
+          if (lossy != cur) { cur = lossy; i += 1 }
+          else {
+            val spans = decodeInconsistentUtf8(cur)
+            if (spans != cur) { cur = spans; i += 1 } else i = 3
+          }
       }
     }
     cur = fixC1Controls(cur)

@@ -122,6 +122,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fix("cafÃ©\r\n") === "café\n")
   }
 
+  test("ftfy-lite r8 steps: a0 restore, span decode, lossy collapse") {
+    import graft.text.FtfyLite.fix
+    // restore_byte_a0: the space stands where the 0xA0 continuation of
+    // "\u00C3 " (UTF-8 of a-grave) belongs; it is consumed by the repair
+    assert(fix("\u00C3 la carte") === "\u00E0la carte")
+    // ...including inside a 3-byte group: \u00E2\u20AC<SP> re-encodes to
+    // E2 80 20, the space restores to A0, and E2 80 A0 is U+2020 DAGGER
+    assert(fix("wait\u00E2\u20AC here") === "wait\u2020here")
+    // but a REAL high-latin word followed by a space is untouched
+    assert(fix("\u00C4\u00D6\u00DC umlauts") === "\u00C4\u00D6\u00DC umlauts")
+    // decode_inconsistent_utf8: astral emoji blocks the whole-string
+    // round-trip; only the mojibake span is decoded
+    assert(fix("na\u00C3\u00AFve \uD83D\uDE00!") === "na\u00EFve \uD83D\uDE00!")
+    // span decoding uses the sloppy table (hole control 8D in the trail)
+    assert(fix("ok \uD83D\uDC4D = \u00F0\u0178\u2018\u008D") ===
+      "ok \uD83D\uDC4D = \uD83D\uDC4D")
+    // a C0/C1-byte char cannot START a span (overlong guard): U+00C0
+    // encodes to byte C0, which is never a UTF-8 lead
+    assert(fix("\u00C0\u00AF overlong \uD83C\uDF89") ===
+      "\u00C0\u00AF overlong \uD83C\uDF89")
+    // replace_lossy_sequences: damaged group collapses to ONE U+FFFD
+    assert(fix("a\u00E2\uFFFD\u2122b \uD83D\uDE00") === "a\uFFFDb \uD83D\uDE00")
+    assert(fix("x\u00C3\uFFFDy \uD83D\uDE00") === "x\uFFFDy \uD83D\uDE00")
+    // multi-pass: doubly-encoded mojibake resolves in two passes
+    assert(fix("\u00C3\u0192\u00C2\u00A9t\u00C3\u0192\u00C2\u00A9") ===
+      "\u00E9t\u00E9")
+  }
+
   test("whitespace char table matches reference codepoints") {
     assert(Cleaners.WhitespaceChars.map(_.toInt).toSet ===
       Set(0x20, 0x84, 0x2002, 0x2003, 0x2005, 0x2008, 0x2009, 0x200a,
