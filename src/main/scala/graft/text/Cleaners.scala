@@ -98,10 +98,14 @@ object Cleaners {
     * replace_lossy_sequences, then decode_inconsistent_utf8 span repair)
     * → C1-control reinterpretation → latin ligatures → fullwidth
     * folding → quote uncurling → line-break unification → lone-surrogate
-    * replacement → control-char removal → NFC + null → "". Remaining
-    * divergence from ftfy is heuristic-weight only (ftfy's `badness`
-    * scoring can decline a repair this accepts on pathological short
-    * strings); all named pipeline steps are implemented.
+    * replacement → control-char removal → NFC + null → "". All named
+    * pipeline steps are implemented; ftfy's corpus-trained `badness`
+    * scoring is replaced by a static common-script plausibility gate on
+    * the byte-rewriting paths (restore_byte_a0, span decode), so the
+    * residual divergence is heuristic weight: ftfy may accept repairs
+    * into rare blocks (IPA, musical symbols) that this declines, and may
+    * decline whole-string round-trips this accepts on pathological
+    * short strings.
     */
   val fixUtf8Encoding: Column => Column = { c =>
     val u = udf { (s: String) => FtfyLite.fix(s) }
@@ -181,10 +185,11 @@ object FtfyLite extends Serializable {
     * exactly one UTF-8 continuation byte belongs is almost always an NBSP
     * (0xA0) that some earlier "cleanup" squashed to a plain space, which
     * breaks the mojibake round-trip ("\u00c3 la carte" should have been
-    * "\u00c3\u00a0" = "\u00e0"). Restore it and let the strict decode judge.
-    * The 2-byte leads are ftfy's exact set {C2 C3 C5 CE D0 D1} \u2014 the
-    * leads whose A0 continuation lands on a letter someone would type;
-    * 3/4-byte groups allow ONE space among otherwise-valid continuations.
+    * "\u00c3\u00a0" = "\u00e0"). Restore it and let the strict decode plus the
+    * plausibility gate judge (the gate is what stops "\u00e0 \u20ac"
+    * from becoming Samaritan U+0800). 2-byte leads are C2/C3 only, a
+    * deliberate subset of ftfy's ALTERED set {C2 C3 C5 CE D0 D1} \u2014
+    * see the inline note; 3/4-byte groups allow ONE space among otherwise-valid continuations.
     * Returns None when nothing matched.
     */
   private def restoreByteA0(bs: Array[Byte]): Option[Array[Byte]] = {
@@ -196,8 +201,13 @@ object FtfyLite extends Serializable {
     while (i < bs.length) {
       val b = u(i)
       var m = 0 // continuation-slot count of a match at i
-      if ((b == 0xc2 || b == 0xc3 || b == 0xc5 || b == 0xce || b == 0xd0 ||
-          b == 0xd1) && i + 1 < bs.length && isSp(i + 1)) m = 1
+      // 2-byte leads: ONLY C2/C3 ("Â "/"Ã ") — ftfy's ALTERED set also
+      // has C5/CE/D0/D1, but "Å ", "Î ", "Ð ", "Ñ " are overwhelmingly
+      // LEGITIMATE text (Nordic/Greek-named/Icelandic/Spanish words
+      // before a space) that ftfy refuses via its badness data; with no
+      // corpus-trained badness table the static refusal is safer.
+      if ((b == 0xc2 || b == 0xc3) && i + 1 < bs.length && isSp(i + 1))
+        m = 1
       else if (b >= 0xe0 && b <= 0xef && i + 2 < bs.length &&
         ((isSp(i + 1) && isCont(i + 2)) || (isCont(i + 1) && isSp(i + 2))))
         m = 2
@@ -224,13 +234,17 @@ object FtfyLite extends Serializable {
     // then latin-1, which covers mojibake carrying the OTHER raw C1
     // codepoints that cp1252 maps away ("\u00c3\u0081ngel" ->
     // "\u00c1ngel"; latin-1 bytes == codepoints). Each codec attempt
-    // retries once with restore_byte_a0 if the plain decode fails.
-    if (!s.exists(ch => ch >= '\u00c2' && ch <= '\u00f4')) return None
+    // retries once with restore_byte_a0 if the plain decode fails; the
+    // retry REWRITES bytes (it accepts strings the strict round-trip
+    // rejects), so unlike the plain path its output must also pass the
+    // plausibility gate ("vendu \u00e0 \u20ac50" restores to Samaritan
+    // U+0800 -- refused). Caller guarantees a lead-class char exists.
     def attempt(enc: Option[Array[Byte]]): Option[String] = enc.flatMap {
       bytes =>
         utf8Strict(java.nio.ByteBuffer.wrap(bytes)).filter(_ != s)
           .orElse(restoreByteA0(bytes).flatMap(rb =>
-            utf8Strict(java.nio.ByteBuffer.wrap(rb)).filter(_ != s)))
+            utf8Strict(java.nio.ByteBuffer.wrap(rb))
+              .filter(r => r != s && plausibleDecode(r))))
     }
     attempt(sloppyEncode(s)).orElse(attempt(encodeVia(s, latin1)))
   }
@@ -251,13 +265,64 @@ object FtfyLite extends Serializable {
     SloppyCp1252Enc.get(c).exists(b => (b & 0xc0) == 0x80)
   private def isDamage(c: Char): Boolean = c == '\u001A' || c == '\uFFFD'
 
+  /** Stand-in for ftfy's corpus-trained `badness` gate, applied to every
+    * repair path that REWRITES bytes or decodes inside mixed text (the
+    * restore_byte_a0 retry and per-group span decode -- NOT the plain
+    * whole-string round-trip, whose all-chars-1-byte-encodable +
+    * strict-decode structure is its own strong signal and whose pre-r8
+    * acceptance is oracle-pinned). A false span match decodes into
+    * blocks real prose essentially never sits in -- IPA ("\u00c9\u201d"
+    * -> U+0254), Hebrew accents ("\u00d6\u2013" -> U+0596), archaic
+    * Cyrillic ("\u00d1 " -> U+0460), Samaritan ("\u00e0 \u20ac" ->
+    * U+0800) -- while genuine mojibake decodes into the scripts people
+    * actually type. Accept a repair only when every decoded codepoint
+    * lands in a common-script block. Trade-off vs ftfy: repairs into
+    * rare blocks (IPA notation, musical symbols) are declined where
+    * ftfy's trained weights might accept them; with no badness table the
+    * static refusal is the safe side for a training-data cleaner.
+    */
+  private def plausibleChar(cp: Int): Boolean =
+    cp < 0x250 ||                      // ASCII, Latin-1, Latin Ext-A/B
+      (cp >= 0x2b0 && cp < 0x460) ||   // modifiers, combining marks,
+                                       //   Greek, modern Cyrillic
+      (cp >= 0x490 && cp < 0x590) ||   // Cyrillic ext, Armenian
+      (cp >= 0x5d0 && cp < 0x5f5) ||   // Hebrew letters (not accents)
+      (cp >= 0x600 && cp < 0x700) ||   // Arabic
+      (cp >= 0x900 && cp < 0x980) ||   // Devanagari
+      (cp >= 0xe00 && cp < 0xe80) ||   // Thai
+      (cp >= 0x1e00 && cp < 0x1f00) || // Latin Ext Additional
+      (cp >= 0x2000 && cp < 0x2400) || // punct, currency, letterlike,
+                                       //   arrows, math
+      (cp >= 0x2500 && cp < 0x27c0) || // box/geometric, misc, dingbats
+      (cp >= 0x3000 && cp < 0x3100) || // CJK punctuation, kana
+      (cp >= 0x4e00 && cp < 0xa000) || // CJK unified
+      (cp >= 0xac00 && cp < 0xd7a4) || // Hangul
+      (cp >= 0xfe00 && cp < 0xfe10) || // variation selectors
+      (cp >= 0xff00 && cp < 0xfff0) || // full/halfwidth forms
+      (cp >= 0x1f000 && cp < 0x1fb00)  // emoji & symbols
+
+  private def plausibleDecode(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (!plausibleChar(cp)) return false
+      i += Character.charCount(cp)
+    }
+    true
+  }
+
   /** ftfy `decode_inconsistent_utf8`: when the WHOLE string is not
     * mojibake (tryRepair failed \u2014 e.g. a real emoji or Hebrew coexists
-    * with a mojibake span), decode just the spans that look like UTF-8
-    * seen through sloppy-cp1252: maximal runs of lead-char + the right
-    * number of continuation-class chars. Each span re-encodes through the
-    * sloppy table and must strict-decode as UTF-8 (overlong/surrogate
-    * encodings fail and are left alone). "na\u00c3\u00afve \ud83d\ude00" -> "na\u00efve \ud83d\ude00".
+    * with a mojibake span), decode just the groups that look like UTF-8
+    * seen through sloppy-cp1252: a lead-char + the right number of
+    * continuation-class chars. Each group re-encodes through the sloppy
+    * table, must strict-decode as UTF-8 (overlong/surrogate encodings
+    * fail and are left alone), and must pass the plausibility gate
+    * (ftfy's badness refusal: "\u00c9\u201d" in curly-quoted prose decodes
+    * to IPA U+0254 \u2014 left alone). Groups decode INDIVIDUALLY, as
+    * ftfy's per-match substitution does \u2014 an undecodable group does not
+    * block a valid neighbor ("\u00c3\u00af" + overlong still yields "\u00ef").
+    * "na\u00c3\u00afve \ud83d\ude00" -> "na\u00efve \ud83d\ude00".
     */
   private def decodeInconsistentUtf8(s: String): String = {
     def groupLen(i: Int): Int = {
@@ -269,19 +334,18 @@ object FtfyLite extends Serializable {
     var last = 0
     var i = 0
     while (i < s.length) {
-      if (groupLen(i) > 0) {
-        var j = i
-        while (j < s.length && groupLen(j) > 0) j += groupLen(j)
-        val span = s.substring(i, j)
-        sloppyEncode(span).flatMap(b =>
-          utf8Strict(java.nio.ByteBuffer.wrap(b))) match {
+      val n = groupLen(i)
+      if (n > 0) {
+        sloppyEncode(s.substring(i, i + n)).flatMap(b =>
+          utf8Strict(java.nio.ByteBuffer.wrap(b)))
+          .filter(plausibleDecode) match {
           case Some(dec) =>
             if (out == null) out = new java.lang.StringBuilder
             out.append(s, last, i).append(dec)
-            last = j
+            last = i + n
           case None => ()
         }
-        i = j
+        i += n
       } else i += 1
     }
     if (out == null) s
@@ -432,7 +496,12 @@ object FtfyLite extends Serializable {
     // not mojibake, collapse lossily-damaged groups; then decode
     // UTF-8-looking SPANS inside otherwise-sound text.
     while (i < 3) {
-      tryRepair(cur) match {
+      // All three repair steps can only act on a char whose sloppy byte
+      // is a UTF-8 lead (C2-F4 <=> chars U+00C2-U+00F4 under both codec
+      // tables), so ONE cheap scan here skips every scanner for the
+      // clean rows that dominate a real corpus.
+      if (!cur.exists(ch => ch >= 'Â' && ch <= 'ô')) i = 3
+      else tryRepair(cur) match {
         case Some(next) => cur = next; i += 1
         case None =>
           val lossy = replaceLossySequences(cur)

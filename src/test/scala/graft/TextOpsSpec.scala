@@ -150,6 +150,32 @@ class TextOpsSpec extends AnyFunSuite {
       "\u00E9t\u00E9")
   }
 
+  test("ftfy-lite badness stand-in: implausible repairs are refused") {
+    import graft.text.FtfyLite.fix
+    // curly-quoted prose: "\u00C9\u201D" is span-shaped (C9 94) and
+    // strict-decodes to IPA U+0254, but real ftfy refuses via badness --
+    // the plausibility gate must too (quotes still uncurl downstream)
+    assert(fix("\u201CCAF\u00C9\u201D nice") === "\"CAF\u00C9\" nice")
+    // \u00D6 + en-dash decodes to Hebrew accent U+0596: refused
+    assert(fix("\u00D6\u2013Wagen \uD83D\uDE00") ===
+      "\u00D6\u2013Wagen \uD83D\uDE00")
+    // restore_byte_a0 lead restriction: \u00D1/\u00C5 + space are
+    // legitimate text (Spanish letter-name, the angstrom), not mojibake
+    assert(fix("la \u00D1 es una letra") === "la \u00D1 es una letra")
+    assert(fix("\u00C5 is an angstrom") === "\u00C5 is an angstrom")
+    // 3-byte a0-restore would make \u00E0+SP+\u20AC the Samaritan
+    // letter U+0800; the gate on the RETRY path refuses it
+    assert(fix("vendu \u00E0 \u20AC50") === "vendu \u00E0 \u20AC50")
+    // ...while genuine repairs still pass the gate
+    assert(fix("na\u00C3\u00AFve \uD83D\uDE00") ===
+      "na\u00EFve \uD83D\uDE00")
+    assert(fix("\u00C3 la carte") === "\u00E0la carte")
+    // per-group decode: the overlong pseudo-group E0 80 80 stays, but no
+    // longer blocks its valid neighbor "\u00C3\u00AF" -> \u00EF
+    assert(fix("\u00C3\u00AF\u00E0\u20AC\u20AC \uD83D\uDE00") ===
+      "\u00EF\u00E0\u20AC\u20AC \uD83D\uDE00")
+  }
+
   test("whitespace char table matches reference codepoints") {
     assert(Cleaners.WhitespaceChars.map(_.toInt).toSet ===
       Set(0x20, 0x84, 0x2002, 0x2003, 0x2005, 0x2008, 0x2009, 0x200a,
