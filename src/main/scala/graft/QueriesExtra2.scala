@@ -362,6 +362,19 @@ object QueriesExtra2 {
         "embedding", "label", 0.35)),
     Some(keepFirstSql("embedding", "embeddings", "vec_id")))
 
+  /** SemDeDup-style semantic dedup (learned k-means cells instead of the
+    * label/LSH blocking above) — edge-list-oracled for the same
+    * float-kernel reason as `dedup_embedding` (plus the cell assignment
+    * itself is a float argmax); the blocking/verification half is covered
+    * by DedupInvariantSpec's independent double-precision re-check.
+    */
+  val dedupSemantic: QueryDef = QueryDef("dedup_semantic",
+    (s, dir) => edgeOracledDedup(s, Queries.table(s, dir, "embeddings"),
+      "vec_id", "semantic", dir,
+      withId => graft.dedup.SemDedup.verifiedEdges(withId, "embedding",
+        16, 0.35)),
+    Some(keepFirstSql("semantic", "embeddings", "vec_id")))
+
   /** P12 criteria `describe()` stats — the exact-aggregate subset (count/
     * avg/min/max; stddev & percentiles differ across engines' algorithms).
     */
@@ -606,7 +619,8 @@ object QueriesExtra2 {
     Some(QueriesFlagshipOracle.flagshipMainOracle))
 
   val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
-    dedupSimhash, dedupJaccard, dedupEmbedding, p12, f2, ccNet,
+    dedupSimhash, dedupJaccard, dedupEmbedding, dedupSemantic, p12,
+    f2, ccNet,
     ccNetBuckets, esSpans, p3DryRun, flagship,
     QueriesFlagshipOracle.flagshipOracle,
     QueriesFlagshipOracle.flagshipOracleMinhash)

@@ -260,4 +260,72 @@ class DedupInvariantSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("semantic: edges within learned cells, kept = component mins") {
+    import graft.dedup.SemDedup
+    val threshold = 0.35
+    val k = 16
+    val base = spark.read.parquet(s"$sf001/embeddings.parquet")
+    // planted duplicates: 20 exact copies under new ids must land in the
+    // same learned cell as their originals and be dropped by keep-first
+    val corpus = base.union(base.orderBy("vec_id").limit(20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label")))
+    val withId = MinHashDedup.assignId(corpus, Some("vec_id"))
+    val edges = SemDedup
+      .verifiedEdges(withId, "embedding", k, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // recompute the (deterministic: ordered init, fixed iters) cell
+    // assignment independently to audit the edges against it
+    val cells = graft.similarity.Ann.kmeansAssign(withId, "embedding",
+        MinHashDedup.IdCol, SemDedup.CellCol, k)
+      .select(col("vec_id"), col(SemDedup.CellCol), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Float](2).toArray))
+      .toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(cells.values.map(_._1).toSet.size > 1,
+      "k-means degenerated to a single cell; blocking untested")
+    // (a) every edge joins two members of the SAME learned cell and its
+    // cosine clears the threshold (double-precision re-verification)
+    edges.foreach { case (x, y) =>
+      assert(cells(x)._1 == cells(y)._1, s"edge ($x,$y) crosses cells")
+      val c = cosine(cells(x)._2, cells(y)._2)
+      assert(c >= threshold - 1e-6, s"edge ($x,$y) cosine $c < $threshold")
+    }
+    // (b) keep-first exactness + the planted exact copies are dropped
+    val ids = cells.keys.toSeq
+    val roots = unionRoots(ids, edges)
+    val expected = ids.filter(i => roots(i) == i).toSet
+    val kept = SemDedup.deduplicate(corpus, "embedding", k, threshold,
+        orderCol = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected,
+      s"kept diff: extra=${kept -- expected}, missing=${expected -- kept}")
+    assert(ids.filter(_ >= 1000000L).forall(!kept.contains(_)),
+      "a planted exact duplicate survived semantic dedup")
+    // (c) within-cell completeness: every clearly-similar same-cell pair
+    // is clustered (blocking compares ALL pairs inside a cell)
+    ids.groupBy(i => cells(i)._1).values.foreach { cellIds =>
+      val a = cellIds.toArray
+      var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) {
+          if (cosine(cells(a(i))._2, cells(a(j))._2) >= threshold + 1e-6)
+            assert(roots(a(i)) == roots(a(j)),
+              s"similar within-cell pair (${a(i)},${a(j)}) not clustered")
+          j += 1
+        }
+        i += 1
+      }
+    }
+  }
 }
