@@ -44,6 +44,67 @@ object QueriesExtra2 {
       "(octet_length(text::BLOB) % 120)::INT, 10)) AS frame_offset " +
       "FROM documents ORDER BY doc_id, frame_offset"))
 
+  /** Little-endian hex rendering of an integer column, `nBytes` wide —
+    * the construction side of the WAV oracle (unhex of the concat is the
+    * real RIFF byte stream).
+    */
+  private def hexLe(v: org.apache.spark.sql.Column, nBytes: Int) =
+    concat((0 until nBytes).map(k =>
+      lpad(hex(shiftright(v.cast("long"), 8 * k).bitwiseAND(lit(255L))),
+        2, "0")): _*)
+
+  /** REAL audio header decode, oracle-verified end-to-end: the query
+    * CONSTRUCTS a genuine RIFF/WAVE byte stream per row (fields derived
+    * from doc_id; a LIST chunk sits before "fmt " so the chunk walk is
+    * exercised, not just fixed offsets), runs the real parser over the
+    * bytes, and DuckDB recomputes the expected fields from the same
+    * doc_id arithmetic WITHOUT parsing — any endianness/offset/chunk-walk
+    * bug breaks the hash match. Every 7th row carries non-audio bytes and
+    * must come back all-null.
+    */
+  val mmAudio: QueryDef = QueryDef("mm_audio_meta",
+    (s, dir) => {
+      val d = col("doc_id")
+      val ch = (lit(1) + d % 2).cast("long")
+      val bps = when(d % 4 >= 2, 2L).otherwise(1L) // bytes per sample
+      val rate = (lit(8000) * (lit(1) + d % 5)).cast("long")
+      val block = ch * bps
+      val byteRate = rate * block
+      val dataSize = (lit(1000) + (d * 37) % 100000).cast("long")
+      val wavHex = concat(
+        lit("52494646"), hexLe(lit(48L) + dataSize, 4), // "RIFF" size
+        lit("57415645"),                                // "WAVE"
+        lit("4C495354"), lit("04000000"), lit("494E464F"), // LIST(4) INFO
+        lit("666D7420"), lit("10000000"), lit("0100"),  // "fmt " 16, PCM
+        hexLe(ch, 2), hexLe(rate, 4), hexLe(byteRate, 4),
+        hexLe(block, 2), hexLe(bps * 8L, 2),
+        lit("64617461"), hexLe(dataSize, 4))            // "data" size
+      val media = when(d % 7 === 0, col("text").cast("binary"))
+        .otherwise(unhex(wavHex))
+      val am = graft.multimodal.Multimodal.audioMetaUdf(media)
+      Queries.table(s, dir, "documents")
+        .select(d, am.getField("channels").as("channels"),
+          am.getField("sample_rate").as("sample_rate"),
+          am.getField("bits_per_sample").as("bits_per_sample"),
+          am.getField("duration_ms").as("duration_ms"),
+          am.getField("codec").as("codec"))
+        .orderBy(d)
+    },
+    Some("SELECT doc_id, " +
+      "CASE WHEN doc_id%7=0 THEN NULL ELSE " +
+      "CAST(1 + doc_id%2 AS INT) END AS channels, " +
+      "CASE WHEN doc_id%7=0 THEN NULL ELSE " +
+      "CAST(8000*(1 + doc_id%5) AS INT) END AS sample_rate, " +
+      "CASE WHEN doc_id%7=0 THEN NULL ELSE " +
+      "CAST(CASE WHEN doc_id%4>=2 THEN 16 ELSE 8 END AS INT) END " +
+      "AS bits_per_sample, " +
+      "CASE WHEN doc_id%7=0 THEN NULL ELSE " +
+      "CAST((1000 + (doc_id*37)%100000)*1000 AS BIGINT) // " +
+      "(8000*(1 + doc_id%5) * (1 + doc_id%2) * " +
+      "(CASE WHEN doc_id%4>=2 THEN 2 ELSE 1 END)) END AS duration_ms, " +
+      "CASE WHEN doc_id%7=0 THEN NULL ELSE 'wav' END AS codec " +
+      "FROM documents ORDER BY doc_id"))
+
   /** Event-time tumbling-window aggregation — the batch twin of
     * StreamingPipeline.windowedEventCounts (same plan, bounded input).
     */
@@ -618,7 +679,8 @@ object QueriesExtra2 {
         col("source")),
     Some(QueriesFlagshipOracle.flagshipMainOracle))
 
-  val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, evWindowed, ngJaccard,
+  val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, mmAudio, evWindowed,
+    ngJaccard,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSemantic, p12,
     f2, ccNet,
     ccNetBuckets, esSpans, p3DryRun, flagship,

@@ -73,6 +73,68 @@ object Multimodal {
     Some((le16(b, 6), le16(b, 8), "gif"))
   }
 
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  val AudioMetaType: StructType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("codec", StringType)))
+
+  /** RIFF/WAVE: "RIFF" size "WAVE", then word-aligned chunks of
+    * id(4) size(4 LE) payload. The "fmt " chunk carries
+    * format(2) channels(2) sampleRate(4) byteRate(4) blockAlign(2)
+    * bits(2), all LE; duration derives from the "data" chunk's DECLARED
+    * size over byteRate (truncated payloads still report correctly —
+    * only the header bytes are read). Chunk order is not assumed: real
+    * encoders emit LIST/fact chunks before data, so the walk skips
+    * unknown chunks by their declared size.
+    */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b.length < 36) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var fmt: Option[(Int, Int, Int, Long)] = None // ch, rate, bits, byteRate
+    var dataSize = -1L
+    var i = 12
+    var halt = false
+    while (!halt && i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = le32(b, i + 4)
+      if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length)
+        fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
+          le16(b, i + 22), le32(b, i + 16)))
+      else if (id == "data") dataSize = sz
+      val next = i + 8L + sz + (sz & 1L) // chunks are word-aligned
+      // a hostile declared size must not loop or wrap the cursor: stop
+      // the walk, keep whatever fmt/data were already seen
+      if (next <= i || next > Int.MaxValue) halt = true
+      else i = next.toInt
+    }
+    fmt.collect { case (ch, rate, bits, byteRate)
+        if dataSize >= 0 && byteRate > 0 =>
+      (ch, rate, bits, dataSize * 1000L / byteRate)
+    }
+  }
+
+  /** Audio header decode as a scalar UDF: real WAV parsing, null meta
+    * for non-audio payloads (no stub here — audio metadata has no
+    * meaningful fake, and a null struct lets the pipeline filter
+    * undecodable media declaratively).
+    */
+  val audioMetaUdf: Column => Column = {
+    val u = udf { (media: Array[Byte]) =>
+      if (media == null) None
+      else decodeWav(media).map { case (ch, rate, bits, ms) =>
+        (ch, rate, bits, ms, "wav")
+      }
+    }
+    c => u(c).cast(AudioMetaType)
+  }
+
   /** STUB decoder — deterministic fake metadata derived from the payload
     * (swap for a real image/audio decoder: the call site contract —
     * bytes in, typed meta out, batched — is what a real codec needs).

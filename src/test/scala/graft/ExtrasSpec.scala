@@ -504,6 +504,48 @@ class ExtrasSpec extends AnyFunSuite {
       === Multimodal.decodeStub("GIF89a".getBytes("US-ASCII")))
   }
 
+  test("wav header decode: chunk walk, alignment, hostile sizes") {
+    import graft.multimodal.Multimodal
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * k)) & 0xff).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    val fmtChunk = ascii("fmt ") ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+      le(8000, 4) ++ le(8000, 4) ++ le(1, 2) ++ le(8, 2)
+    val dataHdr = ascii("data") ++ le(8000, 4)
+    // canonical 44-byte header: mono 8 kHz 8-bit, 8000 data bytes = 1 s
+    val wav = ascii("RIFF") ++ le(36 + 8000, 4) ++ ascii("WAVE") ++
+      fmtChunk ++ dataHdr
+    assert(Multimodal.decodeWav(wav) === Some((1, 8000, 8, 1000L)))
+    // an odd-sized unknown chunk before fmt must be skipped WITH its pad
+    // byte (RIFF chunks are word-aligned)
+    val odd = ascii("RIFF") ++ le(36 + 8000 + 12, 4) ++ ascii("WAVE") ++
+      (ascii("junk") ++ le(3, 4) ++ Array[Byte](1, 2, 3, 0)) ++
+      fmtChunk ++ dataHdr
+    assert(Multimodal.decodeWav(odd) === Some((1, 8000, 8, 1000L)))
+    // chunk order is not assumed: data (with its payload present to
+    // walk over) before fmt still resolves
+    val swapped = ascii("RIFF") ++ le(36 + 8000, 4) ++ ascii("WAVE") ++
+      dataHdr ++ new Array[Byte](8000) ++ fmtChunk
+    assert(Multimodal.decodeWav(swapped) === Some((1, 8000, 8, 1000L)))
+    // truncated header, non-RIFF bytes, RIFF-but-not-WAVE: all None
+    assert(Multimodal.decodeWav(ascii("RIFF") ++ le(4, 4) ++
+      ascii("WAVE")).isEmpty)
+    assert(Multimodal.decodeWav(ascii("hello world, not audio at all!!!"))
+      .isEmpty)
+    assert(Multimodal.decodeWav(ascii("RIFF") ++ le(100, 4) ++
+      ascii("AVI ") ++ fmtChunk ++ dataHdr).isEmpty)
+    // a hostile 0xFFFFFFFF declared size must neither hang nor wrap
+    val hostile = ascii("RIFF") ++ le(100, 4) ++ ascii("WAVE") ++
+      ascii("junk") ++ le(0xffffffffL, 4) ++ fmtChunk ++ dataHdr
+    assert(Multimodal.decodeWav(hostile).isEmpty)
+    // stereo 16-bit: duration uses the DECLARED data size over byteRate
+    val st = ascii("RIFF") ++ le(36 + 64000, 4) ++ ascii("WAVE") ++
+      (ascii("fmt ") ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+        le(16000, 4) ++ le(64000, 4) ++ le(4, 2) ++ le(16, 2)) ++
+      (ascii("data") ++ le(32000, 4))
+    assert(Multimodal.decodeWav(st) === Some((2, 16000, 16, 500L)))
+  }
+
   test("streaming windowed agg matches its batch twin") {
     val dir = "/root/testdata/sf0.001"
     val batch = QueriesExtra2.evWindowed.run(spark, dir)
