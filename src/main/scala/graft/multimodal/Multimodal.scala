@@ -99,20 +99,21 @@ object Multimodal {
     if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
     var fmt: Option[(Int, Int, Int, Long)] = None // ch, rate, bits, byteRate
     var dataSize = -1L
-    var i = 12
-    var halt = false
-    while (!halt && i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val sz = le32(b, i + 4)
+    // LONG cursor: a hostile declared size near 2^32 could wrap an Int
+    // cursor back into bounds (or wrap the `i + 8` comparison) and read
+    // out of bounds — with Long arithmetic the loop condition simply
+    // fails and the walk stops, keeping whatever fmt/data were seen.
+    // sz >= 0 always (4-byte LE), so the cursor strictly advances.
+    var i = 12L
+    while (i + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+      val ii = i.toInt // in-bounds: i + 8 <= b.length <= Int.MaxValue
+      val id = new String(b, ii, 4, "US-ASCII")
+      val sz = le32(b, ii + 4)
       if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length)
-        fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
-          le16(b, i + 22), le32(b, i + 16)))
+        fmt = Some((le16(b, ii + 10), le32(b, ii + 12).toInt,
+          le16(b, ii + 22), le32(b, ii + 16)))
       else if (id == "data") dataSize = sz
-      val next = i + 8L + sz + (sz & 1L) // chunks are word-aligned
-      // a hostile declared size must not loop or wrap the cursor: stop
-      // the walk, keep whatever fmt/data were already seen
-      if (next <= i || next > Int.MaxValue) halt = true
-      else i = next.toInt
+      i += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
     fmt.collect { case (ch, rate, bits, byteRate)
         if dataSize >= 0 && byteRate > 0 =>

@@ -39,6 +39,18 @@ class DedupInvariantSpec extends AnyFunSuite {
     * ConnectedComponents): union by smaller root so each tree's root is
     * its component minimum.
     */
+  /** Double-precision cosine, independent of the production float
+    * kernels — shared by the embedding and semantic audits.
+    */
+  private def cosineD(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private def unionRoots(ids: Seq[Long],
       edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
@@ -219,19 +231,11 @@ class DedupInvariantSpec extends AnyFunSuite {
     val rows = corpus.collect().map { r =>
       r.getLong(0) -> (r.getInt(2), r.getSeq[Float](1).toArray)
     }.toMap
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     // (a) every edge is same-block and above threshold (small float
     // tolerance: the production kernel accumulates in a different order)
     edges.foreach { case (x, y) =>
       assert(rows(x)._1 == rows(y)._1, s"edge ($x,$y) crosses blocks")
-      val c = cosine(rows(x)._2, rows(y)._2)
+      val c = cosineD(rows(x)._2, rows(y)._2)
       assert(c >= threshold - 1e-6, s"edge ($x,$y) cosine $c < $threshold")
     }
     // (b) keep-first exactness
@@ -251,7 +255,7 @@ class DedupInvariantSpec extends AnyFunSuite {
       while (i < a.length) {
         var j = i + 1
         while (j < a.length) {
-          if (cosine(rows(a(i))._2, rows(a(j))._2) >= threshold + 1e-6)
+          if (cosineD(rows(a(i))._2, rows(a(j))._2) >= threshold + 1e-6)
             assert(roots(a(i)) == roots(a(j)),
               s"similar within-block pair (${a(i)},${a(j)}) not clustered")
           j += 1
@@ -272,45 +276,53 @@ class DedupInvariantSpec extends AnyFunSuite {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
         col("label")))
     val withId = MinHashDedup.assignId(corpus, Some("vec_id"))
-    val edges = SemDedup
-      .verifiedEdges(withId, "embedding", k, threshold)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    // recompute the (deterministic: ordered init, fixed iters) cell
-    // assignment independently to audit the edges against it
-    val cells = graft.similarity.Ann.kmeansAssign(withId, "embedding",
-        MinHashDedup.IdCol, SemDedup.CellCol, k)
+    // ONE k-means training anchors every exact assertion below: centroid
+    // averaging is a shuffled double sum whose partial-merge order is an
+    // engine artifact (see the p12 oracle note), so independent retrains
+    // can differ by an ulp and flip a boundary vector's cell — exact-set
+    // checks must all derive from the same assignment, and the
+    // end-to-end retraining path gets only ulp-robust assertions.
+    val assigned = graft.similarity.Ann.kmeansAssign(withId, "embedding",
+      MinHashDedup.IdCol, SemDedup.CellCol, k)
+    val cells = assigned
       .select(col("vec_id"), col(SemDedup.CellCol), col("embedding"))
       .collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Float](2).toArray))
       .toMap
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     assert(cells.values.map(_._1).toSet.size > 1,
       "k-means degenerated to a single cell; blocking untested")
+    // edges from the SAME assignment (the UDF is pure given its broadcast
+    // centroids, so re-evaluation per join side is deterministic)
+    def edgesDf = graft.dedup.EmbeddingDedup.verifiedEdges(
+      assigned, "embedding", SemDedup.CellCol, threshold)
+    val edges = edgesDf
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     // (a) every edge joins two members of the SAME learned cell and its
     // cosine clears the threshold (double-precision re-verification)
     edges.foreach { case (x, y) =>
       assert(cells(x)._1 == cells(y)._1, s"edge ($x,$y) crosses cells")
-      val c = cosine(cells(x)._2, cells(y)._2)
+      val c = cosineD(cells(x)._2, cells(y)._2)
       assert(c >= threshold - 1e-6, s"edge ($x,$y) cosine $c < $threshold")
     }
-    // (b) keep-first exactness + the planted exact copies are dropped
+    // (b) keep-first exactness over those edges
     val ids = cells.keys.toSeq
     val roots = unionRoots(ids, edges)
     val expected = ids.filter(i => roots(i) == i).toSet
-    val kept = SemDedup.deduplicate(corpus, "embedding", k, threshold,
-        orderCol = Some("vec_id"))
+    val kept = MinHashDedup.keepFirst(withId, edgesDf, 10000000L)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == expected,
       s"kept diff: extra=${kept -- expected}, missing=${expected -- kept}")
-    assert(ids.filter(_ >= 1000000L).forall(!kept.contains(_)),
+    // end-to-end deduplicate RETRAINS internally; assert the ulp-robust
+    // properties only: planted EXACT copies assign identically to their
+    // originals under any centroid ulps (same input vector => same
+    // argmax), so they must always be dropped, and the kept size is
+    // bounded accordingly
+    val e2e = SemDedup.deduplicate(corpus, "embedding", k, threshold,
+        orderCol = Some("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.filter(_ >= 1000000L).forall(!e2e.contains(_)),
       "a planted exact duplicate survived semantic dedup")
+    assert(e2e.nonEmpty && e2e.size <= ids.size - 20)
     // (c) within-cell completeness: every clearly-similar same-cell pair
     // is clustered (blocking compares ALL pairs inside a cell)
     ids.groupBy(i => cells(i)._1).values.foreach { cellIds =>
@@ -319,7 +331,7 @@ class DedupInvariantSpec extends AnyFunSuite {
       while (i < a.length) {
         var j = i + 1
         while (j < a.length) {
-          if (cosine(cells(a(i))._2, cells(a(j))._2) >= threshold + 1e-6)
+          if (cosineD(cells(a(i))._2, cells(a(j))._2) >= threshold + 1e-6)
             assert(roots(a(i)) == roots(a(j)),
               s"similar within-cell pair (${a(i)},${a(j)}) not clustered")
           j += 1
