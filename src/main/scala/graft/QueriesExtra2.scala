@@ -105,6 +105,81 @@ object QueriesExtra2 {
       "CASE WHEN doc_id%7=0 THEN NULL ELSE 'wav' END AS codec " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Big-endian hex rendering (ISO-BMFF is BE where RIFF is LE). */
+  private def hexBe(v: org.apache.spark.sql.Column, nBytes: Int) =
+    concat((nBytes - 1 to 0 by -1).map(k =>
+      lpad(hex(shiftright(v.cast("long"), 8 * k).bitwiseAND(lit(255L))),
+        2, "0")): _*)
+
+  /** REAL video (MP4/ISO-BMFF) header decode, same contract as
+    * [[mmAudio]]: each row CONSTRUCTS a genuine box tree —
+    * ftyp | free(junk) | moov(mvhd,trak(tkhd)) — with fields derived
+    * from doc_id, alternating the version-0/version-1 mvhd+tkhd layouts
+    * (different field offsets) by row parity and the mvhd↔trak child
+    * order by doc_id%3, so fixed-offset shortcuts, version confusion, or
+    * a non-recursing walk all break the hash. DuckDB recomputes expected
+    * fields from the same arithmetic WITHOUT parsing. Every 5th row
+    * carries non-video bytes and must come back all-null.
+    */
+  val mmVideo: QueryDef = QueryDef("mm_video_meta",
+    (s, dir) => {
+      val d = col("doc_id")
+      val v1 = d % 2 === 1 // mvhd/tkhd version for this row
+      val ts = (lit(600) * (lit(1) + d % 4)).cast("long")
+      val dur = (lit(1000) + (d * 53) % 100000).cast("long")
+      val w = (lit(160) * (lit(1) + d % 8)).cast("long")
+      val h = (lit(120) * (lit(1) + d % 6)).cast("long")
+      def z(n: Int) = lit("00" * n) // n zero BYTES
+      val brandHex = when(d % 3 === 0, lit("69736F6D")) // isom
+        .when(d % 3 === 1, lit("6D703431"))             // mp41
+        .otherwise(lit("6D703432"))                     // mp42
+      val ftyp = concat(lit("0000001066747970"), brandHex, z(4))
+      val free = lit("0000000C66726565DEADBEEF") // junk payload, skipped
+      // mvhd v0: vflags ctime(4) mtime(4) ts(4) dur(4) + 80 trailing
+      // mvhd v1: vflags ctime(8) mtime(8) ts(4) dur(8) + 80 trailing
+      val mvhd = when(v1,
+        concat(lit("000000786D766864"), lit("01000000"), z(16),
+          hexBe(ts, 4), hexBe(dur, 8), z(80)))
+        .otherwise(
+          concat(lit("0000006C6D766864"), lit("00000000"), z(8),
+            hexBe(ts, 4), hexBe(dur, 4), z(80)))
+      // tkhd v0: width @ payload+76; v1: @ +88 (16.16 fixed, BE)
+      val tkhd = when(v1,
+        concat(lit("00000068746B6864"), lit("01000000"), z(16),
+          lit("00000001"), z(64), hexBe(w, 2), z(2), hexBe(h, 2), z(2)))
+        .otherwise(
+          concat(lit("0000005C746B6864"), lit("00000000"), z(8),
+            lit("00000001"), z(60), hexBe(w, 2), z(2), hexBe(h, 2), z(2)))
+      val trak = concat(
+        when(v1, lit("000000707472616B")).otherwise(lit("000000647472616B")),
+        tkhd)
+      val moov = concat(
+        when(v1, lit("000000F06D6F6F76")).otherwise(lit("000000D86D6F6F76")),
+        when(d % 3 === 1, concat(trak, mvhd)).otherwise(concat(mvhd, trak)))
+      val media = when(d % 5 === 0, col("text").cast("binary"))
+        .otherwise(unhex(concat(ftyp, free, moov)))
+      val vm = graft.multimodal.Multimodal.videoMetaUdf(media)
+      Queries.table(s, dir, "documents")
+        .select(d, vm.getField("brand").as("brand"),
+          vm.getField("duration_ms").as("duration_ms"),
+          vm.getField("width").as("width"),
+          vm.getField("height").as("height"),
+          vm.getField("codec").as("codec"))
+        .orderBy(d)
+    },
+    Some("SELECT doc_id, " +
+      "CASE WHEN doc_id%5=0 THEN NULL ELSE CASE doc_id%3 " +
+      "WHEN 0 THEN 'isom' WHEN 1 THEN 'mp41' ELSE 'mp42' END END AS brand, " +
+      "CASE WHEN doc_id%5=0 THEN NULL ELSE " +
+      "CAST((1000 + (doc_id*53)%100000)*1000 AS BIGINT) // " +
+      "(600*(1 + doc_id%4)) END AS duration_ms, " +
+      "CASE WHEN doc_id%5=0 THEN NULL ELSE " +
+      "CAST(160*(1 + doc_id%8) AS INT) END AS width, " +
+      "CASE WHEN doc_id%5=0 THEN NULL ELSE " +
+      "CAST(120*(1 + doc_id%6) AS INT) END AS height, " +
+      "CASE WHEN doc_id%5=0 THEN NULL ELSE 'mp4' END AS codec " +
+      "FROM documents ORDER BY doc_id"))
+
   /** Event-time tumbling-window aggregation — the batch twin of
     * StreamingPipeline.windowedEventCounts (same plan, bounded input).
     */
@@ -679,7 +754,8 @@ object QueriesExtra2 {
         col("source")),
     Some(QueriesFlagshipOracle.flagshipMainOracle))
 
-  val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, mmAudio, evWindowed,
+  val all: Seq[QueryDef] = Seq(mmDecode, mmFrames, mmAudio, mmVideo,
+    evWindowed,
     ngJaccard,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSemantic, p12,
     f2, ccNet,

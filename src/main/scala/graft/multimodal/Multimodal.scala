@@ -136,6 +136,109 @@ object Multimodal {
     c => u(c).cast(AudioMetaType)
   }
 
+  private def be32u(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32u(b, i) << 32) | be32u(b, i + 4)
+
+  val VideoMetaType: StructType = StructType(Seq(
+    StructField("brand", StringType),
+    StructField("duration_ms", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("codec", StringType)))
+
+  /** MP4 / ISO-BMFF (ISO 14496-12): the file is a flat sequence of boxes
+    * `size(4 BE) type(4)` — size 1 means a 64-bit largesize follows, size
+    * 0 means "to end of enclosing space". Reads `ftyp`'s major brand,
+    * `moov/mvhd`'s timescale+duration (version 0 and 1 layouts differ),
+    * and the first VIDEO `moov/trak/tkhd`'s 16.16-fixed width/height
+    * (audio tracks carry width 0 and are skipped). Box order is not
+    * assumed. Long cursors + bounds checks mean a hostile declared size
+    * stops the walk instead of wrapping or looping; duration is clamped
+    * before the ms conversion so a hostile 64-bit value cannot overflow.
+    */
+  def decodeMp4(b: Array[Byte]): Option[(String, Long, Int, Int)] = {
+    if (b.length < 16) return None
+    var brand: Option[String] = None
+    var durationMs = -1L
+    var width = 0
+    var height = 0
+    // walk boxes in [start, end); f(type, payloadStart, boxEnd)
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val ii = i.toInt // in-bounds: i + 8 <= end <= Int.MaxValue
+        var sz: Long = be32u(b, ii)
+        var payload = i + 8
+        val typ = new String(b, ii + 4, 4, "US-ASCII")
+        if (sz == 1L) { // largesize
+          if (i + 16 > end) return
+          sz = be64(b, ii + 8); payload = i + 16
+        } else if (sz == 0L) sz = end - i // box extends to the end
+        // hostile sizes (negative 64-bit, smaller than the box's own
+        // header, or past the buffer) end the walk, keeping what's seen
+        if (sz < payload - i || sz > end - i) ok = false
+        else { f(typ, payload, i + sz); i += sz }
+      }
+    }
+    walk(0L, b.length.toLong) {
+      case ("ftyp", p, e) if p + 4 <= e =>
+        brand = Some(new String(b, p.toInt, 4, "US-ASCII"))
+      case ("moov", mp, me) => walk(mp, me) {
+        case ("mvhd", p, e) =>
+          val v = u8(b, p.toInt)
+          // v0: vflags(4) ctime(4) mtime(4) timescale(4) duration(4)
+          // v1: vflags(4) ctime(8) mtime(8) timescale(4) duration(8)
+          val tsDur =
+            if (v == 0 && p + 20 <= e)
+              Some((be32u(b, p.toInt + 12), be32u(b, p.toInt + 16)))
+            else if (v == 1 && p + 32 <= e)
+              Some((be32u(b, p.toInt + 20), be64(b, p.toInt + 24)))
+            else None
+          tsDur.foreach { case (ts, d) =>
+            if (ts > 0 && d >= 0)
+              durationMs =
+                if (d <= Long.MaxValue / 1000L) d * 1000L / ts
+                else d / ts * 1000L
+          }
+        case ("trak", tp, te) if width == 0 => walk(tp, te) {
+          // width/height are 16.16 fixed point; integer part only.
+          // v0 payload: ...duration(4)... → width @ 76; v1: @ 88
+          case ("tkhd", p, e) if width == 0 =>
+            val v = u8(b, p.toInt)
+            val off = if (v == 0) 76 else 88
+            if (p + off + 8 <= e) {
+              val w = (be32u(b, p.toInt + off) >> 16).toInt
+              val h = (be32u(b, p.toInt + off + 4) >> 16).toInt
+              if (w > 0) { width = w; height = h }
+            }
+          case _ =>
+        }
+        case _ =>
+      }
+      case _ =>
+    }
+    brand.collect { case br if durationMs >= 0 =>
+      (br, durationMs, width, height)
+    }
+  }
+
+  /** Video header decode as a scalar UDF — null struct for non-MP4
+    * payloads, same contract as [[audioMetaUdf]].
+    */
+  val videoMetaUdf: Column => Column = {
+    val u = udf { (media: Array[Byte]) =>
+      if (media == null) None
+      else decodeMp4(media).map { case (br, ms, w, h) =>
+        (br, ms, w, h, "mp4")
+      }
+    }
+    c => u(c).cast(VideoMetaType)
+  }
+
   /** STUB decoder — deterministic fake metadata derived from the payload
     * (swap for a real image/audio decoder: the call site contract —
     * bytes in, typed meta out, batched — is what a real codec needs).

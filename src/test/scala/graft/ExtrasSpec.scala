@@ -546,6 +546,63 @@ class ExtrasSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(st) === Some((2, 16000, 16, 500L)))
   }
 
+  test("mp4 header decode: box walk, versions, largesize, hostile sizes") {
+    import graft.multimodal.Multimodal
+    def be(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8L + payload.length, 4) ++ ascii(typ) ++ payload
+    val ftyp = box("ftyp", ascii("isom") ++ be(0, 4))
+    // mvhd v0: ts 600, duration 1500 → 2500 ms
+    val mvhd0 = box("mvhd", be(0, 4) ++ be(0, 4) ++ be(0, 4) ++
+      be(600, 4) ++ be(1500, 4) ++ new Array[Byte](80))
+    // tkhd v0: 640x360 (16.16 fixed)
+    val tkhd0 = box("tkhd", be(0, 4) ++ new Array[Byte](8) ++ be(1, 4) ++
+      new Array[Byte](60) ++ be(640L << 16, 4) ++ be(360L << 16, 4))
+    val mp4 = ftyp ++ box("moov", mvhd0 ++ box("trak", tkhd0))
+    assert(Multimodal.decodeMp4(mp4) === Some(("isom", 2500L, 640, 360)))
+    // v1 layouts (64-bit times), trak BEFORE mvhd, junk free box between
+    val mvhd1 = box("mvhd", be(1L << 24, 4) ++ new Array[Byte](16) ++
+      be(1000, 4) ++ be(123456L, 8) ++ new Array[Byte](80))
+    val tkhd1 = box("tkhd", be(1L << 24, 4) ++ new Array[Byte](16) ++
+      be(1, 4) ++ new Array[Byte](64) ++ be(1280L << 16, 4) ++
+      be(720L << 16, 4))
+    val mp4v1 = ftyp ++ box("free", Array[Byte](1, 2, 3)) ++
+      box("moov", box("trak", tkhd1) ++ mvhd1)
+    assert(Multimodal.decodeMp4(mp4v1) === Some(("isom", 123456L, 1280, 720)))
+    // an AUDIO trak (width 0) must be skipped in favor of the video one
+    val tkhdAud = box("tkhd", be(0, 4) ++ new Array[Byte](8) ++ be(2, 4) ++
+      new Array[Byte](60) ++ be(0, 4) ++ be(0, 4))
+    val mp4au = ftyp ++
+      box("moov", mvhd0 ++ box("trak", tkhdAud) ++ box("trak", tkhd0))
+    assert(Multimodal.decodeMp4(mp4au) === Some(("isom", 2500L, 640, 360)))
+    // size==1 → 64-bit largesize; size==0 → box runs to the end
+    val moovPay = mvhd0 ++ box("trak", tkhd0)
+    val large = ftyp ++ (be(1, 4) ++ ascii("moov") ++
+      be(16L + moovPay.length, 8) ++ moovPay)
+    assert(Multimodal.decodeMp4(large) === Some(("isom", 2500L, 640, 360)))
+    val toEnd = ftyp ++ (be(0, 4) ++ ascii("moov") ++ moovPay)
+    assert(Multimodal.decodeMp4(toEnd) === Some(("isom", 2500L, 640, 360)))
+    // no ftyp / no mvhd / not-boxes: None — and a hostile declared size
+    // (0xFFFFFFFF and a negative largesize) must neither hang nor wrap,
+    // keeping fields already seen
+    assert(Multimodal.decodeMp4(box("moov", mvhd0)).isEmpty)
+    assert(Multimodal.decodeMp4(ftyp ++ box("moov", box("trak", tkhd0)))
+      .isEmpty)
+    assert(Multimodal.decodeMp4(ascii("this is not an iso-bmff file at all"))
+      .isEmpty)
+    val hostile = ftyp ++ box("moov", mvhd0) ++
+      (be(0xffffffffL, 4) ++ ascii("mdat")) ++ box("moov", mvhd0)
+    assert(Multimodal.decodeMp4(hostile) === Some(("isom", 2500L, 0, 0)))
+    val negLarge = ftyp ++ box("moov", mvhd0) ++
+      (be(1, 4) ++ ascii("mdat") ++ be(-1L, 8))
+    assert(Multimodal.decodeMp4(negLarge) === Some(("isom", 2500L, 0, 0)))
+    // truncated mvhd payload: walk survives, but no duration → None
+    assert(Multimodal.decodeMp4(ftyp ++ box("moov",
+      box("mvhd", be(0, 4) ++ be(0, 4)))).isEmpty)
+  }
+
   test("streaming windowed agg matches its batch twin") {
     val dir = "/root/testdata/sf0.001"
     val batch = QueriesExtra2.evWindowed.run(spark, dir)
