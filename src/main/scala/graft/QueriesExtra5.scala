@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sampling.Mixture
+import graft.scoring.NaiveBayes
+
+/** Round-8 additions: the trained-classifier stage (multinomial NB
+  * lang-id — the CCNet/fastText/DCLM archetype) and token-budget mixture
+  * construction (LLaMA/Dolma-style data mixing).
+  *
+  * The lang column is label-only in the synthetic corpus (every text is
+  * the same English word soup), so the classifier queries inject
+  * lang-correlated marker tokens with per-doc repetition IDENTICALLY in
+  * Spark and DuckDB — house style: the oracle compares the full
+  * train-and-score transform over text that actually discriminates.
+  */
+object QueriesExtra5 {
+
+  private val d = "doc_id"
+
+  /** Top-V = every base-soup token (31) plus the five markers — the
+    * truncation path still executes (TakeOrdered top-V); truncation
+    * SEMANTICS are pinned by ClassifierSpec's hand corpus.
+    */
+  private val VocabV = 36
+
+  private val Markers = Seq(
+    "en" -> "hellomark", "zh" -> "zhongwen", "es" -> "holamark",
+    "de" -> "deutschwort", "fr" -> "bonjourmark")
+
+  /** text || repeat(' ' || marker(lang), doc_id % 3 + 1) on both engines. */
+  private def docExprSpark: Column = {
+    val marker = Markers.init.foldLeft(null: Column) { case (acc, (l, m)) =>
+      if (acc == null) when(col("lang") === l, lit(m))
+      else acc.when(col("lang") === l, lit(m))
+    }.otherwise(lit(Markers.last._2))
+    val unit = concat(lit(" "), marker)
+    concat(col("text"), element_at(
+      array(unit, concat(unit, unit), concat(unit, unit, unit)),
+      (col(d) % 3 + 1).cast("int")))
+  }
+
+  private val docExprSql: String = {
+    val cases = Markers.init.map { case (l, m) => s"WHEN '$l' THEN '$m'" }
+      .mkString(" ")
+    s"text || repeat(' ' || CASE lang $cases ELSE '${Markers.last._2}' END, " +
+      s"(doc_id % 3 + 1)::INT)"
+  }
+
+  private val TokSql = "regexp_extract_all(lower(t), '[\\p{L}\\p{N}_]+')"
+
+  /** NB training artifact — all-integer dense grid, recomputed from the
+    * raw corpus by DuckDB: tokenize, document frequencies, top-V vocab
+    * (df desc, token asc), per-(label, token) counts, marginals.
+    */
+  val nbTrainCounts: QueryDef = QueryDef("nb_train_counts",
+    (s, dir) => NaiveBayes.trainCounts(
+      Queries.table(s, dir, "documents").withColumn("_doc", docExprSpark),
+      "_doc", "lang", VocabV)
+      .orderBy("token", "label"),
+    Some(s"WITH d AS (SELECT doc_id, lang, $docExprSql AS t FROM documents), " +
+      s"tk AS (SELECT doc_id, lang, unnest($TokSql) AS token FROM d), " +
+      "dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tk GROUP BY token), " +
+      s"voc AS (SELECT token, df FROM dfq ORDER BY df DESC, token LIMIT $VocabV), " +
+      "cnts AS (SELECT tk.lang AS label, tk.token, count(*) AS cnt " +
+      "FROM tk JOIN voc USING (token) GROUP BY 1, 2), " +
+      "tot AS (SELECT label, sum(cnt) AS tok_total FROM cnts GROUP BY label), " +
+      "lbl AS (SELECT lang AS label, count(*) AS n_docs FROM documents GROUP BY 1) " +
+      "SELECT v.token, l.label, coalesce(c.cnt, 0) AS cnt, v.df, " +
+      "CAST(coalesce(t.tok_total, 0) AS BIGINT) AS tok_total, l.n_docs " +
+      "FROM voc v CROSS JOIN lbl l " +
+      "LEFT JOIN cnts c ON c.token = v.token AND c.label = l.label " +
+      "LEFT JOIN tot t ON t.label = l.label " +
+      "ORDER BY v.token, l.label"))
+
+  private def nbPath(key: String) = s"/tmp/graft_nb_model_$key"
+
+  /** Train-and-score: the integer-quantized model is the side-channel
+    * (exported once per JVM+scale, like the F2 ARPA dump); DuckDB replays
+    * scoring from it — tokenize, vocab join (OOV drops out; the appended
+    * `zzunseen` token exercises that on both engines), exact integer
+    * score sums, argmax with the label-ascending tie-break, margin to the
+    * runner-up. Only the ln() quantization itself is not re-derived in
+    * SQL (cross-libm last-ulp risk); it is pinned by ClassifierSpec.
+    */
+  val nbPredict: QueryDef = QueryDef("nb_predict_lang",
+    (s, dir) => {
+      val withDoc = Queries.table(s, dir, "documents")
+        .withColumn("_doc", docExprSpark)
+      val model = NaiveBayes.train(withDoc, "_doc", "lang", VocabV)
+      val key = QueriesExtra2.scaleKey(dir)
+      val (wDf, pDf) = NaiveBayes.modelFrames(s, model)
+      graft.dedup.SideChannel.through(wDf,
+        QueriesExtra2.sinkOnce(nbPath(key) + "/weights"))
+      graft.dedup.SideChannel.through(pDf,
+        QueriesExtra2.sinkOnce(nbPath(key) + "/priors"))
+      NaiveBayes.predict(
+        withDoc.withColumn("_scored", concat(col("_doc"), lit(" zzunseen"))),
+        model, "_scored")
+        .select(col(d), col("nb_label"), col("nb_score_micro"),
+          col("nb_margin_micro"))
+        .orderBy(d)
+    },
+    Some {
+      val base = nbPath(QueriesExtra2.OracleScaleKey)
+      s"WITH w AS (SELECT * FROM parquet_scan('$base/weights/*.parquet')), " +
+        s"p AS (SELECT * FROM parquet_scan('$base/priors/*.parquet')), " +
+        s"d AS (SELECT doc_id, $docExprSql || ' zzunseen' AS t FROM documents), " +
+        s"tk AS (SELECT doc_id, unnest($TokSql) AS token FROM d), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2), " +
+        "sc AS (SELECT tf.doc_id, w.label, sum(tf.tf * w.lp_micro) AS sw " +
+        "FROM tf JOIN w USING (token) GROUP BY 1, 2), " +
+        "al AS (SELECT d.doc_id, p.label, p.prior_micro + coalesce(sc.sw, 0) " +
+        "AS score FROM d CROSS JOIN p " +
+        "LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = p.label), " +
+        "rk AS (SELECT doc_id, label, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn, " +
+        "lead(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS nxt " +
+        "FROM al) " +
+        "SELECT doc_id, label AS nb_label, CAST(score AS BIGINT) AS nb_score_micro, " +
+        "CAST(score - coalesce(nxt, score) AS BIGINT) AS nb_margin_micro " +
+        "FROM rk WHERE rn = 1 ORDER BY doc_id"
+    })
+
+  /** Static per-source token budgets: 500/900/1300/1700 cycling, so at
+    * sf0.01 (source masses 1136-1553) some sources truncate, some keep
+    * everything, and the plan sees both epoch-0 and epoch-1 shapes.
+    */
+  private val MixBudgets: Map[String, Long] =
+    (0 until 20).map(k => s"src$k" -> (500L + 400L * (k % 4))).toMap
+
+  private val mixValuesSql: String = MixBudgets.toSeq.sortBy(_._1)
+    .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+
+  private val wordLenSql =
+    "len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'))"
+
+  val mixPlan: QueryDef = QueryDef("mix_token_plan",
+    (s, dir) => Mixture.tokenBudgetPlan(
+      Queries.table(s, dir, "documents"), "source",
+      graft.text.Filters.wordCount(col("text")), MixBudgets)
+      .orderBy("source"),
+    Some(s"WITH b(source, budget) AS (VALUES $mixValuesSql), " +
+      "t AS (SELECT source, count(*) AS n_docs, " +
+      s"CAST(sum($wordLenSql) AS BIGINT) AS total_tokens " +
+      "FROM documents GROUP BY source) " +
+      "SELECT t.source, n_docs, total_tokens, CAST(budget AS BIGINT) AS budget, " +
+      "CAST(budget // total_tokens AS BIGINT) AS full_epochs, " +
+      "CAST(budget % total_tokens AS BIGINT) AS remainder_tokens " +
+      "FROM t JOIN b USING (source) ORDER BY source"))
+
+  val mixSelect: QueryDef = QueryDef("mix_token_budget",
+    (s, dir) => Mixture.tokenBudgetSelect(
+      Queries.table(s, dir, "documents"), d, "source",
+      graft.text.Filters.wordCount(col("text")), MixBudgets, seed = 7L)
+      .select(col(d), col("source"), col("toks"), col("cum_tokens"))
+      .orderBy(d),
+    Some(s"WITH b(source, budget) AS (VALUES $mixValuesSql), " +
+      s"t AS (SELECT doc_id, source, $wordLenSql AS toks FROM documents), " +
+      "c AS (SELECT t.doc_id, t.source, t.toks, b.budget, " +
+      "CAST(sum(t.toks) OVER (PARTITION BY t.source ORDER BY " +
+      "md5('7:' || CAST(t.doc_id AS VARCHAR)), t.doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens " +
+      "FROM t JOIN b USING (source)) " +
+      "SELECT doc_id, source, toks, cum_tokens FROM c " +
+      "WHERE cum_tokens <= budget ORDER BY doc_id"))
+
+  val all: Seq[QueryDef] = Seq(nbTrainCounts, nbPredict, mixPlan, mixSelect)
+}

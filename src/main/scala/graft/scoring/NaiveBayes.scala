@@ -1,0 +1,163 @@
+package graft.scoring
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained multinomial Naive Bayes text classifier.
+  *
+  * The reference pipeline filters with hand-written heuristics only
+  * (filters.py); at 100 TB the standard next step is a TRAINED classifier
+  * — CCNet's fastText lang-id, DCLM / FineWeb-Edu quality classifiers —
+  * learned from a labeled seed corpus and then applied to every document.
+  * This is that stage, engine-native end to end: training is two
+  * map-side-combined aggregations, scoring is a zero-shuffle per-row pass.
+  *
+  * Cross-engine exactness by construction: log-likelihoods are quantized
+  * to integer MICRO-NATS (`floor(ln(p) * 1e6)`, [[NbModel.Micro]]) at
+  * training time, so a document's score is a sum of longs — independent
+  * of summation order, partitioning, and libm. Same trick the p12 mean
+  * and pack_bins use for cross-engine sums, applied to a model: the
+  * `nb_predict_lang` oracle replays scoring in DuckDB from the exported
+  * integer model and hash-matches.
+  *
+  * Scale shape:
+  *  - TRAIN: per-(label, token) term counts and per-token document
+  *    frequencies partial-aggregate map-side; only distinct pairs ever
+  *    shuffle, corpus rows never do. Vocab selection is a
+  *    TakeOrdered top-V (no single-partition window). The finished model
+  *    is a dense vocab x labels grid — bounded by the vocabSize budget,
+  *    the one deliberate driver materialization.
+  *  - SCORE: the model rides to executors in the scoring UDF's closure
+  *    (per-executor reuse, same pattern as the F2 ArpaScorer); each row
+  *    costs O(tokens) hash lookups. No shuffle, no join of corpus rows.
+  */
+object NaiveBayes {
+
+  /** Engine-native tokenizer shared by train and score: unicode word
+    * class over lowercased text, in lock-step with
+    * [[graft.OracleSql.wordCount]] (`regexp_extract_all(lower(x),
+    * '[\p{L}\p{N}_]+')`) so the oracle tokenizes identically.
+    */
+  def tokensCol(c: Column): Column =
+    regexp_extract_all(lower(c), lit(graft.text.Filters.WordClassRegex), lit(0))
+
+  /** Integer training artifact: the dense (vocab x label) grid of term
+    * counts plus the marginals the smoothed model derives from. Every
+    * column is a count, so the whole frame is exactly recomputable in
+    * ANSI SQL — the `nb_train_counts` oracle rebuilds it from the raw
+    * corpus. Vocabulary = top `vocabSize` tokens by document frequency,
+    * ties broken by token ascending (deterministic at any partitioning).
+    *
+    * Columns: token, label, cnt (term count of token under label, vocab
+    * tokens only), df (document frequency of token), tok_total (sum of
+    * vocab-token counts for the label), n_docs (label's document count).
+    */
+  def trainCounts(df: DataFrame, textCol: String, labelCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val dfreq = df.select(explode(array_distinct(toks)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    // TakeOrderedAndProject — distributed top-V, total order so ties are
+    // deterministic; never a single-partition window over the vocabulary
+    val vocab = dfreq.orderBy(col("df").desc, col("token")).limit(vocabSize)
+    val cnts = df.select(col(labelCol).as("label"), explode(toks).as("token"))
+      .join(broadcast(vocab.select("token")), Seq("token"))
+      .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    val totals = cnts.groupBy("label").agg(sum("cnt").as("tok_total"))
+    val labelSide = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(totals, Seq("label"), "left")
+      .select(col("label"), col("n_docs"),
+        coalesce(col("tok_total"), lit(0L)).as("tok_total"))
+    vocab.crossJoin(broadcast(labelSide))
+      .join(broadcast(cnts), Seq("token", "label"), "left")
+      .select(col("token"), col("label"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("df"), col("tok_total"), col("n_docs"))
+  }
+
+  /** Laplace-smoothed model quantized from [[trainCounts]]. The grid is
+    * bounded (vocabSize x labels) so the collect is the model download,
+    * not a corpus materialization. `StrictMath.log` keeps the quantized
+    * weights identical across JVMs/platforms — the exported model frames
+    * are a side-channel other engines replay, so they must be
+    * reproducible, not merely consistent within one run.
+    */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+      vocabSize: Int): NbModel = {
+    val rows = trainCounts(df, textCol, labelCol, vocabSize).collect()
+    val labels = rows.map(_.getString(1)).distinct.sorted
+    val li = labels.zipWithIndex.toMap
+    val v = rows.map(_.getString(0)).distinct.length
+    val tokTotal = rows.map(r => r.getString(1) -> r.getLong(4)).toMap
+    val nDocs = rows.map(r => r.getString(1) -> r.getLong(5)).toMap
+    val totalDocs = labels.map(nDocs).sum
+    def micro(p: Double): Long = math.floor(StrictMath.log(p) * 1e6).toLong
+    val weights = rows.groupBy(_.getString(0)).map { case (tok, rs) =>
+      val w = new Array[Long](labels.length)
+      rs.foreach { r =>
+        val l = r.getString(1)
+        w(li(l)) = micro((r.getLong(2) + 1).toDouble / (tokTotal(l) + v))
+      }
+      tok -> w
+    }
+    val priors = labels.map(l => micro(nDocs(l).toDouble / totalDocs))
+    NbModel(labels, priors, weights, v)
+  }
+
+  /** The model as two small DataFrames — the integer side-channel the
+    * `nb_predict_lang` oracle consumes: weights (token, label, lp_micro)
+    * dense over vocab x labels, and priors (label, prior_micro).
+    */
+  def modelFrames(spark: SparkSession, m: NbModel): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val w = m.weights.toSeq.sortBy(_._1).flatMap { case (tok, ws) =>
+      m.labels.indices.map(i => (tok, m.labels(i), ws(i)))
+    }.toDF("token", "label", "lp_micro")
+    val p = m.labels.indices.map(i => (m.labels(i), m.priorsMicro(i)))
+      .toDF("label", "prior_micro")
+    (w, p)
+  }
+
+  /** Adds `nb_label` (argmax label; ties prefer the lexicographically
+    * smallest — labels are stored ascending and the scan keeps the first
+    * max), `nb_score_micro` (winning score) and `nb_margin_micro`
+    * (winner minus runner-up; 0 for a single-label model). Out-of-vocab
+    * tokens contribute nothing (standard restricted-vocabulary NB);
+    * a document with no vocab tokens falls back to the priors.
+    */
+  def predict(df: DataFrame, model: NbModel, textCol: String): DataFrame = {
+    val m = model
+    val scoreUdf = udf { (toks: Seq[String]) =>
+      val n = m.labels.length
+      val s = m.priorsMicro.clone()
+      if (toks != null) toks.foreach { t =>
+        m.weights.get(t).foreach { w =>
+          var i = 0; while (i < n) { s(i) += w(i); i += 1 }
+        }
+      }
+      var bi = 0
+      var i = 1
+      while (i < n) { if (s(i) > s(bi)) bi = i; i += 1 }
+      var second = Long.MinValue
+      i = 0
+      while (i < n) { if (i != bi && s(i) > second) second = s(i); i += 1 }
+      val margin = if (n <= 1) 0L else s(bi) - second
+      (m.labels(bi), s(bi), margin)
+    }
+    df.withColumn("_nb", scoreUdf(tokensCol(col(textCol))))
+      .withColumn("nb_label", col("_nb._1"))
+      .withColumn("nb_score_micro", col("_nb._2"))
+      .withColumn("nb_margin_micro", col("_nb._3"))
+      .drop("_nb")
+  }
+}
+
+/** Labels sorted ascending (the argmax tie-break order); weights dense
+  * over the restricted vocabulary in micro-nats.
+  */
+final case class NbModel(
+    labels: Array[String],
+    priorsMicro: Array[Long],
+    weights: Map[String, Array[Long]],
+    vocabSize: Int) extends Serializable

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sampling.Mixture
+import graft.scoring.NaiveBayes
+
+/** Hand-computed goldens for the trained NB classifier (counts, ln
+  * quantization — the one step the DuckDB oracle does not re-derive —
+  * argmax/tie-break/OOV semantics) and the token-budget mixture ops.
+  */
+class ClassifierSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  // 4 docs, 2 labels; df: b->3 a->2 d->2 c->1; V=3 keeps (b, a, d) —
+  // exercises truncation AND the df-tie token-asc break (a vs d at df=2)
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq(("a a b", "pos"), ("a c", "pos"), ("b b d", "neg"), ("b d", "neg"))
+      .toDF("text", "label")
+  }
+
+  test("trainCounts: dense integer grid matches hand-computed counts") {
+    val got = NaiveBayes.trainCounts(corpus, "text", "label", 3)
+      .orderBy("token", "label")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // vocab-restricted counts: pos a:3 b:1 d:0 (total 4); neg b:3 d:2 a:0
+    // (total 5); c is cut at V=3
+    val want = Seq(
+      ("a", "neg", 0L, 2L, 5L, 2L), ("a", "pos", 3L, 2L, 4L, 2L),
+      ("b", "neg", 3L, 3L, 5L, 2L), ("b", "pos", 1L, 3L, 4L, 2L),
+      ("d", "neg", 2L, 2L, 5L, 2L), ("d", "pos", 0L, 2L, 4L, 2L))
+    assert(got.toSeq === want)
+  }
+
+  test("train: micro-nat quantization is floor(StrictMath.log(p) * 1e6)") {
+    val m = NaiveBayes.train(corpus, "text", "label", 3)
+    assert(m.labels.toSeq === Seq("neg", "pos"))
+    assert(m.vocabSize === 3)
+    def micro(p: Double) = math.floor(StrictMath.log(p) * 1e6).toLong
+    // Laplace: (cnt+1)/(tok_total+V)
+    assert(m.weights("a").toSeq === Seq(micro(1.0 / 8), micro(4.0 / 7)))
+    assert(m.weights("b").toSeq === Seq(micro(4.0 / 8), micro(2.0 / 7)))
+    assert(m.weights("d").toSeq === Seq(micro(3.0 / 8), micro(1.0 / 7)))
+    assert(m.priorsMicro.toSeq === Seq(micro(0.5), micro(0.5)))
+  }
+
+  test("predict: argmax, OOV drop, prior fallback, asc-label tie-break, margin") {
+    val s = spark
+    import s.implicits._
+    val m = NaiveBayes.train(corpus, "text", "label", 3)
+    val docs = Seq((1L, "a a"), (2L, "b d"), (3L, "c zz c"), (4L, "a a c"))
+      .toDF("id", "text")
+    val byId = NaiveBayes.predict(docs, m, "text")
+      .select("id", "nb_label", "nb_score_micro", "nb_margin_micro")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    def micro(p: Double) = math.floor(StrictMath.log(p) * 1e6).toLong
+    val sPosAa = micro(0.5) + 2 * micro(4.0 / 7)
+    val sNegAa = micro(0.5) + 2 * micro(1.0 / 8)
+    assert(byId(1L) === (("pos", sPosAa, sPosAa - sNegAa)))
+    // doc 3 is all-OOV: equal priors, tie-break -> lexicographically
+    // smallest label, margin 0
+    assert(byId(3L) === (("neg", micro(0.5), 0L)))
+    // doc 4 == doc 1 plus an OOV token: identical scores
+    assert(byId(4L) === byId(1L))
+    assert(byId(2L)._1 === "neg")
+  }
+
+  test("NB scoring composes with Structured Streaming: stream == batch") {
+    val s = spark
+    import s.implicits._
+    val m = NaiveBayes.train(corpus, "text", "label", 3)
+    val batch = Seq((1L, "a a b"), (2L, "b d zz"), (3L, "c c"))
+      .toDF("id", "text")
+    val want = NaiveBayes.predict(batch, m, "text")
+      .select("id", "nb_label", "nb_score_micro", "nb_margin_micro")
+      .collect().map(_.toSeq).toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // the model is a closure constant: the same zero-shuffle scoring plan
+    // applies per micro-batch with no state — streaming corpus scoring
+    // needs no adaptation at all
+    val out = NaiveBayes.predict(mem.toDF.toDF("id", "text"), m, "text")
+      .select("id", "nb_label", "nb_score_micro", "nb_margin_micro")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("nbstream").start()
+    try {
+      mem.addData((1L, "a a b"), (2L, "b d zz"))
+      q.processAllAvailable()
+      mem.addData((3L, "c c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("nbstream").collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
+  private def mixCorpus = {
+    val s = spark
+    import s.implicits._
+    // s1: 4 docs x 10 tokens (40 total); s2: 2 docs x 10 (20 total)
+    val ten = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    ((1L to 4L).map(i => (i, "s1", ten)) ++
+      Seq((5L, "s2", ten), (6L, "s2", ten))).toDF("id", "source", "text")
+  }
+
+  test("tokenBudgetPlan: integer epoch/remainder arithmetic, unbudgeted sources dropped") {
+    val plan = Mixture.tokenBudgetPlan(
+      mixCorpus.union(spark.range(1).selectExpr("CAST(90 AS BIGINT) AS id",
+        "'s3' AS source", "'x' AS text")),
+      "source", graft.text.Filters.wordCount(col("text")),
+      Map("s1" -> 95L, "s2" -> 15L))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // s1: 95 = 2*40 + 15; s2: 15 = 0*20 + 15; s3 has no budget -> absent
+    assert(plan.toSeq === Seq(("s1", 4L, 40L, 95L, 2L, 15L),
+      ("s2", 2L, 20L, 15L, 0L, 15L)))
+  }
+
+  test("tokenBudgetSelect: greedy md5-order prefix within budget, repartition-invariant") {
+    val budgets = Map("s1" -> 25L, "s2" -> 999L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mixture.tokenBudgetSelect(df, "id", "source",
+        graft.text.Filters.wordCount(col("text")), budgets, seed = 7L)
+        .select("id", "source", "toks", "cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    val got = run(mixCorpus)
+    assert(got === run(mixCorpus.repartition(7)))
+    // s2's budget exceeds its mass: both docs kept
+    assert(got.count(_._2 == "s2") === 2)
+    // s1: 10-token docs, budget 25 -> exactly the first 2 in md5 order
+    val s1Kept = got.filter(_._2 == "s1").map(_._1).toSet
+    val order = mixCorpus.where(col("source") === "s1")
+      .select(col("id"), md5(concat(lit("7:"), col("id").cast("string")))
+        .as("k"))
+      .orderBy("k", "id").collect().map(_.getLong(0)).toSeq
+    assert(s1Kept === order.take(2).toSet)
+    got.filter(_._2 == "s1").foreach { case (_, _, _, cum) =>
+      assert(cum <= 25L)
+    }
+  }
+}

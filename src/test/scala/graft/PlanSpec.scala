@@ -45,6 +45,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"))
   }
 
+  test("mixture selection plans one corpus exchange and a broadcast budget join") {
+    val df = graft.sampling.Mixture.tokenBudgetSelect(
+      Queries.table(spark, sf, "documents"), "doc_id", "source",
+      graft.text.Filters.wordCount(col("text")),
+      Map("src0" -> 100L, "src1" -> 200L), seed = 7L)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"expected 1 corpus hash exchange (window on the join's output), got $exchanges\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"), "budget table must broadcast")
+  }
+
+  test("NB scoring plans no shuffle and no corpus-side join") {
+    val m = graft.scoring.NbModel(Array("a", "b"), Array(-1L, -2L),
+      Map("tok" -> Array(1L, 2L)), 1)
+    val df = graft.scoring.NaiveBayes.predict(
+      Queries.table(spark, sf, "documents"), m, "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("exchange"),
+      s"model scoring must be shuffle-free\n${p.take(600)}")
+    assert(!p.contains("Join"), "model rides in the closure, not a join")
+  }
+
   test("flagship plan has no global sort except the mandated seeded shuffle") {
     // r4: keep-first dedup orders by a data-derived id, so the pre-dedup
     // repartitionByRange+sort is gone — the ONLY range partitioning left
