@@ -167,5 +167,61 @@ object QueriesExtra5 {
       "SELECT doc_id, source, toks, cum_tokens FROM c " +
       "WHERE cum_tokens <= budget ORDER BY doc_id"))
 
-  val all: Seq[QueryDef] = Seq(nbTrainCounts, nbPredict, mixPlan, mixSelect)
+  /** Corpus data card: per-(source x lang) cells + all margins in ONE
+    * CUBE pass (Expand → one partially-aggregated shuffle). All-integer
+    * aggregates; `grp` = grouping_id so rolled-up NULLs are explicit.
+    */
+  val corpusCard: QueryDef = QueryDef("corpus_card",
+    (s, dir) => graft.analysis.CorpusStats.corpusCard(
+      Queries.table(s, dir, "documents"), "source", "lang",
+      graft.text.Filters.wordCount(col("text")))
+      .orderBy("grp", "source", "lang"),
+    Some(s"SELECT source, lang, count(*) AS n_docs, " +
+      s"CAST(sum(toks) AS BIGINT) AS total_tokens, " +
+      "min(toks) AS min_tokens, max(toks) AS max_tokens, " +
+      "CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS grp " +
+      s"FROM (SELECT source, lang, $wordLenSql AS toks FROM documents) " +
+      "GROUP BY CUBE (source, lang) ORDER BY grp, source, lang"))
+
+  private def bpePath(key: String) = s"/tmp/graft_bpe_words_$key"
+
+  /** BPE trainer + encoder: one word-count shuffle, driver merge loop
+    * over the bounded dictionary, closure-model encode. The per-word
+    * encoding table is the side-channel (the merge-apply loop is the one
+    * step DuckDB does not re-derive; BpeSpec pins it with hand-derived
+    * Sennrich-corpus goldens) — document assembly (tokenize, per-word
+    * lookup, ORDER BY position reassembly, token totals) is replayed in
+    * SQL from that frame.
+    */
+  val bpeEncode: QueryDef = QueryDef("bpe_encode_tokens",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+      val model = graft.text.Bpe.train(docs, "text", numMerges = 40,
+        maxWords = 200)
+      val key = QueriesExtra2.scaleKey(dir)
+      graft.dedup.SideChannel.through(
+        graft.text.Bpe.wordEncodings(s, docs, model, "text"),
+        QueriesExtra2.sinkOnce(bpePath(key)))
+      graft.text.Bpe.encode(docs, model, "text")
+        .select(col(d), col("n_bpe_tokens"), col("bpe_text"))
+        .orderBy(d)
+    },
+    Some {
+      val p = bpePath(QueriesExtra2.OracleScaleKey) + "/*.parquet"
+      s"WITH we AS (SELECT * FROM parquet_scan('$p')), " +
+        "t AS (SELECT doc_id, regexp_extract_all(lower(text), " +
+        "'[\\p{L}\\p{N}_]+') AS ws FROM documents), " +
+        "tok AS (SELECT doc_id, i, ws[i] AS w FROM t, LATERAL " +
+        "(SELECT unnest(generate_series(1, len(ws))) AS i) g), " +
+        "j AS (SELECT tok.doc_id, tok.i, we.bpe, we.n_toks " +
+        "FROM tok JOIN we ON we.word = tok.w), " +
+        "agg AS (SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens, " +
+        "string_agg(bpe, ' ' ORDER BY i) AS bpe_text FROM j GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens, " +
+        "coalesce(a.bpe_text, '') AS bpe_text " +
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    })
+
+  val all: Seq[QueryDef] = Seq(nbTrainCounts, nbPredict, mixPlan, mixSelect,
+    corpusCard, bpeEncode)
 }

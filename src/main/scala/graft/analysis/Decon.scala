@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** N-gram-overlap benchmark decontamination scoring — the GPT-3/Llama
@@ -88,4 +88,27 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_docs"),
         min(col(lenCol)).as("min_len"),
         max(col(lenCol)).as("max_len"))
+
+  /** The "data card" rollup shipped with a released corpus: per-(source x
+    * lang) cells PLUS per-source, per-lang, and grand-total margins, in
+    * ONE pass via CUBE — Spark plans an Expand (4 grouping sets) feeding a
+    * single partially-aggregated shuffle, instead of four scans. All
+    * aggregates are integers (counts/sums/min/max), so the frame is
+    * hash-exact across engines. `grp` = grouping_id(source, lang)
+    * (source bit MSB): 0 = leaf cell, 1 = per-source margin, 2 = per-lang
+    * margin, 3 = grand total — disambiguates a rolled-up NULL from a
+    * (here impossible) literal NULL group value.
+    */
+  def corpusCard(df: DataFrame, sourceCol: String, langCol: String,
+      tokenCount: Column): DataFrame =
+    df.withColumn("_toks", tokenCount)
+      .cube(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_toks").as("total_tokens"),
+        min("_toks").as("min_tokens"),
+        max("_toks").as("max_tokens"),
+        // grouping_id must resolve against the Aggregate node itself —
+        // cube-column order makes source the MSB, matching
+        // GROUPING(source)*2 + GROUPING(lang) in the oracle
+        grouping_id().cast("long").as("grp"))
 }
