@@ -222,6 +222,67 @@ object QueriesExtra5 {
         "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
     })
 
+  /** CC-style canonical-URL dedup (the key-level dedup that runs BEFORE
+    * content dedup): every doc gets a synthetic URL whose scheme/host
+    * case, www prefix, default port, trailing slash, tracking params and
+    * fragment vary by doc_id, so canonicalization genuinely collapses
+    * groups; keep = first doc_id per canonical key (one window shuffle).
+    * The oracle replays the ENTIRE normalization chain step for step —
+    * the chain is deliberately backreference-free so Spark and RE2 SQL
+    * spell it identically.
+    */
+  val urlCanonical: QueryDef = QueryDef("dedup_url_canonical",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val urlCol = concat(
+        element_at(array(lit("https://"), lit("HTTPS://")),
+          (col(d) % 2 + 1).cast("int")),
+        element_at(array(lit("example.com"), lit("WWW.Example.com"),
+          lit("www.example.com:443"), lit("EXAMPLE.com:80")),
+          (col(d) % 4 + 1).cast("int")),
+        element_at(array(lit("/a"), lit("/a/"), lit("/b")),
+          (col(d) % 3 + 1).cast("int")),
+        element_at(array(lit(""), lit("?utm_source=x"),
+          lit("?utm_source=x&id=Q"), lit("?id=Q"),
+          lit("?id=Q&utm_campaign=z&fbclid=F"), lit("?ref=tw")),
+          (col(d) % 6 + 1).cast("int")),
+        when(col(d) % 5 === 0, lit("#sec")).otherwise(lit("")))
+      Queries.table(s, dir, "documents")
+        .select(col(d), urlCol.as("url"))
+        .withColumn("canon_url",
+          graft.analysis.Urls.canonicalUrl(col("url")))
+        .withColumn("kept",
+          col(d) === min(col(d)).over(Window.partitionBy("canon_url")))
+        .orderBy(d)
+    },
+    Some {
+      val urlSql = "(['https://', 'HTTPS://'])[(doc_id%2+1)::INT] || " +
+        "(['example.com', 'WWW.Example.com', 'www.example.com:443', " +
+        "'EXAMPLE.com:80'])[(doc_id%4+1)::INT] || " +
+        "(['/a', '/a/', '/b'])[(doc_id%3+1)::INT] || " +
+        "(['', '?utm_source=x', '?utm_source=x&id=Q', '?id=Q', " +
+        "'?id=Q&utm_campaign=z&fbclid=F', '?ref=tw'])[(doc_id%6+1)::INT] || " +
+        "(CASE WHEN doc_id%5=0 THEN '#sec' ELSE '' END)"
+      s"WITH u AS (SELECT doc_id, $urlSql AS url FROM documents), " +
+        "s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u), " +
+        "s2 AS (SELECT *, regexp_extract(nofrag, '(?i)^https?://[^/?#]*', 0) AS head FROM s1), " +
+        "s3 AS (SELECT *, substr(nofrag, length(head)+1) AS rest, " +
+        "regexp_replace(replace(lower(head), '://www.', '://'), ':(80|443)$', '') AS host FROM s2), " +
+        "s4 AS (SELECT *, regexp_extract(rest, '^[^?]*', 0) AS path, " +
+        "regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query FROM s3), " +
+        "s5 AS (SELECT doc_id, url, host || regexp_replace(path, '/$', '') || " +
+        "CASE WHEN qf = '' THEN '' ELSE '?' || qf END AS canon_url FROM " +
+        // DuckDB array_to_string(EMPTY_LIST) is NULL where Spark's
+        // array_join gives '' — the no-surviving-params case must
+        // coalesce or the whole canon key goes NULL
+        "(SELECT *, coalesce(array_to_string(list_filter(string_split(query, '&'), " +
+        "p -> p <> '' AND NOT regexp_matches(p, " +
+        "'^(utm_[A-Za-z]+|fbclid|gclid|ref)=')), '&'), '') AS qf FROM s4)) " +
+        "SELECT doc_id, url, canon_url, " +
+        "doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS kept " +
+        "FROM s5 ORDER BY doc_id"
+    })
+
   val all: Seq[QueryDef] = Seq(nbTrainCounts, nbPredict, mixPlan, mixSelect,
-    corpusCard, bpeEncode)
+    corpusCard, bpeEncode, urlCanonical)
 }

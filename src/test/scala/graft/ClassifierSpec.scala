@@ -107,6 +107,27 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("canonicalUrl: case, www, default ports, tracking params, fragment, trailing slash") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "HTTPS://WWW.Example.COM:443/a/?utm_source=x&id=Q&fbclid=F#frag",
+      "https://example.com/a?id=Q",
+      "http://example.com:80/",
+      "https://example.com/a?utm_campaign=z",
+      "https://example.com/a?ref=tw&x=1&utm_medium=m",
+      "not a url").toDF("u")
+      .select(graft.analysis.Urls.canonicalUrl(col("u")))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "https://example.com/a?id=Q",
+      "https://example.com/a?id=Q",
+      "http://example.com",
+      "https://example.com/a",
+      "https://example.com/a?x=1",
+      "not a url"))
+  }
+
   private def mixCorpus = {
     val s = spark
     import s.implicits._
