@@ -21,20 +21,30 @@ object Queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark's reader
-    * rejects; read nanos as long and rebuild a (truncated-to-micros)
-    * timestamp column.
+  /** The events table's `ts` physical type has varied across driver data
+    * generations: TIMESTAMP(NANOS) (which Spark's reader rejects — read
+    * nanos as long and rebuild a truncated-to-micros timestamp) vs plain
+    * TIMESTAMP_NTZ micros (use as-is, cast to session-TZ timestamp; the
+    * session runs UTC so the wall-clock reading is unchanged). DuckDB's
+    * `epoch_us(ts)` reads both the same way, so the oracles don't care.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // INTEGER division: `ts / 1000` is a double divide, and nanos ~1.7e18
-    // exceed a double's 53-bit integer range — the rounded quotient
-    // truncates to the wrong microsecond on ~12% of rows (measured),
-    // which DuckDB's exact nanos→micros truncation would expose in any
-    // micros-exact oracle (hour-bucket queries masked it)
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(s, dir, "events"))
   }
+
+  /** See [[events]]; shared with the streaming/plan specs. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // INTEGER division: `ts / 1000` is a double divide, and nanos
+        // ~1.7e18 exceed a double's 53-bit integer range — the rounded
+        // quotient truncates to the wrong microsecond on ~12% of rows
+        // (measured), which DuckDB's exact nanos→micros truncation would
+        // expose in any micros-exact oracle
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   private def docs(s: SparkSession, dir: String) = table(s, dir, "documents")
 

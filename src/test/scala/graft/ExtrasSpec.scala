@@ -608,9 +608,8 @@ class ExtrasSpec extends AnyFunSuite {
     val batch = QueriesExtra2.evWindowed.run(spark, dir)
       .collect().map(_.toSeq).toSet
     val stream = graft.streaming.StreamingPipeline.windowedEventCounts(
-      graft.streaming.StreamingPipeline.eventsStream(spark, dir)
-        .withColumn("ts",
-          timestamp_micros((col("ts") / 1000).cast("long"))))
+      Queries.normalizeEventTs(
+        graft.streaming.StreamingPipeline.eventsStream(spark, dir)))
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory").queryName("winagg").start()
@@ -758,8 +757,8 @@ class ExtrasSpec extends AnyFunSuite {
 
   test("session window counts over the events stream") {
     val dir = "/root/testdata/sf0.001"
-    val stream = graft.streaming.StreamingPipeline.eventsStream(spark, dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val stream = Queries.normalizeEventTs(
+      graft.streaming.StreamingPipeline.eventsStream(spark, dir))
     val q = graft.streaming.StreamingPipeline
       .sessionWindowCounts(stream, gap = "1 hour")
       .writeStream.outputMode("complete")
