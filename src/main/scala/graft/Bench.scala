@@ -10,8 +10,29 @@ import org.apache.spark.sql.SparkSession
   * each query N times and reports the BEST — machine-load noise (±15%
   * observed round-over-round on the driver) stops masquerading as plan
   * changes.
+  *
+  * SELF-CERTIFYING (VERDICT r8 #1 — two rounds running, the headline
+  * number overstated the engine because the artifact carried no evidence
+  * of machine load or warmup cost): the JSON line now also carries
+  *  - `reps`: EVERY repetition's seconds per query, not just the best —
+  *    a loaded machine shows as high rep variance, a plan change as a
+  *    uniform shift across reps;
+  *  - `loadavg_before` / `loadavg_after`: /proc/loadavg 1-min samples
+  *    bracketing the timed section (this box has 32 hw threads; a 1-min
+  *    load far above 32 while a single local[32] JVM runs means external
+  *    contention — r8's artifact ran at 1.9× r7's wall for the same sbt
+  *    work);
+  *  - `warmup_sec`: the untimed full-pass wall time (where all one-time
+  *    side-channel exports land);
+  *  - the per-query map printed SORTED BY COST DESCENDING, so tail
+  *    truncation of the line can never again hide the expensive half.
   */
 object Bench {
+  private def loadavg1m: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,6 +41,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,6 +51,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val loadBefore = loadavg1m
     // warmup, untimed (JMH-style: steady-state is what a long-running
     // pipeline sees): ONE full pass over the whole timed set. This both
     // exercises every codegen/JIT shape before the clock starts AND
@@ -41,9 +64,11 @@ object Bench {
     // timed rep carried the write — BENCH_r07 read 6.4 s on a query whose
     // steady state is 2.8-3.0 s. A full untimed pass is immune to the
     // export list drifting as queries are added.
+    val w0 = System.nanoTime()
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     // The heaviest dedup/flagship lines showed ±20-40% swings between
     // rounds with no plan change (r5 verdict); give them an extra repeat so
     // the reported best is load-noise-resistant where it matters most.
@@ -75,15 +100,21 @@ object Bench {
       }
       if (verbose) System.err.println(
         f"[bench] $name reps=${reps.map(r => f"$r%.3f").mkString(",")}")
-      name -> reps.min
+      (name, reps.min, reps)
     }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadAfter = loadavg1m
+    // cost-descending: truncation from the tail drops only cheap queries
+    val byCost = results.sortBy(-_._2)
+    val qjson = byCost.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repsJson = byCost.map { case (k, _, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // total_sec/n duplicated at the END of the line: the driver's tail
     // capture truncated the leading "value" field in BENCH_r05, so the
     // headline total must survive truncation from either side.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","total_sec":$total,"n":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","reps":$repsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"warmup_sec":$warmupSec,"total_sec":$total,"n":${results.size}}""")
     spark.stop()
   }
 }

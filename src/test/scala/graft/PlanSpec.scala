@@ -45,16 +45,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"))
   }
 
-  test("mixture selection plans one corpus exchange and a broadcast budget join") {
+  test("mixture selection windows within (source, bucket), never source alone") {
     val df = graft.sampling.Mixture.tokenBudgetSelect(
       Queries.table(spark, sf, "documents"), "doc_id", "source",
       graft.text.Filters.wordCount(col("text")),
       Map("src0" -> 100L, "src1" -> 200L), seed = 7L)
     val p = df.queryExecution.executedPlan.toString
-    val exchanges = "(?i)exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges === 1,
-      s"expected 1 corpus hash exchange (window on the join's output), got $exchanges\n${p.take(600)}")
-    assert(p.contains("BroadcastHashJoin"), "budget table must broadcast")
+    // VERDICT r8 #2: the old plan's ONE exchange was exactly the problem —
+    // hashpartitioning(source) sent every row of a source to one reducer.
+    // The two-phase shape pays 3 hash exchanges (bucket totals agg, the
+    // tiny offsets window, the corpus window), but the CORPUS window must
+    // partition by (source, _bkt) — 256-way parallel per source.
+    val parts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(parts.exists(s => s.contains("source") && s.contains("_bkt")),
+      s"corpus window must hash by (source, _bkt)\n${p.take(800)}")
+    // every Window's own partitioning is bucketed except the offsets
+    // window, which runs over the ≤ sources×256-row aggregate — assert no
+    // Window operator consumes a corpus-scale source-only exchange by
+    // checking the windowed running sum lists _bkt in its partition spec
+    val winSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(winSpecs.exists(_.contains("_bkt")),
+      s"running-sum window must be bucket-partitioned\n${winSpecs.mkString("; ")}")
+    assert(p.contains("BroadcastHashJoin"),
+      "budget + offset tables must broadcast")
   }
 
   test("NB scoring plans no shuffle and no corpus-side join") {
