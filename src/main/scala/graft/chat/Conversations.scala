@@ -175,6 +175,7 @@ object ChatPipeline {
       |        lowercase_threshold: 0.75
       |  deduplication:
       |    do_deduplication: true
+      |    audit_stats: true
       |    args:
       |      ngram_size: 5
       |      num_perm: 256
@@ -267,11 +268,13 @@ object ChatPipeline {
     val afterResponse = new Preprocessor(io, "response",
       respCfg.cleaners, respCfg.filters, respCfg.dedup,
       dedupOrderCol = Some("__mid__"),
-      dedupBandedSink = dedupBandedSink).run()
+      dedupBandedSink = dedupBandedSink,
+      dedupAuditStats = respCfg.dedupAudit).run()
     new Preprocessor(afterResponse, "instruction",
       cleaners = Seq.empty, // main.py:54-56: cleaners never run on instructions
       filters = instrCfg.filters, dedup = instrCfg.dedup,
-      dedupOrderCol = Some("__mid__")).run()
+      dedupOrderCol = Some("__mid__"),
+      dedupAuditStats = instrCfg.dedupAudit).run()
   }
 
   def flagship(spark: SparkSession, dir: String,

@@ -388,18 +388,21 @@ object MinHashDedup {
     * histogram). Calling [[deduplicate]] and [[clusterSizeStats]]
     * separately pays signatures + banding + clustering TWICE — at 100 TB
     * that is the single largest avoidable cost of "dedup with auditing"
-    * (VERDICT r7 #2). Here [[componentRoots]] runs ONCE; the roots frame
-    * (two Longs per row) is eagerly localCheckpointed so neither consumer
-    * re-derives the banding, then
-    *   - kept  = corpus anti-joined against the root≠id rows (the
-    *     duplicates — usually the small side, so AQE broadcasts it; same
-    *     kept SET as [[deduplicate]], proven by DedupInvariantSpec), and
-    *   - stats = the same histogram as [[clusterSizeStats]], materialized
-    *     eagerly (it is tiny).
-    * The corpus cache `assignId` pinned stays live for the lazy kept
-    * frame, exactly like [[deduplicate]] — callers that materialize kept
-    * and want the memory back call `kept.sparkSession.catalog.clearCache()`
-    * or unpersist explicitly.
+    * (VERDICT r7 #2). The edges are computed and probed ONCE, then each
+    * crossover branch derives BOTH outputs from the same clustering:
+    *   - driver path (edges under budget): the broadcast UnionFind map
+    *     serves kept as a zero-shuffle filter — the IDENTICAL plan
+    *     [[deduplicate]] produces, so the flagship plan-shape guard sees
+    *     no new exchange — and the histogram as one tiny eager agg over
+    *     rootUdf(id);
+    *   - distributed path (100 TB): min-label roots localCheckpointed
+    *     once, kept = anti-join against the root≠id rows (the small
+    *     side — AQE broadcasts it), stats = the same histogram as
+    *     [[clusterSizeStats]].
+    * Kept SET equality with [[deduplicate]] + [[clusterSizeStats]] is
+    * proven by DedupInvariantSpec (driver path) and ScaleSoakSpec
+    * (distributed path). The corpus cache `assignId` pinned stays live
+    * for the lazy kept frame, exactly like [[deduplicate]].
     */
   def deduplicateWithStats(df: DataFrame, column: String,
       cfg: MinHashConfig = MinHashConfig(),
@@ -407,16 +410,50 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): (DataFrame, DataFrame) = {
     val withId = assignId(df, orderCol)
-    val roots = componentRoots(withId,
-      candidateEdges(withId, column, cfg, bandedSink), maxDriverEdges)
-      .localCheckpoint(true)
-    val dropped = roots.where(col("root") =!= col("id"))
-      .select(col("id").as(IdCol))
-    val kept = withId.join(dropped, Seq(IdCol), "left_anti").drop(IdCol)
-    val stats = roots.groupBy("root").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-      .localCheckpoint(true)
-    (kept, stats)
+    val edges = candidateEdges(withId, column, cfg, bandedSink)
+      .toDF("__x__", "__y__").persist()
+    val headOpt = boundedEdgeHead(edges, maxDriverEdges)
+    val ids = withId.select(col(IdCol).as("id"))
+    val out = if (headOpt.exists(_.isEmpty)) {
+      DedupMetrics.emptyPath.incrementAndGet()
+      val stats = ids.agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("cluster_size"), col("n_clusters"))
+        .where(col("n_clusters") > 0L)
+        .localCheckpoint(true)
+      (withId.drop(IdCol), stats)
+    } else if (headOpt.isDefined) {
+      DedupMetrics.driverPath.incrementAndGet()
+      val pairs = headOpt.get.map(r => (r.getLong(0), r.getLong(1)))
+      val roots = ConnectedComponents.unionFindRoots(pairs)
+      val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
+      val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
+      val rootUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) }
+      val kept = withId.where(keepUdf(col(IdCol))).drop(IdCol)
+      val stats = ids.withColumn("root", rootUdf(col("id")))
+        .groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .localCheckpoint(true)
+      (kept, stats)
+    } else {
+      DedupMetrics.distributedPath.incrementAndGet()
+      println(s"[graft] deduplicateWithStats: edge list exceeded " +
+        s"maxDriverEdges=$maxDriverEdges — distributed min-label " +
+        "clustering engaged")
+      val ccRoots = ConnectedComponents.distributed(edges)
+        .withColumnRenamed("id", "__rid__")
+      val roots = ids.join(ccRoots, ids("id") === col("__rid__"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+        .localCheckpoint(true)
+      val dropped = roots.where(col("root") =!= col("id"))
+        .select(col("id").as(IdCol))
+      val kept = withId.join(dropped, Seq(IdCol), "left_anti").drop(IdCol)
+      val stats = roots.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .localCheckpoint(true)
+      (kept, stats)
+    }
+    edges.unpersist()
+    out
   }
 
   /** Near-dedup `df` on `column`, keeping each cluster's first row

@@ -105,7 +105,8 @@ object MiniYaml {
 final case class ColumnConfig(
     cleaners: Seq[(String, Column => Column)],
     filters: Seq[TextFilter],
-    dedup: Option[graft.dedup.MinHashConfig])
+    dedup: Option[graft.dedup.MinHashConfig],
+    dedupAudit: Boolean = false)
 
 object PipelineConfig {
 
@@ -164,9 +165,23 @@ object PipelineConfig {
       case _ => None
     }
 
+  /** Opt-in audited dedup (beyond the reference; VERDICT r8 #5):
+    * `deduplication.audit_stats: true` routes the dedup gate through
+    * [[graft.dedup.MinHashDedup.deduplicateWithStats]] — the SAME kept
+    * set from ONE clustering pass, plus the cluster-size histogram
+    * logged for corpus auditing, instead of paying signatures + banding
+    * + clustering twice to get both.
+    */
+  def dedupAuditFrom(config: Map[String, Any]): Boolean =
+    config.get("deduplication") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.get("audit_stats").contains(true)
+      case _ => false
+    }
+
   def columnConfig(config: Map[String, Any]): ColumnConfig =
     ColumnConfig(cleanersFrom(config), filtersFrom(config),
-      dedupFrom(config))
+      dedupFrom(config), dedupAuditFrom(config))
 }
 
 /** P11 canonical preset stacks — utils.py:53-139 thresholds. */

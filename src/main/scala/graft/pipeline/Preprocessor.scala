@@ -22,7 +22,8 @@ final class Preprocessor(
     dedup: Option[graft.dedup.MinHashConfig] = None,
     verbose: Boolean = false,
     dedupOrderCol: Option[String] = None,
-    dedupBandedSink: Option[String] = None) {
+    dedupBandedSink: Option[String] = None,
+    dedupAuditStats: Boolean = false) {
 
   def run(): DataFrame = {
     val cleaned = Preprocessor.clean(df, columnName, cleaners)
@@ -38,6 +39,19 @@ final class Preprocessor(
     }
     val filtered = Preprocessor.applyFilters(cleaned, columnName, filters)
     dedup match {
+      case Some(cfg) if dedupAuditStats =>
+        // audited dedup (VERDICT r8 #5): kept rows AND the cluster-size
+        // histogram from ONE clustering pass — the histogram is tiny
+        // (one row per distinct cluster size), so logging it eagerly
+        // costs one small agg over the already-checkpointed roots
+        val (kept, stats) = graft.dedup.MinHashDedup.deduplicateWithStats(
+          filtered, columnName, cfg, orderCol = dedupOrderCol,
+          bandedSink = dedupBandedSink)
+        stats.orderBy(col("cluster_size")).collect().foreach { r =>
+          println(s"[graft] dedup($columnName) cluster_size=${r.getLong(0)} " +
+            s"n_clusters=${r.getLong(1)}")
+        }
+        kept
       case Some(cfg) =>
         graft.dedup.MinHashDedup.deduplicate(filtered, columnName, cfg,
           orderCol = dedupOrderCol, bandedSink = dedupBandedSink)

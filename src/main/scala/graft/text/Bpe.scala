@@ -75,11 +75,134 @@ object Bpe {
   }
 
   /** Classic word-level BPE over a word-frequency dictionary: per round,
-    * count weighted adjacent symbol pairs, merge the most frequent
-    * everywhere (ties: lexicographically smallest pair), stop at
-    * `numMerges` or when no pair repeats. Pure JVM, deterministic.
+    * merge the highest-weighted adjacent symbol pair everywhere (ties:
+    * lexicographically smallest pair), stop at `numMerges` or when no
+    * pair repeats. Pure JVM, deterministic.
+    *
+    * INCREMENTAL (VERDICT r8 #4): the r8 loop rescanned every word every
+    * round — O(maxWords × merges) symbol touches, ~10^10 at a real 32k
+    * vocab over a 1M-word dictionary. This is the HF-tokenizers shape:
+    * a pair→count index plus a pair→containing-words inverted index are
+    * built once; each merge pops the max from a lazy-deletion heap
+    * (entries are (count, pair) snapshots — a popped entry is valid only
+    * if it matches the pair's CURRENT count; every count change pushes a
+    * fresh snapshot, so the current state of every candidate pair is
+    * always present) and rewrites ONLY the words that contain the merged
+    * pair, adjusting pair counts along the changed boundaries. Selection
+    * order is bit-identical to the rescan loop: max weighted count, ties
+    * to the lexicographically smallest pair (BpeSpec goldens +
+    * BpeBench's naive-equivalence check pin it).
     */
   def trainFromCounts(wc: Seq[(String, Long)], numMerges: Int): BpeModel = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = wc.sortBy(_._1).map {
+      case (w, _) => (w.map(_.toString) :+ EndOfWord).toArray
+    }.toArray
+    val counts: Array[Long] = wc.sortBy(_._1).map(_._2).toArray
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // max-heap: highest count first; among equal counts the
+    // lexicographically SMALLEST pair must win, so the pair component
+    // compares reversed
+    implicit val ord: Ordering[(Long, String, String)] =
+      (x: (Long, String, String), y: (Long, String, String)) => {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2)
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+
+    def bump(p: (String, String), delta: Long, wordIdx: Int): Unit = {
+      val nc = pairCount.getOrElse(p, 0L) + delta
+      if (nc <= 0L) pairCount.remove(p) else pairCount.update(p, nc)
+      if (delta > 0) {
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += wordIdx
+        heap.enqueue((nc, p._1, p._2))
+      } else if (nc > 0L) heap.enqueue((nc, p._1, p._2))
+      // word membership decays lazily: a stale index in pairWords just
+      // makes one no-op rewrite attempt when (if ever) that pair wins
+    }
+
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi); val c = counts(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        bump((syms(i), syms(i + 1)), c, wi); i += 1
+      }
+      wi += 1
+    }
+
+    val merges = Vector.newBuilder[(String, String)]
+    var n = 0
+    var exhausted = false
+    while (n < numMerges && !exhausted) {
+      // pop until a LIVE entry: snapshot count == current count. Stale
+      // entries (superseded by later bumps) are discarded; the freshest
+      // snapshot of every pair is always in the heap, so the first live
+      // entry IS the (max count, lexicographically smallest) pair.
+      var best: (String, String) = null
+      var bestCnt = 0L
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (pairCount.getOrElse((a, b), 0L) == c) { best = (a, b); bestCnt = c }
+      }
+      if (best == null || bestCnt < 2L) exhausted = true // singleton pairs compress nothing
+      else {
+        merges += best
+        val (a, b) = best
+        val merged = a + b
+        val affected = pairWords.getOrElse(best, mutable.Set.empty)
+        affected.toArray.sorted.foreach { idx =>
+          val syms = words(idx); val c = counts(idx)
+          // does the pair still occur here? (membership is lazy)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == a && syms(i + 1) == b; i += 1
+          }
+          if (has) {
+            // retract every boundary of the old symbol sequence, rewrite
+            // (all non-overlapping occurrences, L→R), re-add the new ones
+            // — net effect: only the changed boundaries move, and the
+            // rewritten word registers itself on its new pairs
+            i = 0
+            while (i < syms.length - 1) {
+              bump((syms(i), syms(i + 1)), -c, idx); i += 1
+            }
+            val nb = Array.newBuilder[String]
+            i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                nb += merged; i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            val ns = nb.result()
+            words(idx) = ns
+            i = 0
+            while (i < ns.length - 1) {
+              bump((ns(i), ns(i + 1)), c, idx); i += 1
+            }
+          }
+        }
+        pairWords.remove(best)
+        pairCount.remove(best) // all occurrences merged away
+        n += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** The r8 full-rescan loop, kept as the oracle for BpeSpec /
+    * [[graft.BpeBench]] equivalence (identical merge sequences). O(words
+    * × merges) — never call it on a real dictionary.
+    */
+  private[graft] def trainFromCountsRescan(wc: Seq[(String, Long)],
+      numMerges: Int): BpeModel = {
     var words: Vector[(Vector[String], Long)] = wc.sortBy(_._1).map {
       case (w, c) => (w.map(_.toString).toVector :+ EndOfWord, c)
     }.toVector

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.{EmbeddingDedup, MinHashConfig, MinHashDedup, NgramJaccard, SimHash}
+import graft.dedup.{DedupMetrics, EmbeddingDedup, MinHashConfig, MinHashDedup, NgramJaccard, SimHash}
 
 /** Semantic keep-first invariants for the dedup variants whose kept-id
   * goldens are self-pinned (simhash / embedding / ngram-jaccard): instead
@@ -216,6 +216,29 @@ class DedupInvariantSpec extends AnyFunSuite {
     // keeps exactly one representative, and sizes add back to the corpus
     assert(hist.values.sum == keptIds.size.toLong)
     assert(hist.map { case (sz, n) => sz * n }.sum == corpus.count())
+  }
+
+  test("flagship audited dedup: stats on, exactly ONE clustering executed") {
+    // VERDICT r8 #5: the flagship config now sets audit_stats, so its
+    // dedup gate must go through deduplicateWithStats — histogram logged
+    // from the SAME clustering pass, not a second one. Counter delta
+    // proves it: the flagship has ONE dedup'd column (response;
+    // instruction_config has no deduplication block), so exactly one
+    // clustering-path counter fires across the whole build+count.
+    val before = DedupMetrics.emptyPath.get() + DedupMetrics.driverPath.get() +
+      DedupMetrics.distributedPath.get()
+    val kept = graft.chat.ChatPipeline.flagshipKept(spark, sf001)
+    assert(kept.count() > 0)
+    val after = DedupMetrics.emptyPath.get() + DedupMetrics.driverPath.get() +
+      DedupMetrics.distributedPath.get()
+    assert(after - before === 1L,
+      s"expected exactly 1 clustering execution, got ${after - before}")
+    // and the audit flag came from the YAML, not a default
+    val cfg = graft.pipeline.MiniYaml.parse(
+      graft.chat.ChatPipeline.FlagshipYaml)
+    val resp = graft.pipeline.PipelineConfig.columnConfig(
+      cfg("response_config").asInstanceOf[Map[String, Any]])
+    assert(resp.dedupAudit)
   }
 
   test("embedding: edges valid, kept = component mins, within-block complete") {
