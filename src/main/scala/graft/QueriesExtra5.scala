@@ -124,6 +124,68 @@ object QueriesExtra5 {
         "FROM rk WHERE rn = 1 ORDER BY doc_id"
     })
 
+  private def nbCgramPath(key: String) = s"/tmp/graft_nb_cgram_$key"
+
+  /** Char-[2,4]-gram vocabulary budget: the soup corpus + markers yield
+    * well over this many distinct grams, so the TakeOrdered top-V
+    * truncation path executes here too.
+    */
+  private val CgramV = 400
+
+  private val cgramFeat: Column => Column =
+    c => NaiveBayes.charGramsCol(c, 2, 4)
+
+  /** Char-n-gram NB variant (VERDICT r8 #8): the CCNet-style lang-id
+    * feature set over the SAME integer micro-nat pipeline — word-token NB
+    * falls back to priors on OOV-heavy short docs, char grams do not
+    * (ClassifierSpec proves the margin separation on multiscript
+    * fragments). Same oracle pattern as `nb_predict_lang`: the quantized
+    * model is the side-channel, DuckDB re-extracts the char grams (a
+    * position x width list expansion — substr is code-point-based on both
+    * engines) and replays the exact integer scoring.
+    */
+  val nbPredictCgram: QueryDef = QueryDef("nb_predict_chargram",
+    (s, dir) => {
+      val withDoc = Queries.table(s, dir, "documents")
+        .withColumn("_doc", docExprSpark)
+      val model = NaiveBayes.train(withDoc, "_doc", "lang", CgramV, cgramFeat)
+      val key = QueriesExtra2.scaleKey(dir)
+      val (wDf, pDf) = NaiveBayes.modelFrames(s, model)
+      graft.dedup.SideChannel.through(wDf,
+        QueriesExtra2.sinkOnce(nbCgramPath(key) + "/weights"))
+      graft.dedup.SideChannel.through(pDf,
+        QueriesExtra2.sinkOnce(nbCgramPath(key) + "/priors"))
+      NaiveBayes.predict(
+        withDoc.withColumn("_scored", concat(col("_doc"), lit(" zzunseen"))),
+        model, "_scored", cgramFeat)
+        .select(col(d), col("nb_label"), col("nb_score_micro"),
+          col("nb_margin_micro"))
+        .orderBy(d)
+    },
+    Some {
+      val base = nbCgramPath(QueriesExtra2.OracleScaleKey)
+      s"WITH w AS (SELECT * FROM parquet_scan('$base/weights/*.parquet')), " +
+        s"p AS (SELECT * FROM parquet_scan('$base/priors/*.parquet')), " +
+        s"d AS (SELECT doc_id, lower($docExprSql || ' zzunseen') AS lt " +
+        "FROM documents), " +
+        "tk AS (SELECT doc_id, unnest(flatten(list_transform(range(2, 5), " +
+        "n -> list_transform(range(1, greatest(length(lt) - n + 2, 1)), " +
+        "i -> substr(lt, i::INT, n::INT))))) AS token FROM d), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2), " +
+        "sc AS (SELECT tf.doc_id, w.label, sum(tf.tf * w.lp_micro) AS sw " +
+        "FROM tf JOIN w USING (token) GROUP BY 1, 2), " +
+        "al AS (SELECT d.doc_id, p.label, p.prior_micro + coalesce(sc.sw, 0) " +
+        "AS score FROM d CROSS JOIN p " +
+        "LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = p.label), " +
+        "rk AS (SELECT doc_id, label, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn, " +
+        "lead(score) OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS nxt " +
+        "FROM al) " +
+        "SELECT doc_id, label AS nb_label, CAST(score AS BIGINT) AS nb_score_micro, " +
+        "CAST(score - coalesce(nxt, score) AS BIGINT) AS nb_margin_micro " +
+        "FROM rk WHERE rn = 1 ORDER BY doc_id"
+    })
+
   /** Static per-source token budgets: 500/900/1300/1700 cycling, so at
     * sf0.01 (source masses 1136-1553) some sources truncate, some keep
     * everything, and the plan sees both epoch-0 and epoch-1 shapes.
@@ -283,6 +345,6 @@ object QueriesExtra5 {
         "FROM s5 ORDER BY doc_id"
     })
 
-  val all: Seq[QueryDef] = Seq(nbTrainCounts, nbPredict, mixPlan, mixSelect,
-    corpusCard, bpeEncode, urlCanonical)
+  val all: Seq[QueryDef] = Seq(nbTrainCounts, nbPredict, nbPredictCgram,
+    mixPlan, mixSelect, corpusCard, bpeEncode, urlCanonical)
 }

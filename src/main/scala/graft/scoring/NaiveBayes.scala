@@ -41,6 +41,27 @@ object NaiveBayes {
   def tokensCol(c: Column): Column =
     regexp_extract_all(lower(c), lit(graft.text.Filters.WordClassRegex), lit(0))
 
+  /** Char-[minN, maxN]-gram featurizer (VERDICT r8 #8): every character
+    * n-gram of the lowercased text, with multiplicity — the CCNet-style
+    * lang-id feature set. Word-token NB is a weak lang-id archetype: a
+    * short document whose words are all out-of-vocabulary scores as pure
+    * priors, while its character n-grams still overlap the training
+    * corpus of the same script/language heavily. Pure builtin
+    * composition (sequence/transform/substr) — codegen'd, no UDF; the
+    * `nb_predict_chargram` oracle replays the identical extraction in SQL
+    * via a lateral position x width expansion (substr is code-point-based
+    * on both engines).
+    */
+  def charGramsCol(c: Column, minN: Int, maxN: Int): Column = {
+    require(0 < minN && minN <= maxN, s"bad n-gram range [$minN, $maxN]")
+    val lc = lower(c)
+    flatten(transform(sequence(lit(minN), lit(maxN)), n =>
+      when(length(lc) >= n,
+        transform(sequence(lit(1), length(lc) - n + 1),
+          i => lc.substr(i, n)))
+        .otherwise(array().cast("array<string>"))))
+  }
+
   /** Integer training artifact: the dense (vocab x label) grid of term
     * counts plus the marginals the smoothed model derives from. Every
     * column is a count, so the whole frame is exactly recomputable in
@@ -53,8 +74,9 @@ object NaiveBayes {
     * vocab-token counts for the label), n_docs (label's document count).
     */
   def trainCounts(df: DataFrame, textCol: String, labelCol: String,
-      vocabSize: Int): DataFrame = {
-    val toks = tokensCol(col(textCol))
+      vocabSize: Int,
+      features: Column => Column = tokensCol): DataFrame = {
+    val toks = features(col(textCol))
     val dfreq = df.select(explode(array_distinct(toks)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
     // TakeOrderedAndProject — distributed top-V, total order so ties are
@@ -84,8 +106,10 @@ object NaiveBayes {
     * reproducible, not merely consistent within one run.
     */
   def train(df: DataFrame, textCol: String, labelCol: String,
-      vocabSize: Int): NbModel = {
-    val rows = trainCounts(df, textCol, labelCol, vocabSize).collect()
+      vocabSize: Int,
+      features: Column => Column = tokensCol): NbModel = {
+    val rows = trainCounts(df, textCol, labelCol, vocabSize, features)
+      .collect()
     val labels = rows.map(_.getString(1)).distinct.sorted
     val li = labels.zipWithIndex.toMap
     val v = rows.map(_.getString(0)).distinct.length
@@ -126,7 +150,8 @@ object NaiveBayes {
     * tokens contribute nothing (standard restricted-vocabulary NB);
     * a document with no vocab tokens falls back to the priors.
     */
-  def predict(df: DataFrame, model: NbModel, textCol: String): DataFrame = {
+  def predict(df: DataFrame, model: NbModel, textCol: String,
+      features: Column => Column = tokensCol): DataFrame = {
     val m = model
     val scoreUdf = udf { (toks: Seq[String]) =>
       val n = m.labels.length
@@ -145,7 +170,7 @@ object NaiveBayes {
       val margin = if (n <= 1) 0L else s(bi) - second
       (m.labels(bi), s(bi), margin)
     }
-    df.withColumn("_nb", scoreUdf(tokensCol(col(textCol))))
+    df.withColumn("_nb", scoreUdf(features(col(textCol))))
       .withColumn("nb_label", col("_nb._1"))
       .withColumn("nb_score_micro", col("_nb._2"))
       .withColumn("nb_margin_micro", col("_nb._3"))
