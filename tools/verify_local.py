@@ -84,8 +84,12 @@ def main():
         for n, sql in oracle.items():
             if "/tmp/graft_" in sql and "sf0.01" in sql:
                 new_sql = sql.replace("sf0.01", scale)
+                # the char class must cross '/' (the nb models export
+                # nested frames, /tmp/graft_nb_*_{sf}/weights) and
+                # include '*' so the glob tail can be split off — the
+                # manifest records the deepest claimed directory
                 dirs = {p.split("/*")[0] for p in
-                        re.findall(r"/tmp/graft_[A-Za-z0-9_.]+", new_sql)}
+                        re.findall(r"/tmp/graft_[A-Za-z0-9_./*]+", new_sql)}
                 fresh = (all(d in manifest for d in dirs) if manifest
                          is not None else False)
                 if fresh and all(os.path.isdir(d) for d in dirs):
