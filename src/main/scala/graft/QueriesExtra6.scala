@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sampling.Dsir
+import graft.similarity.Pq
+
+/** Round-9 additions: DSIR-style importance resampling (trained data
+  * SELECTION toward a target distribution — the DoReMi/DSIR/DCLM stage
+  * the reference's hand heuristics stop short of) and product-quantized
+  * ANN (the embedding-compression scale path).
+  *
+  * documents.text is uniform word soup, so the DSIR queries inject
+  * lang-correlated marker tokens with per-doc repetition IDENTICALLY in
+  * Spark and DuckDB (house style — the oracle exercises the full
+  * transform over text that actually discriminates); the target corpus
+  * is the `lang = 'en'` slice, so selection should and does skew en.
+  */
+object QueriesExtra6 {
+
+  private val d = "doc_id"
+
+  /** 64 buckets: small enough that the dense grid is a readable artifact,
+    * large enough that the marker grams spread over distinct buckets.
+    */
+  private val Buckets = 64
+
+  private val SelectK = 150
+
+  private val Markers = Seq(
+    "en" -> "tgtalpha", "zh" -> "cnbeta", "es" -> "esgamma",
+    "de" -> "dedelta", "fr" -> "frepsilon")
+
+  /** text || repeat(' ' || marker(lang), doc_id % 3 + 1) on both engines. */
+  private def docExprSpark: Column = {
+    val marker = Markers.init.foldLeft(null: Column) { case (acc, (l, m)) =>
+      if (acc == null) when(col("lang") === l, lit(m))
+      else acc.when(col("lang") === l, lit(m))
+    }.otherwise(lit(Markers.last._2))
+    val unit = concat(lit(" "), marker)
+    concat(col("text"), element_at(
+      array(unit, concat(unit, unit), concat(unit, unit, unit)),
+      (col(d) % 3 + 1).cast("int")))
+  }
+
+  private val docExprSql: String = {
+    val cases = Markers.init.map { case (l, m) => s"WHEN '$l' THEN '$m'" }
+      .mkString(" ")
+    s"text || repeat(' ' || CASE lang $cases ELSE '${Markers.last._2}' END, " +
+      s"(doc_id % 3 + 1)::INT)"
+  }
+
+  /** Shared uni+bigram hashed-bucket extraction in DuckDB, mirroring
+    * [[Dsir.bucketsCol]]: `\w+` tokens of the lowercased doc, adjacent
+    * bigrams joined with '_', first-8-hex-chars-of-md5 mod B. `range` is
+    * end-exclusive and `greatest(len, 1)` guards the 0/1-token lists.
+    */
+  private def bucketSql(scope: String): String =
+    s"l AS (SELECT doc_id, lang, regexp_extract_all(lower(t), " +
+      "'[\\p{L}\\p{N}_]+') AS toks FROM d), " +
+      "g AS (SELECT doc_id, lang, unnest(toks || list_transform(" +
+      "range(1, greatest(len(toks), 1)), i -> toks[i] || '_' || " +
+      "toks[i + 1])) AS gram FROM l), " +
+      s"$scope AS (SELECT doc_id, lang, ('0x' || substr(md5(gram), 1, 8))" +
+      s"::BIGINT % $Buckets AS bucket FROM g)"
+
+  /** The raw DSIR count grid — target (lang='en') vs raw hashed-gram
+    * occurrence counts, dense over all buckets — re-derived entirely in
+    * SQL: tokenize, gram, hash, count on both engines.
+    */
+  val dsirCounts: QueryDef = QueryDef("dsir_bucket_counts",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+        .withColumn("_doc", docExprSpark)
+      Dsir.countGrid(docs.where(col("lang") === "en"), docs,
+        col("_doc"), Buckets)
+        .orderBy("bucket")
+    },
+    Some("WITH d AS (SELECT doc_id, lang, " + docExprSql +
+      " AS t FROM documents), " + bucketSql("b") + ", " +
+      "t AS (SELECT bucket, count(*) AS target_cnt FROM b " +
+      "WHERE lang = 'en' GROUP BY 1), " +
+      "r AS (SELECT bucket, count(*) AS raw_cnt FROM b GROUP BY 1) " +
+      s"SELECT rng.range AS bucket, " +
+      "CAST(coalesce(t.target_cnt, 0) AS BIGINT) AS target_cnt, " +
+      "CAST(coalesce(r.raw_cnt, 0) AS BIGINT) AS raw_cnt " +
+      s"FROM range($Buckets) rng " +
+      "LEFT JOIN t ON t.bucket = rng.range " +
+      "LEFT JOIN r ON r.bucket = rng.range ORDER BY bucket"))
+
+  private def dsirPath(key: String) = s"/tmp/graft_dsir_weights_$key"
+
+  /** Fit-and-select: the micro-nat weight table is the side-channel
+    * (exported once per JVM+scale, the NB-model pattern); DuckDB replays
+    * scoring from it — re-extract grams, hash, join weights, exact
+    * integer sums, top-k by (score desc, id) — and the count grid behind
+    * the weights is itself independently oracled by `dsir_bucket_counts`.
+    * Only the ln() quantization is not re-derived in SQL (cross-libm
+    * last-ulp risk; pinned by DsirSpec's hand grid).
+    */
+  val dsirSelect: QueryDef = QueryDef("dsir_select",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+        .withColumn("_doc", docExprSpark)
+      val model = Dsir.fit(docs.where(col("lang") === "en"), docs,
+        col("_doc"), Buckets)
+      val key = QueriesExtra2.scaleKey(dir)
+      graft.dedup.SideChannel.through(Dsir.modelFrame(s, model),
+        QueriesExtra2.sinkOnce(dsirPath(key)))
+      Dsir.topK(Dsir.score(docs, col("_doc"), model), d, SelectK)
+        .select(col(d), col("dsir_score_micro"))
+        .orderBy(d)
+    },
+    Some {
+      val base = dsirPath(QueriesExtra2.OracleScaleKey)
+      s"WITH w AS (SELECT * FROM parquet_scan('$base/*.parquet')), " +
+        "d AS (SELECT doc_id, lang, " + docExprSql +
+        " AS t FROM documents), " + bucketSql("b") + ", " +
+        "s AS (SELECT d.doc_id, CAST(coalesce(sum(w.lw_micro), 0) " +
+        "AS BIGINT) AS dsir_score_micro FROM d " +
+        "LEFT JOIN b ON b.doc_id = d.doc_id " +
+        "LEFT JOIN w ON w.bucket = b.bucket GROUP BY 1), " +
+        "r AS (SELECT doc_id, dsir_score_micro, row_number() OVER " +
+        "(ORDER BY dsir_score_micro DESC, doc_id) AS rn FROM s) " +
+        s"SELECT doc_id, dsir_score_micro FROM r WHERE rn <= $SelectK " +
+        "ORDER BY doc_id"
+    })
+
+  private def pqCodesPath(key: String) = s"/tmp/graft_pq_codes_$key"
+  private def pqTablePath(key: String) = s"/tmp/graft_pq_adc_$key"
+
+  /** PQ/ADC top-10 against the min-vec_id query vector. The exploded
+    * codes and the micro-quantized ADC table are the side-channels
+    * (k-means is Spark's, like the IVF quantizer — DuckDB can't relearn
+    * float centroids bit-identically); the oracle independently replays
+    * the part the corpus scan actually does at query time: per-vector
+    * table-lookup INTEGER sums and the (distance, id) ranking. PqSpec
+    * pins codebook/encode semantics and recall against brute force.
+    */
+  val annPq: QueryDef = QueryDef("ann_pq_topk",
+    (s, dir) => {
+      val emb = Queries.table(s, dir, "embeddings")
+      val qv = emb.orderBy("vec_id").limit(1)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+        k = 16, iters = 5, maxTrain = 2000)
+      val encoded = Pq.encode(emb, "embedding", model, "_codes")
+      val key = QueriesExtra2.scaleKey(dir)
+      graft.dedup.SideChannel.through(
+        Pq.codesFrame(encoded, "vec_id", "_codes"),
+        QueriesExtra2.sinkOnce(pqCodesPath(key)))
+      graft.dedup.SideChannel.through(Pq.adcTable(s, qv, model),
+        QueriesExtra2.sinkOnce(pqTablePath(key)))
+      Pq.adcTopK(encoded, "vec_id", "_codes", qv, model, 10)
+        .orderBy("rank")
+    },
+    Some("WITH codes AS (SELECT * FROM parquet_scan('" +
+      pqCodesPath(QueriesExtra2.OracleScaleKey) + "/*.parquet')), " +
+      "t AS (SELECT * FROM parquet_scan('" +
+      pqTablePath(QueriesExtra2.OracleScaleKey) + "/*.parquet')), " +
+      "s AS (SELECT vec_id, CAST(sum(t.d2_micro) AS BIGINT) AS " +
+      "pq_d2_micro FROM codes JOIN t USING (sub, code) GROUP BY 1) " +
+      "SELECT row_number() OVER (ORDER BY pq_d2_micro, vec_id) AS rank, " +
+      "vec_id, pq_d2_micro FROM s ORDER BY rank LIMIT 10"))
+
+  val all: Seq[QueryDef] = Seq(dsirCounts, dsirSelect, annPq)
+}

@@ -1,0 +1,247 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the 100 TB memory story for embedding
+  * search that IVF alone doesn't give: each D-dim float vector (D·4
+  * bytes) is stored as `m` one-byte codes (one k≤256-centroid codebook
+  * per D/m-dim subspace), a 32× compression at the default (64-dim
+  * float → 8 codes), and a query scans codes with table lookups instead
+  * of float dot products (ADC — asymmetric distance computation).
+  *
+  * Division of labor, mirroring [[Ann.kmeansAssign]]/IVF:
+  *  - TRAIN on a bounded seeded sample (TakeOrdered by a seeded md5 key —
+  *    per-partition top-N, no global sort); the driver runs Lloyd per
+  *    subspace over sample×(D/m) doubles — codebooks are m·k·(D/m) = k·D
+  *    doubles total, independent of corpus size.
+  *  - ENCODE is a zero-shuffle per-row pass (codebooks in the closure).
+  *  - QUERY builds the m×k ADC table once on the driver, quantized to
+  *    integer micro-units (`floor(d² · 1e6)`), so a row's approximate
+  *    distance is a SUM OF LONGS — independent of summation order and
+  *    libm, and exactly replayable by the `ann_pq_topk` DuckDB oracle
+  *    from the exported (codes, table) side-channel frames. Top-k is
+  *    TakeOrdered.
+  *
+  * At 100 TB the codes frame is the thing you persist (32× smaller than
+  * the embeddings), bucketed by an IVF cell id (`Ann.kmeansAssign`) so a
+  * probe prunes partitions at the source and ADC-scans only the probed
+  * cells' codes.
+  */
+object Pq {
+
+  /** Deterministic bounded training sample: the `maxTrain` smallest
+    * seeded-md5 keys — uniform-ish, order-stable, and planned as
+    * TakeOrderedAndProject (no shuffle of the corpus).
+    */
+  private def trainSample(corpus: DataFrame, embCol: String, idCol: String,
+      maxTrain: Int, seed: Long): Array[Array[Float]] =
+    corpus
+      .select(col(idCol), col(embCol))
+      .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))),
+        col(idCol))
+      .limit(maxTrain)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Lloyd k-means with L2 over one subspace's sample slices, on the
+    * driver. Deterministic: init = the first `k` DISTINCT subvectors in
+    * sample order (duplicate inits would pin dead centroids), fixed
+    * `iters` rounds, argmin ties keep the lowest code, emptied cells
+    * keep their previous centroid.
+    */
+  private def lloyd(slices: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < slices.length && init.length < k) {
+      val s = slices(i)
+      if (seen.add(s.toSeq)) init += s.clone()
+      i += 1
+    }
+    var cents = init.toArray
+    if (cents.isEmpty) return Array(Array.fill(slices.headOption
+      .map(_.length).getOrElse(0))(0.0))
+    var it = 0
+    while (it < iters) {
+      val dim = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      slices.foreach { s =>
+        val c = nearest(cents, s)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += s(j); j += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c)
+        else {
+          val out = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { out(j) = sums(c)(j) / counts(c); j += 1 }
+          out
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Argmin-L2 code; strict `<` keeps the LOWEST index on exact ties —
+    * the cross-engine-stable tie-break the encode UDF shares.
+    */
+  private def nearest(cents: Array[Array[Double]],
+      v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var j = 0
+      val n = math.min(cent.length, v.length)
+      while (j < n) {
+        val diff = v(j) - cent(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train per-subspace codebooks. `dim` must be divisible by `m`. */
+  def train(corpus: DataFrame, embCol: String, idCol: String, dim: Int,
+      m: Int, k: Int, iters: Int = 5, maxTrain: Int = 10000,
+      seed: Long = 42L): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val sample = trainSample(corpus, embCol, idCol, maxTrain, seed)
+    val books = Array.tabulate(m) { sub =>
+      val slices = sample.map { v =>
+        Array.tabulate(subDim)(j => v(sub * subDim + j).toDouble)
+      }
+      lloyd(slices, k, iters)
+    }
+    PqModel(m, k, subDim, books)
+  }
+
+  /** Adds `codeCol`: the m-byte PQ code as `array<int>`. Zero shuffle —
+    * codebooks ride in the UDF closure.
+    */
+  def encode(corpus: DataFrame, embCol: String, model: PqModel,
+      codeCol: String): DataFrame = {
+    val mm = model
+    val enc = udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      Array.tabulate(mm.m) { sub =>
+        val slice = Array.tabulate(mm.subDim)(j =>
+          arr(sub * mm.subDim + j).toDouble)
+        nearest(mm.codebooks(sub), slice)
+      }
+    }
+    corpus.withColumn(codeCol, enc(col(embCol)))
+  }
+
+  /** The exploded codes frame — (id, sub, code), the compact published
+    * layout and the oracle side-channel.
+    */
+  def codesFrame(encoded: DataFrame, idCol: String,
+      codeCol: String): DataFrame =
+    encoded.select(col(idCol),
+      posexplode(col(codeCol)).as(Seq("sub", "code")))
+
+  /** The query's ADC lookup table, micro-quantized: (sub, code,
+    * d2_micro) with `d2_micro = floor(||q_sub - centroid||² · 1e6)`.
+    * m×k rows — driver-built, broadcast-sized.
+    */
+  def adcTable(spark: SparkSession, query: Array[Float],
+      model: PqModel): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      sub <- 0 until model.m
+      code <- model.codebooks(sub).indices
+    } yield {
+      val cent = model.codebooks(sub)(code)
+      var d = 0.0
+      var j = 0
+      while (j < model.subDim) {
+        val diff = query(sub * model.subDim + j).toDouble - cent(j)
+        d += diff * diff
+        j += 1
+      }
+      (sub, code, math.floor(d * 1e6).toLong)
+    }
+    rows.toDF("sub", "code", "d2_micro")
+  }
+
+  /** ADC top-k over an encoded corpus: per-row integer table-lookup sum
+    * (zero shuffle), then TakeOrdered by (distance asc, id asc). Returns
+    * (rank, id, pq_d2_micro).
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, codeCol: String,
+      query: Array[Float], model: PqModel, k: Int): DataFrame = {
+    val mm = model
+    // dense m×k lookup array in the closure — same integers as adcTable
+    val table = Array.tabulate(mm.m) { sub =>
+      mm.codebooks(sub).indices.map { code =>
+        val cent = mm.codebooks(sub)(code)
+        var d = 0.0
+        var j = 0
+        while (j < mm.subDim) {
+          val diff = query(sub * mm.subDim + j).toDouble - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        math.floor(d * 1e6).toLong
+      }.toArray
+    }
+    val dist = udf { (codes: Seq[Int]) =>
+      var s = 0L
+      var sub = 0
+      while (sub < table.length) { s += table(sub)(codes(sub)); sub += 1 }
+      s
+    }
+    val scored = encoded.withColumn("pq_d2_micro", dist(col(codeCol)))
+      .orderBy(col("pq_d2_micro"), col(idCol))
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pq_d2_micro"), col(idCol))))
+      .select(col("rank"), col(idCol), col("pq_d2_micro"))
+  }
+
+  /** ADC shortlist + EXACT re-rank — how PQ is actually served: the
+    * cheap code scan nominates `shortlist` candidates, then only those
+    * rows (broadcast semi-join of ≤ shortlist ids) pay the exact
+    * double-precision L2 against the raw embedding. Returns (rank, id,
+    * d2) over the top `k`. Recall is set by `shortlist`, exactness of
+    * the final ordering by the re-rank.
+    */
+  def refineTopK(encoded: DataFrame, idCol: String, codeCol: String,
+      embCol: String, query: Array[Float], model: PqModel, k: Int,
+      shortlist: Int): DataFrame = {
+    val short = adcTopK(encoded, idCol, codeCol, query, model, shortlist)
+      .select(col(idCol))
+    val qLit = typedLit(query.toSeq)
+    val cand = encoded.join(broadcast(short), Seq(idCol), "left_semi")
+      .withColumn("d2", aggregate(
+        zip_with(col(embCol), qLit,
+          (a, b) => (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+      .orderBy(col("d2"), col(idCol))
+      .limit(k)
+    cand.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("d2"), col(idCol))))
+      .select(col("rank"), col(idCol), col("d2"))
+  }
+}
+
+/** Per-subspace codebooks: m × k × subDim doubles (k·D total). */
+final case class PqModel(m: Int, k: Int, subDim: Int,
+    codebooks: Array[Array[Array[Double]]]) extends Serializable

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{Ann, Pq}
+
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("train: codebook shapes, determinism, duplicate-tolerant init") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m1 = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8, k = 4)
+    val m2 = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8, k = 4)
+    assert(m1.codebooks.length == 8)
+    assert(m1.codebooks.forall(_.length == 4))
+    assert(m1.codebooks.forall(_.forall(_.length == 8)))
+    // deterministic end to end (seeded sample + fixed Lloyd rounds)
+    assert(m1.codebooks.flatten.flatten.toSeq ==
+      m2.codebooks.flatten.flatten.toSeq)
+    // degenerate corpus: all-identical vectors → one distinct init → a
+    // single surviving codebook entry, no crash
+    val const = Seq.tabulate(5)(i => (i.toLong, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val md = Pq.train(const, "embedding", "vec_id", dim = 8, m = 2, k = 4)
+    assert(md.codebooks.forall(_.length == 1))
+  }
+
+  test("encode: code range, determinism, exact on codebook points") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8, k = 8)
+    val codes = Pq.encode(emb, "embedding", model, "c")
+      .select("vec_id", "c").orderBy("vec_id")
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 8)))
+    // a vector assembled FROM centroids must encode to those exact codes
+    val assembled = model.codebooks.map(_(2).map(_.toFloat)).flatten.toSeq
+    val one = Seq((0L, assembled)).toDF("vec_id", "embedding")
+    val c = Pq.encode(one, "embedding", model, "c")
+      .select("c").as[Seq[Int]].collect()(0)
+    assert(c == Seq.fill(8)(2))
+  }
+
+  test("adcTopK matches the exported table's integer arithmetic") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8, k = 8)
+    val qv = emb.orderBy("vec_id").limit(1)
+      .select("embedding").as[Seq[Float]].collect()(0).toArray
+    val encoded = Pq.encode(emb, "embedding", model, "c")
+    val top = Pq.adcTopK(encoded, "vec_id", "c", qv, model, 5)
+      .orderBy("rank")
+      .as[(Int, Long, Long)].collect()
+    assert(top.length == 5)
+    // replay via the DataFrame codes/table frames (what the oracle does)
+    val table = Pq.adcTable(spark, qv, model)
+    val replay = Pq.codesFrame(encoded, "vec_id", "c")
+      .join(table, Seq("sub", "code"))
+      .groupBy("vec_id").agg(sum("d2_micro").as("s"))
+      .orderBy(col("s"), col("vec_id")).limit(5)
+      .select("vec_id", "s").as[(Long, Long)].collect()
+    assert(top.map(t => (t._2, t._3)).toSeq == replay.toSeq)
+    // distances ascend; the query's own vector is its best match
+    assert(top.map(_._3).toSeq == top.map(_._3).sorted.toSeq)
+    assert(top(0)._2 == 0L || top(0)._3 <= top(1)._3)
+  }
+
+  test("recall@10 vs exact L2 brute force is useful") {
+    // sf0.01 (500 vectors): enough training points that the codebooks
+    // are representative — the tiny sf0.001 corpus under-trains k=16
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.01/embeddings.parquet")
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 16,
+      k = 64, iters = 8)
+    val qv = emb.orderBy("vec_id").limit(1)
+      .select("embedding").as[Seq[Float]].collect()(0).toArray
+    val encoded = Pq.encode(emb, "embedding", model, "c")
+    val approx = Pq.adcTopK(encoded, "vec_id", "c", qv, model, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // exact L2 top-10 (same metric as ADC) via the double-cast kernel
+    val qLit = typedLit(qv.toSeq)
+    val exact = emb.withColumn("d2", aggregate(
+        zip_with(col("embedding"), qLit,
+          (a, b) => (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (approx & exact).size / 10.0
+    // raw ADC must put a useful fraction of the exact set in front
+    assert(recall >= 0.4, s"ADC recall@10 = $recall")
+    // the served shape — ADC shortlist + exact re-rank — recovers the
+    // exact set up to shortlist misses (10% of the corpus shortlisted)
+    val refined = Pq.refineTopK(encoded, "vec_id", "c", "embedding",
+        qv, model, 10, shortlist = 50)
+      .select("vec_id").as[Long].collect().toSet
+    val rRecall = (refined & exact).size / 10.0
+    assert(rRecall >= 0.8, s"refined recall@10 = $rRecall")
+    // and the query's own vector is always rank 1 after the re-rank
+    val r1 = Pq.refineTopK(encoded, "vec_id", "c", "embedding",
+        qv, model, 1, shortlist = 50)
+      .select("vec_id").as[Long].collect()(0)
+    assert(r1 == 0L)
+  }
+}
