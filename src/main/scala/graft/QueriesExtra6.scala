@@ -164,5 +164,94 @@ object QueriesExtra6 {
       "SELECT row_number() OVER (ORDER BY pq_d2_micro, vec_id) AS rank, " +
       "vec_id, pq_d2_micro FROM s ORDER BY rank LIMIT 10"))
 
-  val all: Seq[QueryDef] = Seq(dsirCounts, dsirSelect, annPq)
+  // ---- paragraph dedup ----
+
+  /** Injected paragraph structure: a cross-document repeated intro
+    * (docs ≡0 mod 3), a per-doc unique body slice, a repeated footer
+    * (docs ≡0 mod 2) — with unconditional separators so empty
+    * paragraphs (the normalization path) occur too.
+    */
+  private val paraSpark: Column = concat(
+    when(col(d) % 3 === 0, lit("intro shared boilerplate"))
+      .otherwise(lit("")),
+    lit("\n\n"), substring(col("text"), 1, 50), lit("\n\n"),
+    when(col(d) % 2 === 0, lit("footer legal text v1")).otherwise(lit("")))
+
+  private val paraSql: String =
+    "(CASE WHEN doc_id % 3 = 0 THEN 'intro shared boilerplate' ELSE '' " +
+      "END) || chr(10) || chr(10) || substr(text, 1, 50) || chr(10) || " +
+      "chr(10) || (CASE WHEN doc_id % 2 = 0 THEN 'footer legal text v1' " +
+      "ELSE '' END)"
+
+  /** Cross-document paragraph dedup, fully re-derived in SQL — the
+    * oracle uses the row_number-over-paragraph formulation while the
+    * engine uses the skew-safe min-aggregate (equivalent keep-first
+    * semantics, independently expressed).
+    */
+  val dedupParagraphs: QueryDef = QueryDef("dedup_paragraphs",
+    (s, dir) => graft.dedup.ParagraphDedup.dedupParagraphs(
+      Queries.table(s, dir, "documents").withColumn("_doc", paraSpark),
+      d, "_doc", "text_out")
+      .orderBy(d),
+    Some("WITH d AS (SELECT doc_id, " + paraSql + " AS t FROM documents), " +
+      "l AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps " +
+      "FROM d), " +
+      "p AS (SELECT doc_id, t.pos, ps[t.pos] AS para FROM l, " +
+      "unnest(range(1, len(ps) + 1)) AS t(pos) WHERE ps[t.pos] <> ''), " +
+      "k AS (SELECT doc_id, pos, para, row_number() OVER (PARTITION BY " +
+      "para ORDER BY doc_id, pos) AS rn FROM p), " +
+      "a AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) " +
+      "ORDER BY pos) AS text_out FROM k WHERE rn = 1 GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(a.text_out, '') AS text_out FROM d " +
+      "LEFT JOIN a USING (doc_id) ORDER BY doc_id"))
+
+  // ---- mixture epoch materialization ----
+
+  /** Budgets sized so the sf0.01 source masses (≈1136-1553 tokens) hit
+    * full_epochs ∈ {0, 1, 2} with varied remainders — every branch of
+    * the epoch materialization executes.
+    */
+  private val EpochBudgets: Map[String, Long] =
+    (0 until 20).map(k => s"src$k" -> (600L + Seq(0L, 400L, 1000L,
+      2200L)(k % 4))).toMap
+
+  private val epochValuesSql: String = EpochBudgets.toSeq.sortBy(_._1)
+    .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+
+  private val wordLenSql =
+    "len(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'))"
+
+  /** Full training-order mixture: complete epoch copies + the greedy
+    * md5-ordered remainder as the final partial epoch, replayed in SQL
+    * with a lateral epoch expansion and the single-window running-sum
+    * formulation (the engine's bucketed two-phase prefix sum is
+    * spec-proved equivalent).
+    */
+  val mixEpochs: QueryDef = QueryDef("mix_epoch_rows",
+    (s, dir) => graft.sampling.Mixture.materializeEpochs(
+      Queries.table(s, dir, "documents"), d, "source",
+      graft.text.Filters.wordCount(col("text")), EpochBudgets, seed = 7L)
+      .orderBy(d, "epoch"),
+    Some(s"WITH b(source, budget) AS (VALUES $epochValuesSql), " +
+      s"t AS (SELECT doc_id, source, $wordLenSql AS toks FROM documents), " +
+      "pl AS (SELECT t.source, CAST(sum(t.toks) AS BIGINT) AS total, " +
+      "CAST(any_value(b.budget) AS BIGINT) AS budget FROM t " +
+      "JOIN b USING (source) GROUP BY t.source), " +
+      "pe AS (SELECT source, budget // total AS fe, budget % total AS rem " +
+      "FROM pl), " +
+      "f AS (SELECT t.doc_id, t.source, t.toks, e.epoch FROM t " +
+      "JOIN pe USING (source), unnest(range(0, pe.fe)) AS e(epoch)), " +
+      "c AS (SELECT t.doc_id, t.source, t.toks, pe.fe, pe.rem, " +
+      "CAST(sum(t.toks) OVER (PARTITION BY t.source ORDER BY " +
+      "md5('7:' || CAST(t.doc_id AS VARCHAR)), t.doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+      "AS cum FROM t JOIN pe USING (source)), " +
+      "r AS (SELECT doc_id, source, toks, fe AS epoch FROM c " +
+      "WHERE cum <= rem) " +
+      "SELECT doc_id, source, toks, epoch FROM " +
+      "(SELECT * FROM f UNION ALL SELECT * FROM r) " +
+      "ORDER BY doc_id, epoch"))
+
+  val all: Seq[QueryDef] = Seq(dsirCounts, dsirSelect, annPq,
+    dedupParagraphs, mixEpochs)
 }

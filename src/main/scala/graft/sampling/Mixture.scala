@@ -82,7 +82,17 @@ object Mixture {
     * within-source running total — bucket-local sum + broadcast offset).
     */
   def tokenBudgetSelect(df: DataFrame, idCol: String, sourceCol: String,
-      tokenCount: Column, budgets: Map[String, Long], seed: Long): DataFrame = {
+      tokenCount: Column, budgets: Map[String, Long], seed: Long): DataFrame =
+    tokenBudgetSelectBy(df, idCol, sourceCol, tokenCount,
+      budgetDf(df, sourceCol, budgets), seed)
+
+  /** [[tokenBudgetSelect]] with the budgets as a FRAME
+    * (`sourceCol`, `budget`) instead of a static map — the shape
+    * [[materializeEpochs]] needs, where the remainder budgets are
+    * data-derived from the epoch plan rather than user constants.
+    */
+  def tokenBudgetSelectBy(df: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, budgetFrame: DataFrame, seed: Long): DataFrame = {
     val key = md5Key(idCol, seed)
     val base = df.withColumn("toks", tokenCount)
       .withColumn("_key", key)
@@ -104,10 +114,41 @@ object Mixture {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .join(broadcast(offsets), Seq(sourceCol, "_bkt"))
-      .join(broadcast(budgetDf(df, sourceCol, budgets)), Seq(sourceCol))
+      .join(broadcast(budgetFrame), Seq(sourceCol))
       .withColumn("cum_tokens", sum(col("toks")).over(wIn) + col("_off"))
       .where(col("cum_tokens") <= col("budget"))
       .drop("budget", "_key", "_bkt", "_off")
+  }
+
+  /** Materialize the full training-order mixture: `full_epochs` complete
+    * copies of every budgeted source plus the greedy remainder fill as
+    * the final partial epoch — (id, source, toks, epoch) rows, the
+    * dataset a token-budgeted training run actually iterates. Epoch
+    * replication is a `sequence`+`explode` over the broadcast plan (no
+    * shuffle introduced beyond [[tokenBudgetSelectBy]]'s); a source
+    * whose budget is below one full pass contributes only its epoch-0
+    * partial fill.
+    */
+  def materializeEpochs(df: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, budgets: Map[String, Long],
+      seed: Long): DataFrame = {
+    val plan = tokenBudgetPlan(df, sourceCol, tokenCount, budgets)
+    val planB = broadcast(
+      plan.select(col(sourceCol), col("full_epochs"),
+        col("remainder_tokens")))
+    val withToks = df.withColumn("toks", tokenCount)
+    val full = withToks.join(planB, Seq(sourceCol))
+      .where(col("full_epochs") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("full_epochs") - 1)))
+      .select(col(idCol), col(sourceCol), col("toks"), col("epoch"))
+    val remainder = tokenBudgetSelectBy(df, idCol, sourceCol, tokenCount,
+        plan.select(col(sourceCol), col("remainder_tokens").as("budget")),
+        seed)
+      .join(planB, Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("toks"),
+        col("full_epochs").as("epoch"))
+    full.unionByName(remainder)
   }
 
   /** The r8 single-window formulation, kept ONLY as the equivalence

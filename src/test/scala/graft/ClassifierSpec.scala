@@ -271,4 +271,32 @@ class ClassifierSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty && bucketed.size < 900) // both cut somewhere
     assert(bucketed.count(_._2 == "s1") === 300) // over-budget keeps all
   }
+
+  test("materializeEpochs: full copies + remainder as the partial epoch") {
+    // s1: 40 tokens, budget 95 -> epochs 0,1 complete + 15-token
+    // remainder at epoch 2; s2: 20 tokens, budget 15 -> only a partial
+    // epoch 0
+    val budgets = Map("s1" -> 95L, "s2" -> 15L)
+    val rows = Mixture.materializeEpochs(mixCorpus, "id", "source",
+        graft.text.Filters.wordCount(col("text")), budgets, seed = 7L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq
+    val s1 = rows.filter(_._2 == "s1")
+    // epochs 0 and 1 each hold ALL 4 docs
+    assert(s1.count(_._4 == 0L) == 4 && s1.count(_._4 == 1L) == 4)
+    // epoch 2 is the 15-token remainder: exactly one 10-token doc fits
+    val s1rem = s1.filter(_._4 == 2L)
+    assert(s1rem.size == 1 && s1rem.head._3 == 10)
+    // the remainder doc is the md5-order head (same key as
+    // tokenBudgetSelect)
+    val expectHead = Mixture.tokenBudgetSelect(mixCorpus, "id", "source",
+        graft.text.Filters.wordCount(col("text")), Map("s1" -> 15L), 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(Set(s1rem.head._1) == expectHead)
+    // s2 never completes an epoch: only epoch-0 remainder rows
+    val s2 = rows.filter(_._2 == "s2")
+    assert(s2.nonEmpty && s2.forall(_._4 == 0L))
+    assert(s2.map(_._3).sum <= 15)
+  }
 }
