@@ -82,11 +82,20 @@ object ScaleGen {
     }, "embeddings", 16)
 
     write(copies(read("events"), factor) { (df, i) =>
+      // shift each copy by i seconds so timestamps stay distinct across
+      // copies without changing session structure. The ts physical type
+      // varies by driver data generation (see Queries.normalizeEventTs):
+      // TIMESTAMP(NANOS) reads as int64 nanos under nanosAsLong; the
+      // TIMESTAMP_NTZ generation arrives as a timestamp and takes an
+      // interval instead of a long
+      val shifted = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + lit(i * 1_000_000_000L)
+        case _ => col("ts") + expr(s"INTERVAL '$i' SECOND")
+      }
       df.withColumn("event_id", col("event_id") + lit(i * EventStride))
         .withColumn("user_id", col("user_id") + lit(i * UserStride))
-        // nanos column: shift each copy by i seconds so timestamps stay
-        // distinct across copies without changing session structure
-        .withColumn("ts", col("ts") + lit(i * 1_000_000_000L))
+        .withColumn("ts", shifted)
     }, "events", 32)
 
     Seq("region", "nation", "supplier", "part").foreach { t =>

@@ -46,21 +46,19 @@ object NaiveBayes {
     * lang-id feature set. Word-token NB is a weak lang-id archetype: a
     * short document whose words are all out-of-vocabulary scores as pure
     * priors, while its character n-grams still overlap the training
-    * corpus of the same script/language heavily. Pure builtin
-    * composition (sequence/transform/substr) — codegen'd, no UDF; the
+    * corpus of the same script/language heavily. Extraction is the
+    * one-pass [[graft.text.CharGrams]] codegen kernel (r9: the original
+    * sequence/transform/substr composition called substr per position,
+    * and each substr seeks from the string start — O(len²) per doc per
+    * width, which made char-gram training the suite's slowest line at
+    * sf0.1; the kernel computes the code-point offset table once and is
+    * O(len × widths), SAME code-point semantics and output order). The
     * `nb_predict_chargram` oracle replays the identical extraction in SQL
     * via a lateral position x width expansion (substr is code-point-based
     * on both engines).
     */
-  def charGramsCol(c: Column, minN: Int, maxN: Int): Column = {
-    require(0 < minN && minN <= maxN, s"bad n-gram range [$minN, $maxN]")
-    val lc = lower(c)
-    flatten(transform(sequence(lit(minN), lit(maxN)), n =>
-      when(length(lc) >= n,
-        transform(sequence(lit(1), length(lc) - n + 1),
-          i => lc.substr(i, n)))
-        .otherwise(array().cast("array<string>"))))
-  }
+  def charGramsCol(c: Column, minN: Int, maxN: Int): Column =
+    graft.text.CharGrams(lower(c), minN, maxN)
 
   /** Integer training artifact: the dense (vocab x label) grid of term
     * counts plus the marginals the smoothed model derives from. Every

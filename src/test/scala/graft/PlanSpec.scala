@@ -138,6 +138,48 @@ class PlanSpec extends AnyFunSuite {
       s"bucket join must stay an equality join\n$p")
   }
 
+  test("DSIR scoring is shuffle-free; selection is TakeOrdered") {
+    val docs = Queries.table(spark, sf, "documents")
+    val model = graft.sampling.DsirModel(8,
+      Array.tabulate(8)(b => b * 1000L))
+    val scored = graft.sampling.Dsir.score(docs, col("text"), model)
+    val ps = scored.queryExecution.executedPlan.toString
+    assert(!ps.toLowerCase.contains("exchange"),
+      s"weight lookup must ride the closure, not a join/shuffle\n${ps.take(600)}")
+    val pt = graft.sampling.Dsir.topK(scored, "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(pt.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrdered, not a global sort\n${pt.take(600)}")
+  }
+
+  test("PQ encode is shuffle-free; ADC top-k is TakeOrdered") {
+    val emb = Queries.table(spark, sf, "embeddings")
+    val model = graft.similarity.Pq.train(emb, "embedding", "vec_id",
+      dim = 64, m = 8, k = 4, iters = 1, maxTrain = 50)
+    val enc = graft.similarity.Pq.encode(emb, "embedding", model, "c")
+    val pe = enc.queryExecution.executedPlan.toString
+    assert(!pe.toLowerCase.contains("exchange"),
+      s"encode must be a per-row pass\n${pe.take(600)}")
+    val q = Array.fill(64)(0.1f)
+    val pt = graft.similarity.Pq.adcTopK(enc, "vec_id", "c", q, model, 5)
+      .queryExecution.executedPlan.toString
+    assert(pt.contains("TakeOrderedAndProject"),
+      s"ADC top-k must plan as TakeOrdered\n${pt.take(600)}")
+  }
+
+  test("paragraph dedup: no paragraph-keyed window, keep-first combines map-side") {
+    val df = graft.dedup.ParagraphDedup.dedupParagraphs(
+      Queries.table(spark, sf, "documents"), "doc_id", "text", "out")
+    val p = df.queryExecution.executedPlan.toString
+    // the skew-unsafe shape would be Window over hashpartitioning(para)
+    assert(!p.contains("Window"),
+      s"keep-first must be an aggregate, not a window\n${p.take(600)}")
+    // min(struct(id,pos)) must partial-aggregate before the shuffle so
+    // viral paragraphs collapse map-side
+    assert(p.contains("partial_min"),
+      s"keep-first aggregate lost its map-side partial\n${p.take(800)}")
+  }
+
   test("optimizer rule collapses nested stripWs") {
     import graft.text.Cleaners.stripWs
     GraftFunctions.register(spark) // functions only; rule applied manually
