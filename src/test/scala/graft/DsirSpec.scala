@@ -95,6 +95,34 @@ class DsirSpec extends AnyFunSuite {
       s"top-$k contained ${top.count(_ == "en")} en docs")
   }
 
+  test("DSIR scoring composes with Structured Streaming: stream == batch") {
+    val target = Seq((1L, "aa bb aa")).toDF("id", "t")
+    val raw = Seq((1L, "aa bb aa"), (2L, "cc dd"), (3L, "ee")).toDF("id", "t")
+    val model = Dsir.fit(target, raw, col("t"), 16)
+    val batch = Seq((1L, "aa bb"), (2L, "cc"), (3L, "")).toDF("id", "t")
+    val want = Dsir.score(batch, col("t"), model)
+      .select("id", "dsir_score_micro").collect().map(_.toSeq).toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // the weight table is a closure constant — the same zero-shuffle
+    // scoring plan applies per micro-batch with no state, so streaming
+    // importance scoring needs no adaptation (selection is the batch
+    // step: top-k over a stream needs a window/trigger policy instead)
+    val out = Dsir.score(mem.toDF.toDF("id", "t"), col("t"), model)
+      .select("id", "dsir_score_micro")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dsirstream").start()
+    try {
+      mem.addData((1L, "aa bb"), (2L, "cc"))
+      q.processAllAvailable()
+      mem.addData((3L, ""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dsirstream").collect().map(_.toSeq).toSet
+    assert(got === want)
+  }
+
   test("gumbelTopK: deterministic per seed, k rows, mostly high-score") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
