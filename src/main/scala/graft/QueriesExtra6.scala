@@ -252,6 +252,33 @@ object QueriesExtra6 {
       "(SELECT * FROM f UNION ALL SELECT * FROM r) " +
       "ORDER BY doc_id, epoch"))
 
+  // ---- curriculum phases ----
+
+  /** Curriculum phase assignment over the milli-quantized quality score
+    * (the IEEE-exact double chain `ta_quality_score` already
+    * hash-proves cross-engine): histogram-cutoff phases, no global
+    * sort — phase is a pure function of the score value, replayed in
+    * SQL with the identical running-count arithmetic.
+    */
+  val curriculum: QueryDef = QueryDef("curriculum_phases",
+    (s, dir) => graft.sampling.Curriculum.phaseByScore(
+      Queries.table(s, dir, "documents").select(col(d), col("text")),
+      floor(graft.analysis.TextAnalysis.qualityScore(col("text"))
+        * 1000).cast("long"), phases = 4)
+      .select(col(d), col("score_q"), col("phase"))
+      .orderBy(d),
+    Some("WITH s AS (SELECT doc_id, CAST(floor((" +
+      QueriesExtra.qualityScoreSql("text") + ") * 1000) AS BIGINT) " +
+      "AS score_q FROM documents), " +
+      "h AS (SELECT score_q, count(*) AS n FROM s GROUP BY 1), " +
+      "c AS (SELECT score_q, CAST(coalesce(sum(n) OVER (ORDER BY " +
+      "score_q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "AS BIGINT) AS below FROM h), " +
+      "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h) " +
+      "SELECT s.doc_id, s.score_q, CAST((c.below * 4) // t.total " +
+      "AS BIGINT) AS phase FROM s JOIN c USING (score_q) CROSS JOIN t " +
+      "ORDER BY doc_id"))
+
   val all: Seq[QueryDef] = Seq(dsirCounts, dsirSelect, annPq,
-    dedupParagraphs, mixEpochs)
+    dedupParagraphs, mixEpochs, curriculum)
 }

@@ -214,6 +214,27 @@ object Pq {
       .select(col("rank"), col(idCol), col("pq_d2_micro"))
   }
 
+  /** IVF-PQ (the FAISS serving architecture): probe the `nprobe`
+    * coarse cells nearest the query ([[Ann.probeCells]] over the cell
+    * column learned by [[Ann.kmeansAssign]]), then ADC-scan only the
+    * probed cells' codes. At 100 TB the codes frame is PUBLISHED
+    * bucketed/partitioned by the cell id, so the broadcast semi-join
+    * prunes partitions at the source and the scan touches nprobe/k of
+    * the corpus — compounding PQ's 32× byte shrink with IVF's scan
+    * shrink. Pass the result through [[refineTopK]]'s re-rank pattern
+    * when exact ordering matters.
+    */
+  def ivfAdcTopK(encoded: DataFrame, idCol: String, codeCol: String,
+      embCol: String, cellCol: String, query: Array[Float],
+      model: PqModel, k: Int, nprobe: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qDf = Seq(Tuple1(query.toSeq)).toDF(embCol)
+    val probed = Ann.probeCells(encoded, qDf, embCol, cellCol, nprobe)
+    adcTopK(encoded.join(broadcast(probed), Seq(cellCol), "left_semi"),
+      idCol, codeCol, query, model, k)
+  }
+
   /** ADC shortlist + EXACT re-rank — how PQ is actually served: the
     * cheap code scan nominates `shortlist` candidates, then only those
     * rows (broadcast semi-join of ≤ shortlist ids) pay the exact

@@ -77,6 +77,29 @@ class PqSpec extends AnyFunSuite {
     assert(top(0)._2 == 0L || top(0)._3 <= top(1)._3)
   }
 
+  test("IVF-PQ: probed-cell ADC keeps the query's own cell and agrees with full ADC") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = graft.similarity.Ann.kmeansAssign(emb, "embedding",
+      "vec_id", "cell", k = 4, iters = 2)
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8, k = 8)
+    val qv = emb.orderBy("vec_id").limit(1)
+      .select("embedding").as[Seq[Float]].collect()(0).toArray
+    val enc = Pq.encode(cells, "embedding", model, "c")
+    val pruned = Pq.ivfAdcTopK(enc, "vec_id", "c", "embedding", "cell",
+        qv, model, 10, nprobe = 2)
+      .select("vec_id").as[Long].collect()
+    val full = Pq.adcTopK(enc, "vec_id", "c", qv, model, 10)
+      .select("vec_id").as[Long].collect()
+    assert(pruned.length == 10)
+    // the query vector's own cell is its max-cosine centroid → probed
+    // first, so vec 0 survives pruning; full-ADC puts it on top too
+    assert(pruned.contains(0L) && full.contains(0L))
+    // nprobe=2 of 4 cells: the pruned top-10 is a large subset of the
+    // unpruned top-10 (misses only ids whose cells were not probed)
+    assert((pruned.toSet & full.toSet).size >= 5,
+      s"pruned=${pruned.toSeq} full=${full.toSeq}")
+  }
+
   test("recall@10 vs exact L2 brute force is useful") {
     // sf0.01 (500 vectors): enough training points that the codebooks
     // are representative — the tiny sf0.001 corpus under-trains k=16
