@@ -330,5 +330,6 @@ object Queries {
     f1, f1score, f3, f4, f5, f6, f7, f8, f9, f10, f11) ++
     QueriesChat.all ++ QueriesPipeline.all ++ QueriesExtra.all ++
     QueriesExtra2.all ++ QueriesExtra3.all ++ QueriesExtra4.all ++
-    QueriesExtra5.all ++ QueriesExtra6.all ++ QueriesFuzz.all
+    QueriesExtra5.all ++ QueriesExtra6.all ++ QueriesExtra7.all ++
+    QueriesFuzz.all
 }

@@ -65,6 +65,48 @@ object Decon {
         coalesce(col("n_matched").cast("double") / col("n_grams"), lit(0.0))
           .as("overlap_frac"))
   }
+
+  /** Bloom-filter decontamination — the ZERO-SHUFFLE scale path for
+    * [[overlapScore]]'s triage: a Bloom filter of the benchmark's
+    * distinct word n-grams is aggregated distributedly (per-partition
+    * filters OR-merged — only the bit array reaches the driver),
+    * broadcast, and each corpus document counts its distinct grams'
+    * membership in ONE narrow pass (single-tokenization JVM kernel, the
+    * NB/ARPA closure-model shape). No corpus shuffle, no corpus-side
+    * join, no per-doc groupBy: the per-executor cost is the filter's
+    * bit array (≈43 bits/gram at fpp=1e-9) regardless of corpus size —
+    * the GPT-3/PaLM 13-gram decontamination pass as it actually runs at
+    * 100 TB.
+    *
+    * The trade, made explicit like [[graft.dedup.ExactDedup
+    * .bloomDedupAgainst]]: a false positive INFLATES a document's
+    * contaminated-gram count with probability ≤ fpp per gram (at 1e-9,
+    * one spurious gram per billion checked); false negatives are
+    * impossible, so every genuinely contaminated gram is counted and a
+    * `flagged = false` document is CLEAN with certainty — the direction
+    * that matters when the flag gates corpus admission.
+    *
+    * Returns (idCol, contaminated_grams, flagged) — distinct
+    * benchmark-gram hits per document and the admission flag.
+    */
+  def bloomContaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      expectedItems: Long = 10_000_000L, fpp: Double = 1e-9): DataFrame = {
+    val bf = docGrams(benchmark, idCol, textCol, n)
+      .select("gram").distinct()
+      .stat.bloomFilter("gram", expectedItems, fpp)
+    val b = corpus.sparkSession.sparkContext.broadcast(bf)
+    val hitCount = udf { (s: String) =>
+      val grams = graft.dedup.NgramJaccard.gramSet(s, n)
+      var c = 0L
+      val it = grams.iterator()
+      while (it.hasNext) if (b.value.mightContainString(it.next())) c += 1
+      c
+    }
+    corpus
+      .select(col(idCol), hitCount(col(textCol)).as("contaminated_grams"))
+      .withColumn("flagged", col("contaminated_grams") > 0)
+  }
 }
 
 /** Corpus profile statistics: the length-distribution report every corpus

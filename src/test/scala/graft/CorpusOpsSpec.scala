@@ -145,6 +145,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("decon bloom: counts equal the exact join's n_matched; no false" +
+      " negatives") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta " +
+      "theta iota kappa lambda mu nu xi")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi"), // exact copy: two 13-grams, both hit
+      (2L, "prefix words then alpha beta gamma delta epsilon zeta eta " +
+        "theta iota kappa lambda mu nu and a tail"), // embedded quote
+      (3L, "totally different vocabulary spread over at least thirteen " +
+        "words to form grams that match nothing in the benchmark set"),
+      (4L, "shorty") // < n words: zero grams
+    ).toDF("doc_id", "text")
+    val bloom = graft.analysis.Decon.bloomContaminated(corpus, bench,
+        "doc_id", "text", n = 13, expectedItems = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val exact = graft.analysis.Decon.overlapScore(corpus, bench,
+        "doc_id", "text", 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // at fpp 1e-9 the Bloom count equals the exact distinct-gram join
+    for ((id, (cnt, flag)) <- bloom) {
+      assert(cnt == exact(id), s"doc $id: bloom $cnt != exact ${exact(id)}")
+      assert(flag == (cnt > 0))
+    }
+    assert(bloom(1L)._1 == 2L && bloom(2L)._1 == 1L)
+    assert(bloom(3L) == ((0L, false)) && bloom(4L) == ((0L, false)))
+  }
+
   test("decon overlap: size guard drops the broadcast hint, results unchanged") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
