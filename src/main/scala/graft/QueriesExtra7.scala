@@ -357,6 +357,53 @@ object QueriesExtra7 {
       "SELECT t.gram, t.n_occurrences, e.cms_estimate FROM top t " +
       "JOIN est e USING (gram) ORDER BY n_occurrences DESC, gram"))
 
+  // ---- HTML text extraction ----
+
+  /** Genuine markup per doc: title/style in head, h1, a p with an
+    * entity, a script on ≡0 mod 3, inline tags inside a div, a comment
+    * on ≡0 mod 4, an attribute-carrying style, li items. The
+    * doc_id-conditional script/comment must NOT change the output.
+    */
+  private def htmlDocSpark: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col(d).cast("string"),
+    lit("</title><style type=\"text/css\">p { color: red }</style>" +
+      "</head><body>"),
+    lit("<h1>Heading "), (col(d) % 10).cast("string"), lit("</h1>"),
+    lit("<p>"), substring(col("text"), 1, 60), lit(" &amp; tail</p>"),
+    when(col(d) % 3 === 0, lit("<script>var x = 1 < 2;</script>"))
+      .otherwise(lit("")),
+    lit("<div>second <b>block</b> here: "),
+    substring(col("text"), 61, 40), lit("</div>"),
+    when(col(d) % 4 === 0, lit("<!-- hidden comment -->"))
+      .otherwise(lit("")),
+    lit("<ul><li>item one</li><li>item "), col(d).cast("string"),
+    lit("</li></ul></body></html>"))
+
+  /** HTML extraction — construction-inverting oracle: the query BUILDS
+    * genuine markup and runs the real state-machine extractor; DuckDB
+    * composes the EXPECTED prose from the same pieces (newlines where
+    * block tags sat, entity already decoded, script/style/comment
+    * simply absent) and applies only the pinned whitespace
+    * normalization — it never parses a tag.
+    */
+  val htmlExtract: QueryDef = QueryDef("html_extract",
+    (s, dir) => Queries.table(s, dir, "documents")
+      .select(col(d),
+        graft.text.Html.extractUdf(htmlDocSpark).as("text_out"))
+      .orderBy(d),
+    Some("WITH raw AS (SELECT doc_id, 'Doc ' || doc_id || chr(10) || " +
+      "'Heading ' || (doc_id % 10) || chr(10) || chr(10) || " +
+      "substr(text, 1, 60) || ' & tail' || chr(10) || chr(10) || " +
+      "'second block here: ' || substr(text, 61, 40) || chr(10) || " +
+      "chr(10) || 'item one' || chr(10) || chr(10) || 'item ' || " +
+      "doc_id AS t FROM documents) " +
+      "SELECT doc_id, coalesce(list_aggregate(list_filter(" +
+      "list_transform(string_split(t, chr(10)), x -> trim(" +
+      "regexp_replace(x, '[ \\t\\v\\f\\r]+', ' ', 'g'))), " +
+      "x -> x <> ''), 'string_agg', chr(10)), '') AS text_out " +
+      "FROM raw ORDER BY doc_id"))
+
   val all: Seq[QueryDef] = Seq(mixUnimax, dedupEditDistance, deconBloom,
-    sampleClusterBalanced, c4Filter, warcRecords, cmsTopNgrams)
+    sampleClusterBalanced, c4Filter, warcRecords, cmsTopNgrams,
+    htmlExtract)
 }
