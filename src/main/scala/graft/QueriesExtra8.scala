@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 (cont.) additions: HyperLogLog distinct-cardinality sketch
+  * (the estimation gap beside the CMS frequency grid) and
+  * embedding-space decontamination (the semantic member of the decon
+  * family).
+  */
+object QueriesExtra8 {
+
+  /** p=9 → 512 registers, ~4.6% standard error — the corpus-stats
+    * sweet spot (a vocabulary estimate, not a billing counter).
+    */
+  private val HllP = 9
+
+  /** HLL distinct-token cardinality over `documents.text` — exact
+    * `count(distinct)` shuffles every distinct token; this shuffles ≤
+    * 2^p register rows (map-side-combined max) and union-merges across
+    * shards. FULLY replayed in SQL: the 60-bit md5-prefix hash, the
+    * `bin`/`ltrim` leading-zero rank, the register maxima, the INTEGER
+    * harmonic sum Σ 2^(R−Mj), and the ⌊est·1000+0.5⌋ fix-point are the
+    * same arithmetic on both engines — no "approx doesn't hash" escape
+    * hatch (the CMS house rule).
+    */
+  val hllDistinct: QueryDef = QueryDef("hll_distinct_tokens",
+    (s, dir) => {
+      import graft.analysis.{Sketch, TermStats}
+      val toks = Queries.table(s, dir, "documents")
+        .select(explode(TermStats.words(col("text"))).as("tok"))
+      Sketch.hllEstimate(Sketch.hllRegisters(toks, "tok", HllP), HllP)
+    },
+    Some("WITH w AS (SELECT list_filter(regexp_split_to_array(" +
+      "lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ws FROM documents), " +
+      "tok AS (SELECT unnest(ws) AS t FROM w), " +
+      "h AS (SELECT ('0x' || substr(md5('hll:' || t), 1, 15))::BIGINT " +
+      "AS h FROM tok), " +
+      "reg AS (SELECT h % 512 AS bucket, max(52 - length(ltrim(" +
+      "bin(h >> 9), '0'))) AS maxrho FROM h GROUP BY 1), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS n_nonempty, " +
+      "CAST(sum(CAST(power(2, 52 - maxrho) AS BIGINT)) AS BIGINT) " +
+      "AS hsum FROM reg), " +
+      "f AS (SELECT CAST(512 AS BIGINT) AS m, n_nonempty, " +
+      "CAST(512 - n_nonempty AS BIGINT) AS zeros, " +
+      "CAST(hsum + (512 - n_nonempty) * 4503599627370496 AS BIGINT) " +
+      "AS harmonic_num FROM s), " +
+      "e AS (SELECT *, CASE WHEN 0.7213/(1+1.079/512.0)*512.0*512.0*" +
+      "4503599627370496.0/harmonic_num <= 1280.0 AND zeros > 0 " +
+      "THEN 512.0 * ln(512.0/zeros) ELSE 0.7213/(1+1.079/512.0)*512.0*" +
+      "512.0*4503599627370496.0/harmonic_num END AS est FROM f) " +
+      "SELECT m, n_nonempty, zeros, harmonic_num, " +
+      "CAST(floor(est * 1000.0 + 0.5) AS BIGINT) AS est_x1000 FROM e"))
+
+  /** Semantic decontamination: benchmark = every 17th embedding (mod
+    * 3), tau=0.9 — benchmark members are corpus rows too, so each is
+    * its own >= tau witness (cos(v,v) up to sqrt rounding), and any
+    * genuine near-copy of an eval vector joins them; output is the
+    * integer hit count + flag per corpus row.
+    */
+  val deconEmbedding: QueryDef = QueryDef("decon_embedding",
+    (s, dir) => {
+      val emb = Queries.table(s, dir, "embeddings")
+      graft.analysis.Decon.embeddingContaminated(
+        emb, emb.where(col("vec_id") % 17 === 3), "vec_id", "embedding",
+        0.9)
+        .orderBy("vec_id")
+    },
+    Some("WITH b AS (SELECT embedding::DOUBLE[] AS be FROM embeddings " +
+      "WHERE vec_id % 17 = 3), " +
+      "c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings), " +
+      "s AS (SELECT vec_id, CASE WHEN list_dot_product(ce, be) / " +
+      "(sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(be, be)))" +
+      " >= 0.9 THEN 1 ELSE 0 END AS hit FROM c, b) " +
+      "SELECT vec_id, CAST(sum(hit) AS BIGINT) AS n_hits, " +
+      "sum(hit) > 0 AS contaminated FROM s GROUP BY 1 ORDER BY vec_id"))
+
+  /** Leakage-safe splits over the documents corpus: same minhash config
+    * as `dedup_minhash`, split fractions as `split_hash_assign` — but
+    * keyed on the CLUSTER ROOT, so every near-duplicate class lands in
+    * one split. Oracle replays the full chain: signatures side-channel →
+    * bucket-min edges → recursive closure → component-min roots → the
+    * md5-threshold CASE over the root.
+    */
+  val splitLeakageSafe: QueryDef = QueryDef("split_leakage_safe",
+    (s, dir) => graft.sampling.Splits.leakageSafeSplit(
+      Queries.table(s, dir, "documents"), "text", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3),
+      bandedSink = QueriesExtra2.sinkOnce(QueriesExtra2
+        .bandedPath("minhash_leaksplit", QueriesExtra2.scaleKey(dir))))
+      .orderBy("doc_id"),
+    Some {
+      val glob = QueriesExtra2
+        .bandedPath("minhash_leaksplit", QueriesExtra2.OracleScaleKey) +
+        "/*.parquet"
+      val h = "substr(md5(CAST(root AS VARCHAR)), 1, 4)"
+      "WITH RECURSIVE dsrc AS (SELECT doc_id AS id, text AS t FROM " +
+        "documents), " + QueriesExtra2.minhashCtes(glob, 3) + ", " +
+        "rts AS (SELECT d.id, coalesce(r.root, d.id) AS root FROM dsrc d " +
+        "LEFT JOIN root r ON d.id = r.id) " +
+        s"SELECT id AS doc_id, root, CASE WHEN $h < 'cccc' THEN 'train' " +
+        s"WHEN $h < 'e666' THEN 'val' ELSE 'test' END AS split " +
+        "FROM rts ORDER BY doc_id"
+    })
+
+  val all: Seq[QueryDef] = Seq(hllDistinct, deconEmbedding,
+    splitLeakageSafe)
+}

@@ -107,6 +107,41 @@ object Decon {
       .select(col(idCol), hitCount(col(textCol)).as("contaminated_grams"))
       .withColumn("flagged", col("contaminated_grams") > 0)
   }
+
+  /** Embedding-space decontamination — the SEMANTIC member of the decon
+    * family beside the verbatim n-gram paths ([[overlapScore]],
+    * [[bloomContaminated]], `ExactSubstring.contaminatedSpans`): a
+    * paraphrased eval question shares no 13-gram with its source but
+    * sits next to it in embedding space, so pipelines also drop corpus
+    * rows whose max cosine against ANY benchmark embedding reaches
+    * `tau` (the same screen SemDeDup applies between corpus rows,
+    * pointed at the eval set).
+    *
+    * Scale shape: the benchmark is tiny next to a 100 TB corpus, so it
+    * broadcasts (with norms precomputed once per side) into a
+    * broadcast nested-loop join — linear in the corpus, no corpus-side
+    * shuffle except the per-id hit-count aggregate, which partial-
+    * aggregates map-side to one tiny row per corpus id (every id's
+    * benchmark pairs are co-located in its own input partition by NLJ
+    * construction). Output is integer/boolean only — the doubles stay
+    * inside the `>= tau` predicate, which both engines evaluate on
+    * bit-identical cosine chains ([[graft.similarity.Ann.dotFast]]).
+    */
+  def embeddingContaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, embCol: String, tau: Double): DataFrame = {
+    import graft.similarity.Ann
+    val b = broadcast(benchmark.select(col(embCol).as("__be__"),
+      Ann.normFast(col(embCol)).as("__bn__")))
+    corpus.select(col(idCol), col(embCol).as("__ce__"),
+        Ann.normFast(col(embCol)).as("__cn__"))
+      .join(b)
+      .groupBy(idCol)
+      .agg(sum((Ann.dotFast(col("__ce__"), col("__be__")) /
+          (col("__cn__") * col("__bn__")) >= tau).cast("long"))
+        .as("n_hits"))
+      .select(col(idCol), col("n_hits"),
+        (col("n_hits") > 0).as("contaminated"))
+  }
 }
 
 /** Corpus profile statistics: the length-distribution report every corpus

@@ -55,4 +55,78 @@ object Sketch {
       .groupBy(gramCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  // ---- HyperLogLog distinct-cardinality sketch ----------------------------
+
+  /** Hash width in bits: 15 md5 hex chars → 60 bits, the widest prefix
+    * `conv(…,16,10)` holds without signed-64 overflow (the CMS/DSIR/NB
+    * house hash, widened).
+    */
+  private val HashBits = 60
+
+  /** HyperLogLog register frame (Flajolet et al. 2007) — the
+    * CARDINALITY estimation gap beside [[cmsBuild]]'s frequency grid:
+    * exact `count(distinct token)` over 100 TB shuffles every distinct
+    * token; the HLL register frame shuffles AT MOST `2^p` rows (map-side
+    * combined `max`), and two corpora's register frames union-merge by
+    * the same `max` — see [[hllMerge]] — so per-shard sketches roll up
+    * without ever touching the raw corpus again.
+    *
+    * One row per NON-EMPTY register: (bucket, maxrho). bucket = the low
+    * `p` hash bits; rho = leading-zero count of the remaining
+    * `60-p` bits + 1, computed in BOTH engines as
+    * `(61-p) - length(ltrim(bin(h >> p), '0'))` — `bin` renders without
+    * leading zeros in Spark and DuckDB alike and `ltrim` guards the
+    * rem=0 row, so the whole register frame (and therefore the
+    * estimate) replays bit-exactly in SQL. Standard error ≈
+    * 1.04/√(2^p); p=9 → ~4.6%.
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val m = 1 << p
+    val h = conv(substring(md5(concat(lit("hll:"), col(itemCol))), 1, 15),
+      16, 10).cast("long")
+    items.select(h.as("__h__"))
+      .select((col("__h__") % m).as("bucket"),
+        (lit(HashBits - p + 1) -
+          length(ltrim(bin(shiftright(col("__h__"), p)), "0"))).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("maxrho"))
+  }
+
+  /** Merge two register frames (sketches of different corpora →
+    * sketch of the union): groupBy-max, still ≤ 2^p rows.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max("maxrho").as("maxrho"))
+
+  /** One-row cardinality estimate from a register frame. All-integer
+    * except the final division: the harmonic sum Σ 2^−Mj is carried as
+    * the INTEGER `harmonic_num` = Σ 2^(R−Mj) (R = 61−p; empty registers
+    * contribute 2^R; ≤ 2^p·2^R ≤ 2^61 — no overflow, no float-sum
+    * order sensitivity), and the estimate ships as `est_x1000` =
+    * ⌊est·1000 + 0.5⌋ so the only doubles crossing the engine boundary
+    * come from one literal-folded constant and one division — bit-exact
+    * replay. Small-range linear counting (raw ≤ 2.5m, zeros > 0) is
+    * included for spec-level use on tiny sets; the `alpha_m` constant
+    * assumes m ≥ 128.
+    */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val r = HashBits - p + 1
+    val mD = m.toDouble
+    val alphaM2R = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(mD)) *
+      lit(mD) * lit(mD) * lit(math.pow(2.0, r))
+    val zeros = lit(m.toLong) - col("n_nonempty")
+    val raw = alphaM2R / col("harmonic_num").cast("double")
+    val est = when(raw <= lit(2.5 * mD) && zeros > 0,
+      lit(mD) * log(lit(mD) / zeros.cast("double"))).otherwise(raw)
+    registers
+      .agg(count(lit(1)).as("n_nonempty"),
+        sum(pow(lit(2.0), lit(r.toDouble) - col("maxrho").cast("double"))
+          .cast("long")).as("hsum"))
+      .select(lit(m.toLong).as("m"), col("n_nonempty"),
+        zeros.as("zeros"),
+        (col("hsum") + zeros * lit(1L << r)).as("harmonic_num"))
+      .withColumn("est_x1000", floor(est * lit(1000.0) + lit(0.5)).cast("long"))
+  }
 }

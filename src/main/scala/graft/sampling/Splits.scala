@@ -43,6 +43,40 @@ object Splits {
     }
   }
 
+  /** Leakage-safe split: assign train/val/test by the row's DEDUP
+    * CLUSTER root, not its own id, so near-duplicates can never
+    * straddle a split boundary — the eval-leakage failure mode plain
+    * [[hashSplit]] has on an undeduplicated (or deliberately
+    * duplicate-retaining) corpus: a test document's near-copy sitting
+    * in train. Composes the minhash clustering
+    * ([[graft.dedup.MinHashDedup.componentRoots]] — shared driver
+    * UnionFind ↔ distributed min-label crossover, bounded edge probe)
+    * with the hash-threshold assignment: every member of a cluster
+    * hashes the SAME root, so whole clusters move between splits as a
+    * unit, and singleton rows (the overwhelming majority) hash their
+    * own id — identical to plain hashSplit. Assignment stays stable
+    * under incremental rebuilds for rows whose cluster membership is
+    * unchanged. Cost over hashSplit = exactly the dedup candidate
+    * pass, which a corpus running dedup pays anyway — reuse its roots.
+    *
+    * Returns (idCol, root, split) for every input row.
+    */
+  def leakageSafeSplit(df: DataFrame, textCol: String, idCol: String,
+      fractions: Seq[(String, Double)],
+      cfg: graft.dedup.MinHashConfig = graft.dedup.MinHashConfig(),
+      maxDriverEdges: Long = 10_000_000L,
+      bandedSink: Option[String] = None): DataFrame = {
+    import graft.dedup.MinHashDedup
+    val withId = MinHashDedup.assignId(df, Some(idCol))
+    // withId stays persisted through the returned (lazy) frame's final
+    // scan — same lifecycle as deduplicate()
+    MinHashDedup.componentRoots(withId,
+        MinHashDedup.candidateEdges(withId, textCol, cfg, bandedSink),
+        maxDriverEdges)
+      .select(col("id").as(idCol), col("root"),
+        hashSplit(col("root"), fractions).as("split"))
+  }
+
   /** Cap each group at `k` rows, chosen deterministically by
     * md5-of-key order (ties broken by the key itself) — per-domain capping
     * a la C4/RefinedWeb without a seed. One hash shuffle + per-group sort,

@@ -199,6 +199,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows(hinted) == rows(guarded))
   }
 
+  test("decon embedding: exact copy, near-copy and orthogonal rows") {
+    import spark.implicits._
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact copy: cos = 1
+      (2L, Array(0.97f, 0.2f, 0.0f, 0.0f)), // near-copy: cos ~ 0.979
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal: cos = 0
+      (4L, Array(0.6f, 0.8f, 0.0f, 0.0f)) // cos = 0.6 < tau
+    ).toDF("vec_id", "embedding")
+    val r = graft.analysis.Decon
+      .embeddingContaminated(corpus, bench, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    assert(r.toSeq == Seq((1L, 1L, true), (2L, 1L, true),
+      (3L, 0L, false), (4L, 0L, false)))
+  }
+
+  test("leakage-safe split: clusters move whole, singletons match hashSplit") {
+    import spark.implicits._
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = (0L until 60L).map { i =>
+      // ids 7, 23, 41 form one exact-duplicate cluster (root 7)
+      val t = if (i == 7L || i == 23L || i == 41L) dupText
+        else s"unique document number $i with its own words " +
+          s"repeated nowhere else ${i * 31} ${i * 17} ${i * 13}"
+      (i, t)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Splits.leakageSafeSplit(df, "text", "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.size == 60)
+    // the whole cluster shares root 7 and root 7's split
+    assert(out(7L)._1 == 7L && out(23L)._1 == 7L && out(41L)._1 == 7L)
+    assert(Set(out(7L)._2, out(23L)._2, out(41L)._2).size == 1)
+    // singletons root to themselves and match plain hashSplit
+    val plain = df.select(col("doc_id"),
+        Splits.hashSplit(col("doc_id"), fr).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 0L until 60L if i != 23L && i != 41L) {
+      assert(out(i)._1 == i)
+      assert(out(i)._2 == plain(i), s"doc $i")
+    }
+  }
+
+  test("decon embedding: benchmark broadcasts, one corpus-side shuffle") {
+    import spark.implicits._
+    val df = (0L until 100L)
+      .map(i => (i, Array.tabulate(8)(j => (i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.analysis.Decon
+      .embeddingContaminated(df, df.where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", 0.99)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("length histogram: non-positive lengths land in dedicated bucket 0") {
     import spark.implicits._
     val df = Seq((1L, -5L), (2L, 0L), (3L, 1L), (4L, 2L), (5L, 3L))

@@ -55,4 +55,47 @@ class SketchSpec extends AnyFunSuite {
       .as[(String, Long)].collect().head._2
     assert(est == 0L)
   }
+
+  private def hllEst(items: Seq[String], p: Int): Long =
+    Sketch.hllEstimate(Sketch.hllRegisters(items.toDF("t"), "t", p), p)
+      .select("est_x1000").as[Long].collect().head
+
+  test("hll estimate lands within the published error band") {
+    // 50k distinct items with duplicates mixed in; p=9 -> ~4.6% stderr,
+    // assert 3 sigma
+    val n = 50000
+    val items = (0 until n).map(i => s"item-$i") ++
+      (0 until 5000).map(i => s"item-${i * 7 % n}")
+    val est = hllEst(items, 9) / 1000.0
+    assert(math.abs(est - n) / n < 0.14, s"est $est vs $n")
+  }
+
+  test("hll is multiplicity-blind and partitioning-independent") {
+    val df = (1 to 2000).map(i => s"x${i % 300}").toDF("t")
+    val a = Sketch.hllRegisters(df, "t", 9)
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    val b = Sketch.hllRegisters(
+        df.repartition(7).distinct(), "t", 9)
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    assert(a == b)
+    assert(a.size <= 512)
+  }
+
+  test("hll merge of shard sketches equals the union sketch") {
+    val l = (1 to 4000).map(i => s"left-$i")
+    val r = (1 to 4000).map(i => s"right-$i") ++ l.take(1000)
+    val merged = Sketch.hllMerge(
+        Sketch.hllRegisters(l.toDF("t"), "t", 9),
+        Sketch.hllRegisters(r.toDF("t"), "t", 9))
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    val whole = Sketch.hllRegisters((l ++ r).toDF("t"), "t", 9)
+      .orderBy("bucket").as[(Long, Int)].collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("hll linear-counting branch covers tiny sets") {
+    // 40 distinct << 2.5m: raw HLL would bias; linear counting kicks in
+    val est = hllEst((1 to 40).map(i => s"t$i"), 9) / 1000.0
+    assert(math.abs(est - 40) <= 3, s"tiny est $est")
+  }
 }
