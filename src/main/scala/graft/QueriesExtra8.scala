@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   */
 object QueriesExtra8 {
 
+  private val d = "doc_id"
+
   /** p=9 → 512 registers, ~4.6% standard error — the corpus-stats
     * sweet spot (a vocabulary estimate, not a billing counter).
     */
@@ -103,6 +105,34 @@ object QueriesExtra8 {
         "FROM rts ORDER BY doc_id"
     })
 
+  /** Snapshot delta: old = documents minus every 11th id; new =
+    * documents minus every 13th-mod-5 id, with every 7th-mod-2 text
+    * amended — so all three statuses appear and interact (an id can be
+    * simultaneously absent-from-old and absent-from-new, which must
+    * emit NOTHING, covered by ids ≡ 0 mod 11 ∧ ≡ 5 mod 13).
+    */
+  val snapshotDiff: QueryDef = QueryDef("snapshot_diff",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+      val old = docs.where(col(d) % 11 =!= 0).select(col(d), col("text"))
+      val neu = docs.where(col(d) % 13 =!= 5).select(col(d),
+        when(col(d) % 7 === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      graft.sources.Sources.snapshotDiff(old, neu, d, "text")
+        .orderBy(d)
+    },
+    Some("WITH o AS (SELECT doc_id, text FROM documents WHERE " +
+      "doc_id % 11 <> 0), " +
+      "n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 2 THEN text || ' v2' " +
+      "ELSE text END AS text FROM documents WHERE doc_id % 13 <> 5), " +
+      "j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+      "o.doc_id IS NULL AS no_old, n.doc_id IS NULL AS no_new, " +
+      "o.text AS ot, n.text AS nt FROM o FULL OUTER JOIN n " +
+      "ON o.doc_id = n.doc_id) " +
+      "SELECT doc_id, CASE WHEN no_old THEN 'added' WHEN no_new THEN " +
+      "'removed' WHEN ot <> nt THEN 'changed' END AS status FROM j " +
+      "WHERE no_old OR no_new OR ot <> nt ORDER BY doc_id"))
+
   val all: Seq[QueryDef] = Seq(hllDistinct, deconEmbedding,
-    splitLeakageSafe)
+    splitLeakageSafe, snapshotDiff)
 }

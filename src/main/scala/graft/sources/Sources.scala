@@ -73,4 +73,34 @@ object Sources {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Snapshot delta between two corpus builds (incremental-crawl ops:
+    * "what did the new CommonCrawl dump change"): one full-outer join on
+    * the id, content compared by md5 — (id, status) with status in
+    * {added, removed, changed}; unchanged rows (the overwhelming
+    * majority between adjacent snapshots) are dropped so the delta, not
+    * the corpus, is the output. Downstream: `added ∪ changed` is
+    * exactly the increment to feed [[graft.dedup.MinHashDedup
+    * .deduplicateAgainst]] / `bloomDedupAgainst`, and `removed` the
+    * tombstone list.
+    *
+    * Scale shape: the join shuffles both snapshots on id once — with
+    * both snapshots published through [[publishBucketed]] on the id the
+    * join is shuffle-free; the md5 comparison is per-row codegen. No
+    * driver state, no collect.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), md5(coalesce(col(textCol), lit("")))
+      .as("__oh__"))
+    val n = newSnap.select(col(idCol), md5(coalesce(col(textCol), lit("")))
+      .as("__nh__"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__oh__").isNull, lit("added"))
+          .when(col("__nh__").isNull, lit("removed"))
+          .when(col("__oh__") =!= col("__nh__"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
 }

@@ -192,6 +192,27 @@ class PlanSpec extends AnyFunSuite {
     assert(count === 1, s"expected single StripWsExpr, got $count")
   }
 
+  test("hll registers partial-aggregate map-side into bounded exchanges") {
+    val p = plan("hll_distinct_tokens")
+    // register groupBy + the one-row estimate agg: two exchanges, both
+    // over >= 512-row frames — never a corpus-sized shuffle
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(400)}")
+    // partial_max before the exchange = map-side combine of registers
+    assert(p.contains("partial_max") || p.contains("partial_"), p.take(400))
+  }
+
+  test("snapshot diff plans one id-keyed join and nothing else") {
+    val p = plan("snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(300))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // at most the two join-input hash exchanges — no extra repartition
+    // (the rangepartitioning exchange is the query's own output orderBy)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(400))
+  }
+
   test("extensions class registers functions and rule on a fresh session") {
     val s2 = SparkSession.builder()
       .master("local[2]")

@@ -58,4 +58,18 @@ class SourcesSpec extends AnyFunSuite {
     // and the rows themselves survive
     assert(re.count() === flagship.count())
   }
+
+  test("snapshotDiff: added/removed/changed only, unchanged silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "after"), (5L, "fresh"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = graft.sources.Sources.snapshotDiff(old, neu, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    // id 4: null and "" hash identically through the coalesce — unchanged
+    assert(r == Seq((2L, "changed"), (3L, "removed"), (5L, "added")))
+  }
 }
