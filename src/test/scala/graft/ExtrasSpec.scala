@@ -621,6 +621,34 @@ class ExtrasSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming hll registers match batch; state bounded at 2^p by construction") {
+    // Sketch.hllRegisters is a plain select + groupBy-max, so the SAME
+    // function runs as a streaming aggregation: the registers ARE the
+    // state, bounded at 2^p rows regardless of stream length — the
+    // always-on "distinct tokens so far" counter needs no watermark.
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val regs = graft.analysis.Sketch.hllRegisters(
+      stream.select(explode(
+        graft.analysis.TermStats.words(col("text"))).as("tok")), "tok", 9)
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName("hllregs").start()
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    q.stop()
+    val got = spark.table("hllregs")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = graft.analysis.Sketch.hllRegisters(
+      Queries.table(spark, dir, "documents").select(explode(
+        graft.analysis.TermStats.words(col("text"))).as("tok")), "tok", 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === batch)
+    assert(stateRows.exists(n => n > 0 && n <= 512), s"state=$stateRows")
+  }
+
   test("streaming clean+filter runs the same operators as batch") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
