@@ -133,6 +133,32 @@ object QueriesExtra8 {
       "'removed' WHEN ot <> nt THEN 'changed' END AS status FROM j " +
       "WHERE no_old OR no_new OR ot <> nt ORDER BY doc_id"))
 
+  /** Soft dedup: same minhash config as `dedup_minhash`, but each kept
+    * representative carries weight = cluster size. Oracle replays the
+    * identical clustering chain and derives the weights with one GROUP
+    * BY over the (id, root) frame.
+    */
+  val dedupWeighted: QueryDef = QueryDef("dedup_weighted",
+    (s, dir) => graft.dedup.MinHashDedup.deduplicateWeighted(
+      Queries.table(s, dir, "documents"), "text",
+      graft.dedup.MinHashConfig(ngramSize = 3, minNgramSize = 3),
+      orderCol = Some(d),
+      bandedSink = QueriesExtra2.sinkOnce(QueriesExtra2
+        .bandedPath("minhash_weighted", QueriesExtra2.scaleKey(dir))))
+      .select(col(d), col("weight"))
+      .orderBy(d),
+    Some {
+      val glob = QueriesExtra2
+        .bandedPath("minhash_weighted", QueriesExtra2.OracleScaleKey) +
+        "/*.parquet"
+      "WITH RECURSIVE dsrc AS (SELECT doc_id AS id, text AS t FROM " +
+        "documents), " + QueriesExtra2.minhashCtes(glob, 3) + ", " +
+        "rts AS (SELECT d.id, coalesce(r.root, d.id) AS root FROM dsrc d " +
+        "LEFT JOIN root r ON d.id = r.id) " +
+        "SELECT root AS doc_id, CAST(count(*) AS BIGINT) AS weight " +
+        "FROM rts GROUP BY root ORDER BY doc_id"
+    })
+
   val all: Seq[QueryDef] = Seq(hllDistinct, deconEmbedding,
-    splitLeakageSafe, snapshotDiff)
+    splitLeakageSafe, snapshotDiff, dedupWeighted)
 }

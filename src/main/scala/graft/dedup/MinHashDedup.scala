@@ -456,6 +456,38 @@ object MinHashDedup {
     out
   }
 
+  /** Duplication-aware SOFT dedup: keep each cluster's first row and
+    * attach `weight` = cluster size instead of silently discarding the
+    * duplication signal — the representative can then be up-weighted in
+    * the training loss (or duplicate-count-aware sampled) so the
+    * training distribution matches the crawl distribution without the
+    * n× compute of physically repeating near-identical rows. Hard
+    * [[deduplicate]] is this with the weight thrown away: the kept set
+    * is IDENTICAL (same clustering, same keep-first minima) and
+    * Σ weight = corpus rows — both spec-pinned.
+    *
+    * Plan shape: the clustering pass is exactly [[componentRoots]]
+    * (shared driver ↔ distributed crossover); on top of it, one
+    * map-side-combined count over the tiny (id, root) pairs and one
+    * id-keyed join of the kept-count-sized weight frame back to the
+    * corpus (AQE broadcasts it when small). No driver state beyond what
+    * the clustering already holds.
+    */
+  def deduplicateWeighted(df: DataFrame, column: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None,
+      bandedSink: Option[String] = None): DataFrame = {
+    val withId = assignId(df, orderCol)
+    val weights = componentRoots(withId,
+        candidateEdges(withId, column, cfg, bandedSink), maxDriverEdges)
+      .groupBy("root").agg(count(lit(1)).as("weight"))
+      .withColumnRenamed("root", IdCol)
+    // inner join on id == root: a row survives iff it is its cluster's
+    // representative (singletons root to themselves)
+    withId.join(weights, Seq(IdCol)).drop(IdCol)
+  }
+
   /** Near-dedup `df` on `column`, keeping each cluster's first row
     * (min id == first in row order, matching the reference's contiguous-id
     * keep-first semantics — monotonically_increasing_id preserves row

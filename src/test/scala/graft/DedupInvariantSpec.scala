@@ -218,6 +218,25 @@ class DedupInvariantSpec extends AnyFunSuite {
     assert(hist.map { case (sz, n) => sz * n }.sum == corpus.count())
   }
 
+  test("deduplicateWeighted: kept set == hard dedup, weights conserve the corpus") {
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val corpus = corpusWithDupes
+    val weighted = MinHashDedup.deduplicateWeighted(
+        corpus, "text", cfg, orderCol = Some("doc_id"))
+      .select("doc_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hard = MinHashDedup.deduplicate(
+        corpus, "text", cfg, orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // soft dedup keeps exactly the hard-dedup representatives...
+    assert(weighted.keySet == hard,
+      s"extra=${weighted.keySet -- hard}, missing=${hard -- weighted.keySet}")
+    // ...weights conserve the corpus, and duplication is really counted
+    assert(weighted.values.sum == corpus.count())
+    assert(weighted.values.exists(_ > 1L), "no cluster weight > 1")
+    assert(weighted.values.forall(_ >= 1L))
+  }
+
   test("flagship audited dedup: stats on, exactly ONE clustering executed") {
     // VERDICT r8 #5: the flagship config now sets audit_stats, so its
     // dedup gate must go through deduplicateWithStats — histogram logged
