@@ -456,6 +456,26 @@ object MinHashDedup {
     out
   }
 
+  /** PUBLIC (id, root) cluster-membership frame — every row maps to its
+    * near-dup cluster representative (singletons to themselves), id =
+    * `orderCol` when given. The reusable clustering surface: run the
+    * candidate+clustering pass ONCE, then derive hard dedup (keep rows
+    * where id = root), [[deduplicateWeighted]]-style weights (count by
+    * root), cluster-size audits, and
+    * [[graft.sampling.Splits.leakageSafeSplitFromRoots]] — all as
+    * projections/aggregates over this one frame, instead of paying the
+    * signature+banding+clustering cost per consumer.
+    */
+  def clusterRoots(df: DataFrame, column: String,
+      cfg: MinHashConfig = MinHashConfig(),
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None,
+      bandedSink: Option[String] = None): DataFrame = {
+    val withId = assignId(df, orderCol)
+    componentRoots(withId,
+      candidateEdges(withId, column, cfg, bandedSink), maxDriverEdges)
+  }
+
   /** Duplication-aware SOFT dedup: keep each cluster's first row and
     * attach `weight` = cluster size instead of silently discarding the
     * duplication signal — the representative can then be up-weighted in

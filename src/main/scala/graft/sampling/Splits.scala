@@ -65,17 +65,20 @@ object Splits {
       fractions: Seq[(String, Double)],
       cfg: graft.dedup.MinHashConfig = graft.dedup.MinHashConfig(),
       maxDriverEdges: Long = 10_000_000L,
-      bandedSink: Option[String] = None): DataFrame = {
-    import graft.dedup.MinHashDedup
-    val withId = MinHashDedup.assignId(df, Some(idCol))
-    // withId stays persisted through the returned (lazy) frame's final
-    // scan — same lifecycle as deduplicate()
-    MinHashDedup.componentRoots(withId,
-        MinHashDedup.candidateEdges(withId, textCol, cfg, bandedSink),
-        maxDriverEdges)
-      .select(col("id").as(idCol), col("root"),
-        hashSplit(col("root"), fractions).as("split"))
-  }
+      bandedSink: Option[String] = None): DataFrame =
+    leakageSafeSplitFromRoots(
+      graft.dedup.MinHashDedup.clusterRoots(df, textCol, cfg,
+        maxDriverEdges, Some(idCol), bandedSink), idCol, fractions)
+
+  /** The assignment alone, over an EXISTING (id, root) frame — e.g. the
+    * [[graft.dedup.MinHashDedup.clusterRoots]] of the dedup pass the
+    * pipeline already ran. Pure projection: zero additional shuffles,
+    * stays inside whole-stage codegen like [[hashSplit]].
+    */
+  def leakageSafeSplitFromRoots(roots: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame =
+    roots.select(col("id").as(idCol), col("root"),
+      hashSplit(col("root"), fractions).as("split"))
 
   /** Cap each group at `k` rows, chosen deterministically by
     * md5-of-key order (ties broken by the key itself) — per-domain capping

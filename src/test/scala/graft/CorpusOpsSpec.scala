@@ -245,6 +245,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(out(i)._1 == i)
       assert(out(i)._2 == plain(i), s"doc $i")
     }
+    // the reuse path — assignment over a pre-computed roots frame — is
+    // the same function applied to clusterRoots, so it must agree
+    val viaRoots = Splits.leakageSafeSplitFromRoots(
+        graft.dedup.MinHashDedup.clusterRoots(df, "text",
+          orderCol = Some("doc_id")), "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(viaRoots == out)
   }
 
   test("decon embedding: benchmark broadcasts, one corpus-side shuffle") {
