@@ -235,6 +235,13 @@ class DedupInvariantSpec extends AnyFunSuite {
     assert(weighted.values.sum == corpus.count())
     assert(weighted.values.exists(_ > 1L), "no cluster weight > 1")
     assert(weighted.values.forall(_ >= 1L))
+    // and the public clusterRoots frame derives the same kept set as a
+    // pure filter — the "one clustering, every consumer" surface
+    val viaRoots = MinHashDedup.clusterRoots(
+        corpus, "text", cfg, orderCol = Some("doc_id"))
+      .where(col("id") === col("root"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaRoots == hard)
   }
 
   test("flagship audited dedup: stats on, exactly ONE clustering executed") {
