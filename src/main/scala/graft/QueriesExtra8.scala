@@ -159,6 +159,66 @@ object QueriesExtra8 {
         "FROM rts GROUP BY root ORDER BY doc_id"
     })
 
+  /** The incremental-ingestion E2E: snapshot delta → increment rows →
+    * Bloom dedup against the retained old corpus → keep-first exact
+    * dedup WITHIN the increment — the nightly-dump path a 100 TB corpus
+    * actually runs (|delta| work, not |corpus|). Every stage is an
+    * already-oracled operator; this query pins their COMPOSITION with a
+    * full SQL replay (the Bloom coincides with the exact anti-join at
+    * fpp=1e-9 — the dedup_bloom_against argument). The construction
+    * makes every stage demonstrably fire: ≡3 mod 19 docs carry a
+    * 2-class "seed" text in BOTH snapshots (unchanged when retained —
+    * must NOT enter the delta — but an ADDED seed doc collides with the
+    * old corpus and drops at the Bloom); ≡4 mod 23 docs CHANGE to seed
+    * text (a revert-to-existing-content edit — also Bloom-dropped);
+    * ≡6 mod 29 docs change to a 2-class "fresh" text absent from old,
+    * so their twins survive the Bloom together and collapse to the min
+    * doc_id at the within-increment keep-first.
+    */
+  val incrIngest: QueryDef = QueryDef("incr_ingest_e2e",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+      val two = (col(d) % 2).cast("string")
+      val seed = concat(lit("seed-"), two)
+      val old = docs.where(col(d) % 11 =!= 0).select(col(d),
+        when(col(d) % 19 === 3, seed).otherwise(col("text")).as("text"))
+      val neu = docs.where(col(d) % 13 =!= 5).select(col(d),
+        when(col(d) % 19 === 3, seed)
+          .when(col(d) % 23 === 4, seed)
+          .when(col(d) % 29 === 6, concat(lit("fresh-"), two))
+          .when(col(d) % 7 === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      val delta = graft.sources.Sources.snapshotDiff(old, neu, d, "text")
+        .where(col("status").isin("added", "changed"))
+      val increment = neu.join(delta, Seq(d))
+      val fresh = graft.dedup.ExactDedup.bloomDedupAgainst(
+        increment, old, "text", expectedItems = 10000L)
+      graft.dedup.ExactDedup.deduplicate(fresh, Seq(col("text")), col(d))
+        .select(col(d), col("status"))
+        .orderBy(d)
+    },
+    Some("WITH o AS (SELECT doc_id, CASE WHEN doc_id % 19 = 3 THEN " +
+      "'seed-' || (doc_id % 2) ELSE text END AS text FROM documents " +
+      "WHERE doc_id % 11 <> 0), " +
+      "n AS (SELECT doc_id, CASE WHEN doc_id % 19 = 3 THEN 'seed-' || " +
+      "(doc_id % 2) WHEN doc_id % 23 = 4 THEN 'seed-' || (doc_id % 2) " +
+      "WHEN doc_id % 29 = 6 THEN 'fresh-' || (doc_id % 2) " +
+      "WHEN doc_id % 7 = 2 THEN text || ' v2' " +
+      "ELSE text END AS text FROM documents WHERE doc_id % 13 <> 5), " +
+      "j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+      "o.doc_id IS NULL AS no_old, n.doc_id IS NULL AS no_new, " +
+      "o.text AS ot, n.text AS nt FROM o FULL OUTER JOIN n " +
+      "ON o.doc_id = n.doc_id), " +
+      "delta AS (SELECT doc_id, CASE WHEN no_old THEN 'added' " +
+      "WHEN ot <> nt THEN 'changed' END AS status FROM j " +
+      "WHERE no_old OR (NOT no_new AND ot <> nt)), " +
+      "inc AS (SELECT n.doc_id, n.text, delta.status FROM n " +
+      "JOIN delta USING (doc_id)), " +
+      "fresh AS (SELECT * FROM inc WHERE text NOT IN " +
+      "(SELECT text FROM o)) " +
+      "SELECT doc_id, status FROM fresh QUALIFY row_number() OVER " +
+      "(PARTITION BY text ORDER BY doc_id) = 1 ORDER BY doc_id"))
+
   val all: Seq[QueryDef] = Seq(hllDistinct, deconEmbedding,
-    splitLeakageSafe, snapshotDiff, dedupWeighted)
+    splitLeakageSafe, snapshotDiff, dedupWeighted, incrIngest)
 }
