@@ -219,6 +219,45 @@ object QueriesExtra8 {
       "SELECT doc_id, status FROM fresh QUALIFY row_number() OVER " +
       "(PARTITION BY text ORDER BY doc_id) = 1 ORDER BY doc_id"))
 
+  /** Per-language vocabulary sizes — the grouped-sketch data-card line:
+    * one map-side-combined pass yields an independent 512-register
+    * sketch per language (≤ |langs|·512 rows shuffle), same fix-point
+    * arithmetic per group.
+    */
+  val hllVocabByLang: QueryDef = QueryDef("hll_vocab_by_lang",
+    (s, dir) => {
+      import graft.analysis.{Sketch, TermStats}
+      val toks = Queries.table(s, dir, "documents")
+        .select(col("lang"),
+          explode(TermStats.words(col("text"))).as("tok"))
+      Sketch.hllEstimateBy(
+        Sketch.hllRegistersBy(toks, Seq("lang"), "tok", HllP),
+        Seq("lang"), HllP)
+        .orderBy("lang")
+    },
+    Some("WITH w AS (SELECT lang, list_filter(regexp_split_to_array(" +
+      "lower(text), '[^a-z0-9_]+'), x -> x <> '') AS ws FROM documents), " +
+      "tok AS (SELECT lang, unnest(ws) AS t FROM w), " +
+      "h AS (SELECT lang, ('0x' || substr(md5('hll:' || t), 1, 15))" +
+      "::BIGINT AS h FROM tok), " +
+      "reg AS (SELECT lang, h % 512 AS bucket, max(52 - length(ltrim(" +
+      "bin(h >> 9), '0'))) AS maxrho FROM h GROUP BY 1, 2), " +
+      "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_nonempty, " +
+      "CAST(sum(CAST(power(2, 52 - maxrho) AS BIGINT)) AS BIGINT) " +
+      "AS hsum FROM reg GROUP BY 1), " +
+      "f AS (SELECT lang, CAST(512 AS BIGINT) AS m, n_nonempty, " +
+      "CAST(512 - n_nonempty AS BIGINT) AS zeros, " +
+      "CAST(hsum + (512 - n_nonempty) * 4503599627370496 AS BIGINT) " +
+      "AS harmonic_num FROM s), " +
+      "e AS (SELECT *, CASE WHEN 0.7213/(1+1.079/512.0)*512.0*512.0*" +
+      "4503599627370496.0/harmonic_num <= 1280.0 AND zeros > 0 " +
+      "THEN 512.0 * ln(512.0/zeros) ELSE 0.7213/(1+1.079/512.0)*512.0*" +
+      "512.0*4503599627370496.0/harmonic_num END AS est FROM f) " +
+      "SELECT lang, m, n_nonempty, zeros, harmonic_num, " +
+      "CAST(floor(est * 1000.0 + 0.5) AS BIGINT) AS est_x1000 FROM e " +
+      "ORDER BY lang"))
+
   val all: Seq[QueryDef] = Seq(hllDistinct, deconEmbedding,
-    splitLeakageSafe, snapshotDiff, dedupWeighted, incrIngest)
+    splitLeakageSafe, snapshotDiff, dedupWeighted, incrIngest,
+    hllVocabByLang)
 }

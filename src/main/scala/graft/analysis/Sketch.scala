@@ -81,16 +81,26 @@ object Sketch {
     * estimate) replays bit-exactly in SQL. Standard error ≈
     * 1.04/√(2^p); p=9 → ~4.6%.
     */
-  def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame = {
+  def hllRegisters(items: DataFrame, itemCol: String, p: Int): DataFrame =
+    hllRegistersBy(items, Nil, itemCol, p)
+
+  /** Grouped register frames — one independent sketch per key tuple
+    * (per-language vocabulary, per-source dedup-key cardinality, …):
+    * ≤ |keys| × 2^p rows out of ONE map-side-combined aggregate, the
+    * data-card granularity without |keys| corpus passes.
+    */
+  def hllRegistersBy(items: DataFrame, keys: Seq[String], itemCol: String,
+      p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p out of range: $p")
     val m = 1 << p
     val h = conv(substring(md5(concat(lit("hll:"), col(itemCol))), 1, 15),
       16, 10).cast("long")
-    items.select(h.as("__h__"))
-      .select((col("__h__") % m).as("bucket"),
+    items.select(keys.map(col) :+ h.as("__h__"): _*)
+      .select(keys.map(col) ++ Seq((col("__h__") % m).as("bucket"),
         (lit(HashBits - p + 1) -
-          length(ltrim(bin(shiftright(col("__h__"), p)), "0"))).as("rho"))
-      .groupBy("bucket").agg(max(col("rho")).as("maxrho"))
+          length(ltrim(bin(shiftright(col("__h__"), p)), "0"))).as("rho")): _*)
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("maxrho"))
   }
 
   /** Merge two register frames (sketches of different corpora →
@@ -110,7 +120,14 @@ object Sketch {
     * included for spec-level use on tiny sets; the `alpha_m` constant
     * assumes m ≥ 128.
     */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    hllEstimateBy(registers, Nil, p)
+
+  /** Per-key estimates from a [[hllRegistersBy]] frame — same integer
+    * harmonic-sum / fix-point arithmetic, one row per key tuple.
+    */
+  def hllEstimateBy(registers: DataFrame, keys: Seq[String],
+      p: Int): DataFrame = {
     val m = 1 << p
     val r = HashBits - p + 1
     val mD = m.toDouble
@@ -121,12 +138,13 @@ object Sketch {
     val est = when(raw <= lit(2.5 * mD) && zeros > 0,
       lit(mD) * log(lit(mD) / zeros.cast("double"))).otherwise(raw)
     registers
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_nonempty"),
         sum(pow(lit(2.0), lit(r.toDouble) - col("maxrho").cast("double"))
           .cast("long")).as("hsum"))
-      .select(lit(m.toLong).as("m"), col("n_nonempty"),
-        zeros.as("zeros"),
-        (col("hsum") + zeros * lit(1L << r)).as("harmonic_num"))
+      .select(keys.map(col) ++ Seq(lit(m.toLong).as("m"),
+        col("n_nonempty"), zeros.as("zeros"),
+        (col("hsum") + zeros * lit(1L << r)).as("harmonic_num")): _*)
       .withColumn("est_x1000", floor(est * lit(1000.0) + lit(0.5)).cast("long"))
   }
 }

@@ -93,6 +93,21 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("grouped hll equals independent per-group sketches") {
+    val rows = (1 to 6000).map(i => (s"g${i % 3}", s"item-${i % 997}"))
+    val df = rows.toDF("grp", "t")
+    val grouped = Sketch.hllEstimateBy(
+        Sketch.hllRegistersBy(df, Seq("grp"), "t", 9), Seq("grp"), 9)
+      .orderBy("grp")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toSeq
+    val independent = (0 to 2).map { g =>
+      s"g$g" -> Sketch.hllEstimate(Sketch.hllRegisters(
+          df.where(col("grp") === s"g$g"), "t", 9), 9)
+        .select("est_x1000").as[Long].collect().head
+    }
+    assert(grouped == independent)
+  }
+
   test("hll linear-counting branch covers tiny sets") {
     // 40 distinct << 2.5m: raw HLL would bias; linear counting kicks in
     val est = hllEst((1 to 40).map(i => s"t$i"), 9) / 1000.0
