@@ -118,7 +118,9 @@ object QueriesExtra3 {
       graft.dedup.ExactDedup.bloomDedupAgainst(
         docs.where(col("doc_id") % 2 === 1),
         docs.where(col("doc_id") % 2 === 0),
-        "text", expectedItems = 10000L, fpp = 1e-9)
+        // auto-size from the measured ref count (ADVICE r9: 10000 was
+        // ~2.5× oversubscribed at sf1 — degraded fpp, silent drops there)
+        "text", expectedItems = 0L, fpp = 1e-9)
         .select("doc_id").orderBy("doc_id")
     },
     Some("SELECT doc_id FROM documents WHERE doc_id % 2 = 1 AND text " +

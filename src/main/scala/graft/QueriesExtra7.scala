@@ -123,7 +123,11 @@ object QueriesExtra7 {
       graft.analysis.Decon.bloomContaminated(
         docs.where(col("doc_id") % 7 =!= 0),
         docs.where(col("doc_id") % 7 === 0),
-        "doc_id", "text", DeconN, expectedItems = 100000L, fpp = 1e-9)
+        // auto-size: the 100000 constant was enough at the oracle scales
+        // but ~5.8× oversubscribed at sf1 (the incr_ingest_e2e hazard,
+        // ADVICE r9) — the measured distinct-gram count keeps fpp=1e-9
+        // at every scale
+        "doc_id", "text", DeconN, expectedItems = 0L, fpp = 1e-9)
         .orderBy("doc_id")
     },
     Some {

@@ -40,8 +40,8 @@ object QueriesExtra8 {
       "reg AS (SELECT h % 512 AS bucket, max(52 - length(ltrim(" +
       "bin(h >> 9), '0'))) AS maxrho FROM h GROUP BY 1), " +
       "s AS (SELECT CAST(count(*) AS BIGINT) AS n_nonempty, " +
-      "CAST(sum(CAST(power(2, 52 - maxrho) AS BIGINT)) AS BIGINT) " +
-      "AS hsum FROM reg), " +
+      "CAST(coalesce(sum(CAST(power(2, 52 - maxrho) AS BIGINT)), 0) " +
+      "AS BIGINT) AS hsum FROM reg), " +
       "f AS (SELECT CAST(512 AS BIGINT) AS m, n_nonempty, " +
       "CAST(512 - n_nonempty AS BIGINT) AS zeros, " +
       "CAST(hsum + (512 - n_nonempty) * 4503599627370496 AS BIGINT) " +
@@ -69,12 +69,16 @@ object QueriesExtra8 {
     },
     Some("WITH b AS (SELECT embedding::DOUBLE[] AS be FROM embeddings " +
       "WHERE vec_id % 17 = 3), " +
-      "c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings), " +
-      "s AS (SELECT vec_id, CASE WHEN list_dot_product(ce, be) / " +
-      "(sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(be, be)))" +
-      " >= 0.9 THEN 1 ELSE 0 END AS hit FROM c, b) " +
-      "SELECT vec_id, CAST(sum(hit) AS BIGINT) AS n_hits, " +
-      "sum(hit) > 0 AS contaminated FROM s GROUP BY 1 ORDER BY vec_id"))
+      "c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings) " +
+      // left join on the guarded hit predicate — mirrors the engine's
+      // zero-norm guard + per-row contract (ADVICE r9)
+      "SELECT c.vec_id, CAST(count(b.be) AS BIGINT) AS n_hits, " +
+      "count(b.be) > 0 AS contaminated FROM c LEFT JOIN b ON " +
+      "list_dot_product(c.ce, c.ce) > 0 AND " +
+      "list_dot_product(b.be, b.be) > 0 AND " +
+      "list_dot_product(c.ce, b.be) / (sqrt(list_dot_product(c.ce, c.ce))" +
+      " * sqrt(list_dot_product(b.be, b.be))) >= 0.9 " +
+      "GROUP BY 1 ORDER BY vec_id"))
 
   /** Leakage-safe splits over the documents corpus: same minhash config
     * as `dedup_minhash`, split fractions as `split_hash_assign` — but
@@ -191,8 +195,11 @@ object QueriesExtra8 {
       val delta = graft.sources.Sources.snapshotDiff(old, neu, d, "text")
         .where(col("status").isin("added", "changed"))
       val increment = neu.join(delta, Seq(d))
+      // expectedItems <= 0 auto-sizes the Bloom from the measured old-
+      // corpus count (ADVICE r9: a hardcoded 10000 was 4.5× oversubscribed
+      // at sf1, silently degrading fpp and dropping fresh rows there)
       val fresh = graft.dedup.ExactDedup.bloomDedupAgainst(
-        increment, old, "text", expectedItems = 10000L)
+        increment, old, "text", expectedItems = 0L)
       graft.dedup.ExactDedup.deduplicate(fresh, Seq(col("text")), col(d))
         .select(col(d), col("status"))
         .orderBy(d)
@@ -243,8 +250,8 @@ object QueriesExtra8 {
       "reg AS (SELECT lang, h % 512 AS bucket, max(52 - length(ltrim(" +
       "bin(h >> 9), '0'))) AS maxrho FROM h GROUP BY 1, 2), " +
       "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_nonempty, " +
-      "CAST(sum(CAST(power(2, 52 - maxrho) AS BIGINT)) AS BIGINT) " +
-      "AS hsum FROM reg GROUP BY 1), " +
+      "CAST(coalesce(sum(CAST(power(2, 52 - maxrho) AS BIGINT)), 0) " +
+      "AS BIGINT) AS hsum FROM reg GROUP BY 1), " +
       "f AS (SELECT lang, CAST(512 AS BIGINT) AS m, n_nonempty, " +
       "CAST(512 - n_nonempty AS BIGINT) AS zeros, " +
       "CAST(hsum + (512 - n_nonempty) * 4503599627370496 AS BIGINT) " +

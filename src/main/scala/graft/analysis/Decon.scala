@@ -91,10 +91,27 @@ object Decon {
     */
   def bloomContaminated(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 13,
-      expectedItems: Long = 10_000_000L, fpp: Double = 1e-9): DataFrame = {
-    val bf = docGrams(benchmark, idCol, textCol, n)
-      .select("gram").distinct()
-      .stat.bloomFilter("gram", expectedItems, fpp)
+      expectedItems: Long = 0L, fpp: Double = 1e-9): DataFrame = {
+    val grams = docGrams(benchmark, idCol, textCol, n)
+      .select("gram").distinct().persist()
+    // same oversubscription guard as bloomDedupAgainst (ADVICE r9): an
+    // undersized filter degrades fpp silently — here that INFLATES hit
+    // counts rather than dropping rows, but the fpp=1e-9 contract still
+    // breaks. <= 0 auto-sizes from the measured distinct-gram count; an
+    // explicit undersized value fails loudly. The persist amortizes the
+    // gram explode across the count and the filter aggregate.
+    val gramCount = grams.count()
+    val sized =
+      if (expectedItems <= 0L) math.max(gramCount, 1L)
+      else {
+        require(gramCount <= expectedItems,
+          s"bloomContaminated: benchmark has $gramCount distinct grams > " +
+            s"expectedItems=$expectedItems — realized fpp would degrade; " +
+            "raise expectedItems or pass <= 0 to auto-size")
+        expectedItems
+      }
+    val bf = grams.stat.bloomFilter("gram", sized, fpp)
+    grams.unpersist()
     val b = corpus.sparkSession.sparkContext.broadcast(bf)
     val hitCount = udf { (s: String) =>
       val grams = graft.dedup.NgramJaccard.gramSet(s, n)
@@ -132,13 +149,24 @@ object Decon {
     import graft.similarity.Ann
     val b = broadcast(benchmark.select(col(embCol).as("__be__"),
       Ann.normFast(col(embCol)).as("__bn__")))
+    // LEFT OUTER with the hit predicate AS the join condition (ADVICE r9,
+    // two findings): (1) an inner cross join + groupBy silently dropped
+    // every corpus row when the benchmark was empty — left-outer keeps the
+    // per-row contract "(id, n_hits, contaminated) for every input row"
+    // with n_hits = 0; (2) a zero-norm embedding made the cosine 0/0 =
+    // NaN, and NaN >= tau is TRUE in both engines' comparison order — the
+    // `__cn__ > 0 AND __bn__ > 0` guard short-circuits before the divide,
+    // so degenerate vectors count as uncontaminated instead of matching
+    // everything. Still one BroadcastNestedLoopJoin pass, linear in the
+    // corpus; count("__bn__") counts only matched benchmark rows.
+    val hit = col("__cn__") > 0 && col("__bn__") > 0 &&
+      Ann.dotFast(col("__ce__"), col("__be__")) /
+        (col("__cn__") * col("__bn__")) >= tau
     corpus.select(col(idCol), col(embCol).as("__ce__"),
         Ann.normFast(col(embCol)).as("__cn__"))
-      .join(b)
+      .join(b, hit, "left_outer")
       .groupBy(idCol)
-      .agg(sum((Ann.dotFast(col("__ce__"), col("__be__")) /
-          (col("__cn__") * col("__bn__")) >= tau).cast("long"))
-        .as("n_hits"))
+      .agg(count(col("__bn__")).as("n_hits"))
       .select(col(idCol), col("n_hits"),
         (col("n_hits") > 0).as("contaminated"))
   }

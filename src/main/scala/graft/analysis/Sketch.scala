@@ -140,8 +140,13 @@ object Sketch {
     registers
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_nonempty"),
-        sum(pow(lit(2.0), lit(r.toDouble) - col("maxrho").cast("double"))
-          .cast("long")).as("hsum"))
+        // coalesce: a sum over ZERO register rows (empty corpus) is NULL,
+        // which would NULL the whole estimate chain; 0 degrades it to the
+        // linear-counting value m·ln(m/m) = 0 instead (ADVICE r9). The
+        // oracle SQL carries the same coalesce.
+        coalesce(sum(pow(lit(2.0),
+            lit(r.toDouble) - col("maxrho").cast("double")).cast("long")),
+          lit(0L)).as("hsum"))
       .select(keys.map(col) ++ Seq(lit(m.toLong).as("m"),
         col("n_nonempty"), zeros.as("zeros"),
         (col("hsum") + zeros * lit(1L << r)).as("harmonic_num")): _*)

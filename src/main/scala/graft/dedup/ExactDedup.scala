@@ -45,8 +45,28 @@ object ExactDedup {
     * bit array reaches the driver.
     */
   def bloomDedupAgainst(newDf: DataFrame, refDf: DataFrame, column: String,
-      expectedItems: Long, fpp: Double = 1e-9): DataFrame = {
-    val bf = refDf.stat.bloomFilter(column, expectedItems, fpp)
+      expectedItems: Long = 0L, fpp: Double = 1e-9): DataFrame = {
+    // ADVICE r9 (medium): an undersized filter silently degrades fpp —
+    // at 4.5× oversubscription the realized false-positive rate reaches
+    // tens of percent and genuinely-fresh rows are silently dropped, so
+    // the "Bloom ≡ exact anti-join at fpp=1e-9" contract only held at the
+    // scales where the hardcoded expectedItems happened to be big enough.
+    // The reference count is now measured (one cheap counting job, column-
+    // pruned at the scan): expectedItems <= 0 auto-sizes from it, and an
+    // explicit expectedItems that is OVERSUBSCRIBED fails loudly instead
+    // of corrupting results.
+    val refCount = refDf.count()
+    val sized =
+      if (expectedItems <= 0L) math.max(refCount, 1L)
+      else {
+        require(refCount <= expectedItems,
+          s"bloomDedupAgainst: reference has $refCount rows > " +
+            s"expectedItems=$expectedItems — realized fpp would degrade " +
+            "and silently drop fresh rows; raise expectedItems or pass " +
+            "<= 0 to auto-size")
+        expectedItems
+      }
+    val bf = refDf.stat.bloomFilter(column, sized, fpp)
     val b = newDf.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf { (v: String) => v != null && b.value.mightContainString(v) }
     newDf.where(!mightContain(col(column)))

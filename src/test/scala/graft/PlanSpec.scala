@@ -199,8 +199,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
     val exchanges = "Exchange ".r.findAllIn(p).size
     assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(400)}")
-    // partial_max before the exchange = map-side combine of registers
-    assert(p.contains("partial_max") || p.contains("partial_"), p.take(400))
+    // partial_max before the exchange = map-side combine of the REGISTER
+    // aggregate itself (ADVICE r9: a `partial_` fallback was vacuously
+    // satisfied by the estimate stage's partial_count)
+    assert(p.contains("partial_max"), p.take(400))
   }
 
   test("snapshot diff plans one id-keyed join and nothing else") {
