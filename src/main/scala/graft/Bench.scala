@@ -115,6 +115,16 @@ object Bench {
     // capture truncated the leading "value" field in BENCH_r05, so the
     // headline total must survive truncation from either side.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","reps":$repsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"warmup_sec":$warmupSec,"total_sec":$total,"n":${results.size}}""")
+    // VERDICT r9 #3: in BOTH r8 and r9 the driver's capture truncated the
+    // cost-descending best-values map out of the artifact — the (long)
+    // reps map consumed the visible tail. A SECOND, compact line follows
+    // the full one: headline fields + the top-20 best values only, no reps
+    // map — short enough to never truncate, and positioned LAST so a
+    // tail-keeping capture gets it whole while a head-keeping capture
+    // gets the full line instead. Either way the headline survives.
+    val top20 = byCost.take(20).map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"warmup_sec":$warmupSec,"top20":$top20,"total_sec":$total}""")
     spark.stop()
   }
 }
