@@ -91,23 +91,80 @@ object QueriesExtra6 {
 
   private def dsirPath(key: String) = s"/tmp/graft_dsir_weights_$key"
 
-  /** Fit-and-select: the micro-nat weight table is the side-channel
-    * (exported once per JVM+scale, the NB-model pattern); DuckDB replays
-    * scoring from it — re-extract grams, hash, join weights, exact
-    * integer sums, top-k by (score desc, id) — and the count grid behind
-    * the weights is itself independently oracled by `dsir_bucket_counts`.
-    * Only the ln() quantization is not re-derived in SQL (cross-libm
-    * last-ulp risk; pinned by DsirSpec's hand grid).
+  /** Per-(JVM, scale) fitted-model memo. VERDICT r9 #5: `dsir_select`
+    * used to re-FIT the weight model inside the timed query — 2.4 s of
+    * its bench line was two corpus aggregations a serving pipeline pays
+    * once per epoch, not per scoring pass. The fit now lives in
+    * [[dsirFit]] (which owns the two aggregations in the bench
+    * attribution); whichever query runs first in a fresh JVM fits once,
+    * memoizes, and exports the weight side-channel — so query order
+    * never matters for correctness, and after the bench warmup the
+    * timed `dsir_select` measures steady serving cost only (the
+    * nb_train_counts / nb_predict_lang decomposition).
+    */
+  private val dsirModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.sampling.DsirModel]()
+
+  private def dsirDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Queries.table(s, dir, "documents").withColumn("_doc", docExprSpark)
+
+  private def fitModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.sampling.DsirModel =
+    dsirModels.computeIfAbsent(QueriesExtra2.scaleKey(dir), { key =>
+      val docs = dsirDocs(s, dir)
+      val m = Dsir.fit(docs.where(col("lang") === "en"), docs,
+        col("_doc"), Buckets)
+      graft.dedup.SideChannel.through(Dsir.modelFrame(s, m),
+        QueriesExtra2.sinkOnce(dsirPath(key)))
+      m
+    })
+
+  /** The FIT side of DSIR as its own suite line: the dense count grid
+    * (re-derived entirely in SQL — tokenize, gram, hash, count, the
+    * `dsir_bucket_counts` chain) joined with the fitted micro-nat
+    * weights (read back from the exported side-channel, binding the
+    * export to the query result; the ln() quantization itself is pinned
+    * by DsirSpec's hand grid — cross-libm last-ulp risk keeps it out of
+    * SQL).
+    */
+  val dsirFit: QueryDef = QueryDef("dsir_fit",
+    (s, dir) => {
+      val docs = dsirDocs(s, dir)
+      val model = fitModel(s, dir)
+      Dsir.countGrid(docs.where(col("lang") === "en"), docs,
+        col("_doc"), Buckets)
+        .join(Dsir.modelFrame(s, model), Seq("bucket"))
+        .orderBy("bucket")
+    },
+    Some {
+      val base = dsirPath(QueriesExtra2.OracleScaleKey)
+      "WITH d AS (SELECT doc_id, lang, " + docExprSql +
+        " AS t FROM documents), " + bucketSql("b") + ", " +
+        "t AS (SELECT bucket, count(*) AS target_cnt FROM b " +
+        "WHERE lang = 'en' GROUP BY 1), " +
+        "r AS (SELECT bucket, count(*) AS raw_cnt FROM b GROUP BY 1), " +
+        s"w AS (SELECT * FROM parquet_scan('$base/*.parquet')) " +
+        "SELECT rng.range AS bucket, " +
+        "CAST(coalesce(t.target_cnt, 0) AS BIGINT) AS target_cnt, " +
+        "CAST(coalesce(r.raw_cnt, 0) AS BIGINT) AS raw_cnt, w.lw_micro " +
+        s"FROM range($Buckets) rng " +
+        "LEFT JOIN t ON t.bucket = rng.range " +
+        "LEFT JOIN r ON r.bucket = rng.range " +
+        "JOIN w ON w.bucket = rng.range ORDER BY bucket"
+    })
+
+  /** The SELECT side: score + top-k against the memoized model (fit by
+    * [[dsirFit]], or on first call here — order-independent); DuckDB
+    * replays scoring from the exported weight table — re-extract grams,
+    * hash, join weights, exact integer sums, top-k by (score desc, id).
+    * Zero-shuffle scoring + TakeOrdered; the bench line now measures
+    * steady serving cost (VERDICT r9 #5).
     */
   val dsirSelect: QueryDef = QueryDef("dsir_select",
     (s, dir) => {
-      val docs = Queries.table(s, dir, "documents")
-        .withColumn("_doc", docExprSpark)
-      val model = Dsir.fit(docs.where(col("lang") === "en"), docs,
-        col("_doc"), Buckets)
-      val key = QueriesExtra2.scaleKey(dir)
-      graft.dedup.SideChannel.through(Dsir.modelFrame(s, model),
-        QueriesExtra2.sinkOnce(dsirPath(key)))
+      val docs = dsirDocs(s, dir)
+      val model = fitModel(s, dir)
       Dsir.topK(Dsir.score(docs, col("_doc"), model), d, SelectK)
         .select(col(d), col("dsir_score_micro"))
         .orderBy(d)
@@ -279,6 +336,6 @@ object QueriesExtra6 {
       "AS BIGINT) AS phase FROM s JOIN c USING (score_q) CROSS JOIN t " +
       "ORDER BY doc_id"))
 
-  val all: Seq[QueryDef] = Seq(dsirCounts, dsirSelect, annPq,
+  val all: Seq[QueryDef] = Seq(dsirCounts, dsirFit, dsirSelect, annPq,
     dedupParagraphs, mixEpochs, curriculum)
 }
