@@ -131,5 +131,256 @@ object QueriesExtra9 {
         "WHERE r.root IS NULL OR r.root = d.id ORDER BY doc_id"
     })
 
-  val all: Seq[QueryDef] = Seq(incrNearDedup)
+  // ---- crawl-ingestion E2E composition ----
+
+  private val BoilerHtml = "<html><head><title>Shared Boiler</title>" +
+    "</head><body><p>this shared boilerplate page repeats across the " +
+    "whole crawl corpus today.</p><p>its second sentence also carries " +
+    "enough words to pass the filter.</p><p>and a third sentence keeps " +
+    "the document gate satisfied nicely.</p></body></html>"
+
+  /** Genuine markup per doc, C4-hostile by construction: a 2-word title
+    * line and a 2-word heading (C4 word-count kills), a good first
+    * sentence, a doc_id-conditional script (extractor must elide), a
+    * 2-word "short line.", a no-terminal-punct line, an even-doc-only
+    * third sentence (the document gate hinges on it), a conditional
+    * comment, and a closing sentence. ≡0 mod 9 docs are a constant
+    * boilerplate page (passes the gate, collapses at dedup).
+    */
+  private def crawlHtmlSpark: org.apache.spark.sql.Column = {
+    val normal = concat(
+      lit("<html><head><title>Crawl "), col(d).cast("string"),
+      lit("</title><style type=\"text/css\">p red</style></head><body>" +
+        "<h1>Heading "),
+      col(d).cast("string"), lit("</h1><p>"),
+      substring(col("text"), 1, 60), lit(" ends with a period today.</p>"),
+      when(col(d) % 3 === 0, lit("<script>var page = 1;</script>"))
+        .otherwise(lit("")),
+      lit("<p>short line.</p><p>"),
+      substring(col("text"), 61, 50), lit(" has no terminal punctuation</p>"),
+      when(col(d) % 2 === 0, lit("<p>an extra closing sentence appears " +
+        "here for even documents.</p>")).otherwise(lit("")),
+      when(col(d) % 4 === 0, lit("<!-- tracking comment -->"))
+        .otherwise(lit("")),
+      lit("<p>"), substring(col("text"), 111, 60),
+      lit(" wraps the final sentence correctly.</p></body></html>"))
+    when(col(d) % 9 === 0, lit(BoilerHtml)).otherwise(normal)
+  }
+
+  /** One genuine WARC conversion record per doc wrapping the HTML page
+    * (version line, headers, measured Content-Length, CRLF framing).
+    */
+  private def crawlWarcSpark: org.apache.spark.sql.Column = {
+    val crlf = "\r\n"
+    val html = crawlHtmlSpark
+    concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+        "WARC-Target-URI: https://crawl.example/p/"),
+      col(d).cast("string"), lit(crlf + "Content-Length: "),
+      length(html).cast("string"), lit(crlf + crlf),
+      html, lit(crlf + crlf)).cast("binary")
+  }
+
+  /** The crawl-ingestion COMPOSITION (VERDICT r9 #2): WARC record split →
+    * HTML text extraction → C4 line filter + document gate → keep-first
+    * exact dedup, chained the way a Common Crawl pipeline actually runs —
+    * the individual stages are already oracled (`warc_records`,
+    * `html_extract`, `c4_line_filter`), this query pins that they COMPOSE
+    * (the `incr_ingest_e2e` standard). Every stage demonstrably fires:
+    * the parser strips real WARC framing (headers never reach the page
+    * text), the extractor elides script/style/comment and splits blocks,
+    * C4 kills the title/heading/short/no-terminal lines, the 3-sentence
+    * gate admits even docs and boilerplate pages only, and dedup
+    * collapses the ≡0 mod 9 boilerplate class to its min doc_id. DuckDB
+    * composes the expected output from the same pieces without parsing a
+    * byte (the construction-inverting pattern all three stages use
+    * individually).
+    */
+  val crawlIngest: QueryDef = QueryDef("crawl_ingest_e2e",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+      val pages = docs
+        .withColumn("_recs", graft.sources.Warc.recordsUdf(crawlWarcSpark))
+        .select(col(d),
+          element_at(col("_recs"), 1).getField("payload").as("_html"))
+      val extracted = pages.select(col(d),
+        graft.text.Html.extractUdf(col("_html")).as("_page"))
+      val kept = graft.analysis.C4Filters.c4Signals(extracted, d, "_page")
+        .where(col("keep"))
+        .select(col(d), col("text_out"))
+      graft.dedup.ExactDedup.deduplicate(kept, Seq(col("text_out")), col(d))
+        .orderBy(d)
+    },
+    Some("WITH raw AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN " +
+      "'Shared Boiler' || chr(10) || " +
+      "'this shared boilerplate page repeats across the whole crawl " +
+      "corpus today.' || chr(10) || " +
+      "'its second sentence also carries enough words to pass the " +
+      "filter.' || chr(10) || " +
+      "'and a third sentence keeps the document gate satisfied nicely.' " +
+      "ELSE " +
+      "'Crawl ' || doc_id || chr(10) || 'Heading ' || doc_id || chr(10) " +
+      "|| substr(text, 1, 60) || ' ends with a period today.' || chr(10) " +
+      "|| 'short line.' || chr(10) || substr(text, 61, 50) || " +
+      "' has no terminal punctuation' || chr(10) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN 'an extra closing sentence appears " +
+      "here for even documents.' || chr(10) ELSE '' END) || " +
+      "substr(text, 111, 60) || ' wraps the final sentence correctly.' " +
+      "END AS t0 FROM documents), " +
+      // the extractor's whitespace normalization (the html_extract oracle)
+      "ext AS (SELECT doc_id, coalesce(list_aggregate(list_filter(" +
+      "list_transform(string_split(t0, chr(10)), x -> trim(" +
+      "regexp_replace(x, '[ \\t\\v\\f\\r]+', ' ', 'g'))), " +
+      "x -> x <> ''), 'string_agg', chr(10)), '') AS t FROM raw), " +
+      // the C4 line grammar + document gate (the c4_line_filter oracle)
+      "c4 AS (SELECT doc_id, t, coalesce(list_aggregate(list_filter(" +
+      "string_split(t, chr(10)), x -> substr(x, -1, 1) IN " +
+      "('.', '!', '?', '\"') AND len(list_filter(" +
+      "regexp_split_to_array(x, '\\s+'), w -> w <> '')) >= 5 AND " +
+      "instr(lower(x), 'javascript') = 0), 'string_agg', chr(10)), '') " +
+      "AS text_out FROM ext), " +
+      "g AS (SELECT doc_id, text_out FROM c4 WHERE " +
+      "CAST(len(regexp_split_to_array(text_out, '[.!?]')) - 1 AS INT) " +
+      ">= 3 AND instr(lower(t), 'lorem ipsum') = 0 AND " +
+      "instr(t, '{') = 0) " +
+      "SELECT doc_id, text_out FROM g QUALIFY row_number() OVER " +
+      "(PARTITION BY text_out ORDER BY doc_id) = 1 ORDER BY doc_id"))
+
+  // ---- edit-distance dedup over a non-ASCII corpus ----
+
+  /** The injected unicode corpus: vowels a/e/o become á/é/ø (BMP chars —
+    * Spark UTF-16 length == codepoints == DuckDB len, so the astral-plane
+    * length divergence stays out of scope by construction), and ≡0 mod 5
+    * docs gain a ' ñ ök' tail so exact-dup text classes turn into
+    * near-dup pairs whose Levenshtein path crosses multibyte characters.
+    */
+  private val uniTextSpark = concat(
+    translate(substring(col("text"), 1, 120), "aeo", "áéø"),
+    when(col(d) % 5 === 0, lit(" ñ ök")).otherwise(lit("")))
+
+  private val uniTextSql =
+    "translate(substr(text, 1, 120), 'aeo', 'áéø') || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ' ñ ök' ELSE '' END)"
+
+  /** Levenshtein-verified dedup with NON-ASCII text (VERDICT r9 #8): the
+    * one documented blind spot of `dedup_edit_distance` was that Spark's
+    * levenshtein counts CODEPOINT edits while DuckDB's counts BYTE edits,
+    * so its oracle corpus was pinned to ASCII. Here the corpus is
+    * deliberately accented and the oracle restores codepoint semantics
+    * with a TRANSLATE BIJECTION: every injected non-ASCII codepoint maps
+    * to a distinct ASCII char absent from the corpus ([a-z0-9_ ]-verified,
+    * targets ~ @ # ^ =), so DuckDB's byte-Levenshtein over the translated
+    * strings equals the codepoint distance over the originals, and the
+    * normalized similarity (len() is codepoint-based on both engines)
+    * replays bit-exactly.
+    */
+  val dedupEditDistUnicode: QueryDef = QueryDef("dedup_editdist_unicode",
+    (s, dir) => QueriesExtra2.sigOracledDedup(s,
+      Queries.table(s, dir, "documents")
+        .select(col(d), uniTextSpark.as("text")), d,
+      QueriesExtra2.bandedPath("editdistuni", QueriesExtra2.scaleKey(dir)),
+      (withId, sink) => graft.dedup.EditDistanceDedup.verifiedEdges(
+        withId, "text", 5, 0.8, MinHashConfig(), sink)),
+    Some {
+      val glob = QueriesExtra2
+        .bandedPath("editdistuni", QueriesExtra2.OracleScaleKey) +
+        "/*.parquet"
+      val tr = (c: String) => s"translate($c, 'áéøñö', '~@#^=')"
+      s"WITH RECURSIVE bnd AS (SELECT id, band, bsig FROM " +
+        s"parquet_scan('$glob')), " +
+        "lshm AS (SELECT id, min(id) OVER (PARTITION BY band, bsig) " +
+        "AS mn FROM bnd), " +
+        "cand AS (SELECT DISTINCT id AS a, mn AS b FROM lshm " +
+        "WHERE id <> mn), " +
+        s"d AS (SELECT doc_id AS did, $uniTextSql AS t FROM documents), " +
+        "v AS (SELECT c.a, c.b FROM cand c JOIN d da ON da.did = c.a " +
+        "JOIN d db ON db.did = c.b WHERE CASE WHEN greatest(len(da.t), " +
+        "len(db.t)) = 0 THEN 1.0 ELSE 1.0 - " +
+        s"levenshtein(${tr("da.t")}, ${tr("db.t")})::DOUBLE" +
+        " / greatest(len(da.t), len(db.t)) END >= 0.8), " +
+        "e0 AS (SELECT a, b FROM v), " + QueriesExtra2.closureFromE0 + " " +
+        "SELECT t.doc_id FROM documents t LEFT JOIN root r ON " +
+        "t.doc_id = r.id WHERE r.root IS NULL OR r.root = t.doc_id " +
+        "ORDER BY t.doc_id"
+    })
+
+  // ---- IVF-PQ top-k (the FAISS serving architecture, oracled) ----
+
+  private def ivfpqCellsPath(key: String) = s"/tmp/graft_ivfpq_cells_$key"
+  private def ivfpqProbedPath(key: String) = s"/tmp/graft_ivfpq_probed_$key"
+  private def ivfpqCodesPath(key: String) = s"/tmp/graft_ivfpq_codes_$key"
+  private def ivfpqAdcPath(key: String) = s"/tmp/graft_ivfpq_adc_$key"
+
+  private val ivfpqWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** IVF-PQ promoted from spec-only to an oracled suite query (VERDICT r9
+    * #4): coarse k-means cells prune the scan (`ann_ivf_topk` precedent —
+    * the cell assignment and the probe DECISION are exported), PQ codes +
+    * the micro-quantized ADC table compress the arithmetic (`ann_pq_topk`
+    * precedent), and DuckDB independently replays the PRUNED integer ADC
+    * ranking: restrict codes to vectors in probed cells, table-lookup
+    * integer sums, (distance, id) top-10. The float learning (k-means
+    * centroids, PQ codebooks) is Spark's — everything the corpus scan
+    * does at query time is re-derived in SQL.
+    */
+  val annIvfPq: QueryDef = QueryDef("ann_ivfpq_topk",
+    (s, dir) => {
+      import graft.similarity.{Ann, Pq}
+      val emb = Queries.table(s, dir, "embeddings")
+      val query = emb.orderBy("vec_id").limit(1)
+      val qv = query.select("embedding").collect()(0)
+        .getSeq[Float](0).toArray
+      val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
+        k = 8, iters = 3, trainFraction = 0.2).persist()
+      val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+        k = 16, iters = 5, maxTrain = 2000)
+      val encoded = Pq.encode(cells, "embedding", model, "_codes")
+      val key = QueriesExtra2.scaleKey(dir)
+      // write-then-claim (the ann_ivf_topk contract): the key is recorded
+      // only after ALL four exports succeed
+      if (!ivfpqWritten.contains(key)) {
+        cells.select(col("vec_id"), col("__cell__").as("cell"))
+          .write.mode("overwrite").parquet(ivfpqCellsPath(key))
+        Ann.probeCells(cells, query, "embedding", "__cell__", nprobe = 3)
+          .select(col("__cell__").as("cell"))
+          .write.mode("overwrite").parquet(ivfpqProbedPath(key))
+        Pq.codesFrame(encoded, "vec_id", "_codes")
+          .write.mode("overwrite").parquet(ivfpqCodesPath(key))
+        Pq.adcTable(s, qv, model)
+          .write.mode("overwrite").parquet(ivfpqAdcPath(key))
+        ivfpqWritten.add(key)
+        Seq(ivfpqCellsPath(key), ivfpqProbedPath(key), ivfpqCodesPath(key),
+          ivfpqAdcPath(key)).foreach(graft.dedup.SideChannel.record)
+      }
+      // prune against the just-written probe decision (shared with the
+      // oracle), then ADC-scan only the probed cells' codes
+      val probed = broadcast(s.read.parquet(ivfpqProbedPath(key))
+        .select(col("cell").as("__cell__")))
+      val out = Pq.adcTopK(
+        encoded.join(probed, Seq("__cell__"), "left_semi"),
+        "vec_id", "_codes", qv, model, 10)
+        .orderBy("rank")
+        .localCheckpoint(true)
+      cells.unpersist()
+      out
+    },
+    Some("WITH cells AS (SELECT * FROM parquet_scan('" +
+      ivfpqCellsPath(QueriesExtra2.OracleScaleKey) + "/*.parquet')), " +
+      "probed AS (SELECT cell FROM parquet_scan('" +
+      ivfpqProbedPath(QueriesExtra2.OracleScaleKey) + "/*.parquet')), " +
+      "codes AS (SELECT * FROM parquet_scan('" +
+      ivfpqCodesPath(QueriesExtra2.OracleScaleKey) + "/*.parquet')), " +
+      "t AS (SELECT * FROM parquet_scan('" +
+      ivfpqAdcPath(QueriesExtra2.OracleScaleKey) + "/*.parquet')), " +
+      "pr AS (SELECT c.vec_id FROM cells c WHERE c.cell IN " +
+      "(SELECT cell FROM probed)), " +
+      "s AS (SELECT codes.vec_id, CAST(sum(t.d2_micro) AS BIGINT) AS " +
+      "pq_d2_micro FROM codes JOIN pr USING (vec_id) " +
+      "JOIN t USING (sub, code) GROUP BY 1) " +
+      "SELECT row_number() OVER (ORDER BY pq_d2_micro, vec_id) AS rank, " +
+      "vec_id, pq_d2_micro FROM s ORDER BY rank LIMIT 10"))
+
+  val all: Seq[QueryDef] = Seq(incrNearDedup, crawlIngest,
+    dedupEditDistUnicode, annIvfPq)
 }
