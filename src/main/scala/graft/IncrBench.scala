@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{MinHashConfig, MinHashDedup}
+
+/** Measures the VERDICT r9 #1 claim: incremental near-dedup through the
+  * persisted banded-signature store costs |increment|, independent of the
+  * retained-corpus size — while the recompute path
+  * ([[MinHashDedup.deduplicateAgainst]]) scales with |corpus|.
+  *
+  * Setup: increment = the ≡0 mod 11 slice of `documents`; retained corpus
+  * = the rest, at 1× and 4× (the 4× copies carry distinct ids and a
+  * per-copy text suffix so they neither collapse into one text class nor
+  * change the increment's fate). Both stores are exported once (that cost
+  * is the nightly build, reported separately), then each path is timed
+  * best-of-N with caches dropped per rep — the Bench discipline.
+  *
+  * Prints one JSON line:
+  * {"recompute_1x":s,"recompute_4x":s,"store_1x":s,"store_4x":s,
+  *  "store_build_1x":s,"store_build_4x":s,...}
+  */
+object IncrBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeat = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inc = docs.where(col("doc_id") % 11 === 0)
+    val ref1 = docs.where(col("doc_id") % 11 =!= 0)
+    // 4× retained corpus: distinct ids, per-copy suffix keeps texts distinct
+    val ref4 = (0 until 4).map { k =>
+      ref1.select((col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+        concat(col("text"), lit(s" copy$k")).as("text"))
+    }.reduce(_ unionByName _)
+
+    def timed(f: () => Long): (Double, Long) = {
+      var best = Double.MaxValue
+      var rows = 0L
+      (1 to repeat).foreach { _ =>
+        spark.catalog.clearCache()
+        graft.dedup.MinHash.clearPermCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        rows = f()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, rows)
+    }
+
+    def buildStore(ref: DataFrame, tag: String): (DataFrame, Double) = {
+      val p = s"/tmp/graft_incrbench_store_$tag"
+      val t0 = System.nanoTime()
+      val st = MinHashDedup.exportBandedStore(ref, "text", p, cfg,
+        orderCol = Some("doc_id"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      (st, sec)
+    }
+
+    // warmup: one full pass of each shape (JIT + shingle-cache parity
+    // with the Bench discipline — timed reps then clear it)
+    MinHashDedup.deduplicateAgainst(inc, ref1, "text", cfg).count()
+    val (store1, build1) = buildStore(ref1, "1x")
+    val (store4, build4) = buildStore(ref4, "4x")
+    MinHashDedup.deduplicateAgainstStore(inc, store1, "text", cfg,
+      orderCol = Some("doc_id")).count()
+
+    val (r1, rows1) = timed(() =>
+      MinHashDedup.deduplicateAgainst(inc, ref1, "text", cfg).count())
+    val (r4, rows4) = timed(() =>
+      MinHashDedup.deduplicateAgainst(inc, ref4, "text", cfg).count())
+    val (s1, srows1) = timed(() =>
+      MinHashDedup.deduplicateAgainstStore(inc, store1, "text", cfg,
+        orderCol = Some("doc_id")).count())
+    val (s4, srows4) = timed(() =>
+      MinHashDedup.deduplicateAgainstStore(inc, store4, "text", cfg,
+        orderCol = Some("doc_id")).count())
+    // sanity: the two paths agree at 1× (the spec proves set equality;
+    // this pins it on the bench corpus too)
+    require(rows1 == srows1,
+      s"store path kept $srows1 rows, recompute kept $rows1")
+    println(s"""{"metric":"incr_near_dedup","sf":"$sfDir","inc_rows":${inc.count()},"ref1_rows":${ref1.count()},"ref4_rows":${ref4.count()},"recompute_1x":$r1,"recompute_4x":$r4,"store_1x":$s1,"store_4x":$s4,"store_build_1x":$build1,"store_build_4x":$build4,"kept_1x":$rows1,"kept_4x":$rows4,"store_kept_4x":$srows4}""")
+    spark.stop()
+  }
+}
