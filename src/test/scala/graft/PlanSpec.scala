@@ -215,6 +215,52 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(400))
   }
 
+  test("incr near-dedup result plan: no cartesian, no corpus re-shuffle") {
+    // building the frame runs the clustering eagerly (edge probe) and, in
+    // the common driver-UnionFind case, the RESULT plan must be just the
+    // increment scan + broadcast keep filter + output sort — the store
+    // never joins into the result path, only into the edge derivation
+    val p = plan("incr_near_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(400))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 0,
+      p.take(400))
+  }
+
+  test("crawl ingest composes narrow stages + one dedup window") {
+    val p = plan("crawl_ingest_e2e")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    // the only hash exchange is the keep-first window on text_out; the
+    // WARC/HTML/C4 chain is per-row (rangepartitioning = output orderBy)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      p.take(400))
+  }
+
+  test("ivf-pq: broadcast probe prune + TakeOrdered, never a global sort") {
+    // the suite query localCheckpoints its result (cache-release), which
+    // hides the plan — build the identical pre-checkpoint composition
+    import graft.similarity.{Ann, Pq}
+    val emb = Queries.table(spark, sf, "embeddings")
+    val query = emb.orderBy("vec_id").limit(1)
+    val qv = query.select("embedding").collect()(0).getSeq[Float](0).toArray
+    val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
+      k = 4, iters = 2, trainFraction = 0.5)
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+      k = 8, iters = 2, maxTrain = 200)
+    val encoded = Pq.encode(cells, "embedding", model, "_codes")
+    val probed = broadcast(
+      Ann.probeCells(cells, query, "embedding", "__cell__", nprobe = 2)
+        .select(col("__cell__")))
+    val out = Pq.adcTopK(
+      encoded.join(probed, Seq("__cell__"), "left_semi"),
+      "vec_id", "_codes", qv, model, 10)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p.take(400))
+    assert(p.contains("TakeOrdered"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("extensions class registers functions and rule on a fresh session") {
     val s2 = SparkSession.builder()
       .master("local[2]")
