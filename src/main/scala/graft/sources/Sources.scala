@@ -69,8 +69,20 @@ object Sources {
     */
   def publishBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit =
+    publishBucketedBy(df, table, Seq(bucketCol), buckets)
+
+  /** Multi-key bucketed publish — the layout
+    * [[graft.dedup.MinHashDedup.exportBandedStore]]'s docs point at: a
+    * banded-signature store bucketed on (band, bsig) joins the
+    * increment's banded frame with NO exchange on the store side (the
+    * big side — the increment is shuffled or broadcast to match), so
+    * the nightly band-join never re-shuffles the corpus-derived state.
+    */
+  def publishBucketedBy(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

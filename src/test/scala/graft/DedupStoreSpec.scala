@@ -135,4 +135,39 @@ class DedupStoreSpec extends AnyFunSuite {
       newIdOffset = MinHashDedup.NewIdOffset + 1000L))
     assert(kept2 === Set(8L), "a copy of a folded-in survivor must die")
   }
+
+  test("bucket-published store joins with no store-side exchange") {
+    // the 100 TB claim in exportBandedStore's docs: published bucketed on
+    // (band, bsig), the nightly band-join re-shuffles only the increment
+    // side — the corpus-derived store is read pre-partitioned
+    val ref = df(refRows)
+    val store = MinHashDedup.bandedStore(ref, "text", cfg, Some("id"))
+    // a stale managed-table LOCATION from an earlier JVM blocks CTAS even
+    // with SaveMode.Overwrite when the table isn't in this catalog
+    spark.sql("DROP TABLE IF EXISTS graft_store_bucketed_spec")
+    val loc = new java.io.File("/tmp/graft_warehouse/graft_store_bucketed_spec")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    graft.sources.Sources.publishBucketedBy(store,
+      "graft_store_bucketed_spec", Seq("band", "bsig"), 4)
+    val incBanded = MinHashDedup.bandedStore(df(newRows), "text", cfg,
+      Some("id")) // same (band, bsig, id) shape as the increment's frame
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val st = spark.table("graft_store_bucketed_spec")
+        .withColumnRenamed("id", "sid")
+      val j = incBanded.join(st, Seq("band", "bsig"))
+      val p = j.queryExecution.executedPlan.toString
+      // the bucketed scan reports its layout and pays no exchange; the
+      // single hashpartitioning exchange is the increment side aligning
+      assert(p.contains("Bucketed: true"), p.take(800))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+        p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
