@@ -93,6 +93,10 @@ object Bench {
         // (r2 driver bench showed 2-4× cross-query contamination)
         spark.catalog.clearCache()
         graft.dedup.MinHash.clearPermCache()
+        // dsir_fit must price the two fit aggregations, not a memo hit
+        // (VERDICT r10 #2); other queries (dsir_select, dsir_bucket_counts)
+        // keep the memo — they price steady serving by design
+        if (name == "dsir_fit") QueriesExtra6.clearFitMemo()
         System.gc()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -124,7 +128,9 @@ object Bench {
     // gets the full line instead. Either way the headline survives.
     val top20 = byCost.take(20).map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"warmup_sec":$warmupSec,"top20":$top20,"total_sec":$total}""")
+    // distinct metric name (ADVICE r10): a consumer filtering on
+    // "total" must see exactly ONE headline record per run
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"warmup_sec":$warmupSec,"top20":$top20,"total_sec":$total}""")
     spark.stop()
   }
 }

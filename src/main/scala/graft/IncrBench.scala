@@ -86,10 +86,13 @@ object IncrBench {
     val (s4, srows4) = timed(() =>
       MinHashDedup.deduplicateAgainstStore(inc, store4, "text", cfg,
         orderCol = Some("doc_id")).count())
-    // sanity: the two paths agree at 1× (the spec proves set equality;
-    // this pins it on the bench corpus too)
+    // sanity: the two paths agree at BOTH scales (the spec proves set
+    // equality; this pins it on the bench corpora too — ADVICE r10: a
+    // 4×-only divergence must not silently ship into PERF.md)
     require(rows1 == srows1,
-      s"store path kept $srows1 rows, recompute kept $rows1")
+      s"store path kept $srows1 rows at 1x, recompute kept $rows1")
+    require(rows4 == srows4,
+      s"store path kept $srows4 rows at 4x, recompute kept $rows4")
     println(s"""{"metric":"incr_near_dedup","sf":"$sfDir","inc_rows":${inc.count()},"ref1_rows":${ref1.count()},"ref4_rows":${ref4.count()},"recompute_1x":$r1,"recompute_4x":$r4,"store_1x":$s1,"store_4x":$s4,"store_build_1x":$build1,"store_build_4x":$build4,"kept_1x":$rows1,"kept_4x":$rows4,"store_kept_4x":$srows4}""")
     spark.stop()
   }

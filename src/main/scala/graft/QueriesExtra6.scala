@@ -105,6 +105,16 @@ object QueriesExtra6 {
   private val dsirModels = new java.util.concurrent.ConcurrentHashMap[
     String, graft.sampling.DsirModel]()
 
+  /** Bench-only (VERDICT r10 #2): clearing the memo before each timed
+    * `dsir_fit` repetition makes that line price the two fit
+    * aggregations instead of a memo hit (the untimed warmup populates
+    * the memo, so without this the fit line measured an export
+    * read-back). Cleared ONLY around `dsir_fit` — `dsir_select` must
+    * keep hitting the memo to price steady serving (the r9 #5
+    * decomposition).
+    */
+  private[graft] def clearFitMemo(): Unit = dsirModels.clear()
+
   private def dsirDocs(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     Queries.table(s, dir, "documents").withColumn("_doc", docExprSpark)

@@ -94,22 +94,16 @@ object Decon {
       expectedItems: Long = 0L, fpp: Double = 1e-9): DataFrame = {
     val grams = docGrams(benchmark, idCol, textCol, n)
       .select("gram").distinct().persist()
-    // same oversubscription guard as bloomDedupAgainst (ADVICE r9): an
+    // same sizing contract as bloomDedupAgainst (ADVICE r9 + r10): an
     // undersized filter degrades fpp silently — here that INFLATES hit
     // counts rather than dropping rows, but the fpp=1e-9 contract still
-    // breaks. <= 0 auto-sizes from the measured distinct-gram count; an
-    // explicit undersized value fails loudly. The persist amortizes the
-    // gram explode across the count and the filter aggregate.
-    val gramCount = grams.count()
+    // breaks. <= 0 auto-sizes from the measured distinct-gram count (the
+    // persist amortizes the gram explode across the count and the filter
+    // aggregate); an explicit expectedItems is trusted without a
+    // validation count — sizing correctly is then the caller's contract.
     val sized =
-      if (expectedItems <= 0L) math.max(gramCount, 1L)
-      else {
-        require(gramCount <= expectedItems,
-          s"bloomContaminated: benchmark has $gramCount distinct grams > " +
-            s"expectedItems=$expectedItems — realized fpp would degrade; " +
-            "raise expectedItems or pass <= 0 to auto-size")
-        expectedItems
-      }
+      if (expectedItems > 0L) expectedItems
+      else math.max(grams.count(), 1L)
     val bf = grams.stat.bloomFilter("gram", sized, fpp)
     grams.unpersist()
     val b = corpus.sparkSession.sparkContext.broadcast(bf)

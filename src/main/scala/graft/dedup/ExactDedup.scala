@@ -46,26 +46,19 @@ object ExactDedup {
     */
   def bloomDedupAgainst(newDf: DataFrame, refDf: DataFrame, column: String,
       expectedItems: Long = 0L, fpp: Double = 1e-9): DataFrame = {
-    // ADVICE r9 (medium): an undersized filter silently degrades fpp —
-    // at 4.5× oversubscription the realized false-positive rate reaches
-    // tens of percent and genuinely-fresh rows are silently dropped, so
-    // the "Bloom ≡ exact anti-join at fpp=1e-9" contract only held at the
-    // scales where the hardcoded expectedItems happened to be big enough.
-    // The reference count is now measured (one cheap counting job, column-
-    // pruned at the scan): expectedItems <= 0 auto-sizes from it, and an
-    // explicit expectedItems that is OVERSUBSCRIBED fails loudly instead
-    // of corrupting results.
-    val refCount = refDf.count()
+    // Sizing contract (ADVICE r9 + r10): an undersized filter silently
+    // degrades fpp — at 4.5× oversubscription the realized false-positive
+    // rate reaches tens of percent and genuinely-fresh rows are silently
+    // dropped. expectedItems <= 0 auto-sizes from a measured reference
+    // count (one column-pruned counting job). An EXPLICIT expectedItems
+    // is TRUSTED without validation (r10 advice): counting the reference
+    // to validate it costs a full pass over a potentially huge corpus per
+    // call, undercutting the "only the bit array reaches the driver" cost
+    // profile — so when you size explicitly, the no-oversubscription
+    // guarantee is YOUR contract; pass <= 0 to have it measured.
     val sized =
-      if (expectedItems <= 0L) math.max(refCount, 1L)
-      else {
-        require(refCount <= expectedItems,
-          s"bloomDedupAgainst: reference has $refCount rows > " +
-            s"expectedItems=$expectedItems — realized fpp would degrade " +
-            "and silently drop fresh rows; raise expectedItems or pass " +
-            "<= 0 to auto-size")
-        expectedItems
-      }
+      if (expectedItems > 0L) expectedItems
+      else math.max(refDf.count(), 1L)
     val bf = refDf.stat.bloomFilter(column, sized, fpp)
     val b = newDf.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf { (v: String) => v != null && b.value.mightContainString(v) }

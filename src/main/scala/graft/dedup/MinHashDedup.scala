@@ -230,11 +230,13 @@ object MinHashDedup {
     * Shared by every dedup variant; persisted because every variant scans
     * it at least twice (edge building + final keep filter).
     */
+  private[graft] def idExpr(orderCol: Option[String]): Column = orderCol match {
+    case Some(c) => col(c).cast(org.apache.spark.sql.types.LongType)
+    case None => monotonically_increasing_id()
+  }
+
   private[graft] def assignId(df: DataFrame, orderCol: Option[String]): DataFrame =
-    df.withColumn(IdCol, orderCol match {
-      case Some(c) => col(c).cast(org.apache.spark.sql.types.LongType)
-      case None => monotonically_increasing_id()
-    }).persist()
+    df.withColumn(IdCol, idExpr(orderCol)).persist()
 
   def signatureColumn(cfg: MinHashConfig): Column => Column = {
     val (b, r) = OptimalParam(cfg.threshold, cfg.numPerm)
@@ -668,11 +670,12 @@ object MinHashDedup {
   def bandedStore(refDf: DataFrame, column: String,
       cfg: MinHashConfig = MinHashConfig(),
       orderCol: Option[String] = None): DataFrame = {
-    val withId = assignId(refDf, orderCol)
+    // the ident-edge branch is discarded, so the corpus is scanned ONCE —
+    // no assignId persist (ADVICE r10: a cache unpersisted before the
+    // store materializes is pure bookkeeping overhead)
+    val withId = refDf.withColumn(IdCol, idExpr(orderCol))
     val (_, banded) = classEdgesAndBanded(withId, column, cfg)
-    val store = banded.groupBy("band", "bsig").agg(min(col("id")).as("id"))
-    withId.unpersist()
-    store
+    banded.groupBy("band", "bsig").agg(min(col("id")).as("id"))
   }
 
   /** Write a [[bandedStore]] to parquet, REPARTITIONED on (band, bsig) so
@@ -726,6 +729,11 @@ object MinHashDedup {
     * [[exportBandedStore]] contract). For multi-batch pipelines pass an
     * ever-growing ingest sequence as `orderCol` with `newIdOffset = 0`
     * and ids already above the store's.
+    *
+    * EAGER: the surviving rows (|increment|-bounded) are materialized via
+    * localCheckpoint and the internal withId/banded caches released
+    * before returning — the per-batch caller this API targets must not
+    * accumulate cached frames across batches (see [[clusterSizeStats]]).
     */
   def deduplicateAgainstStore(newDf: DataFrame, store: DataFrame,
       column: String, cfg: MinHashConfig = MinHashConfig(),
@@ -749,7 +757,16 @@ object MinHashDedup {
       .join(store.withColumnRenamed("id", "__sid__"), Seq("band", "bsig"))
       .select(col("id").as("__x__"), col("__sid__").as("__y__"))
       .distinct()
-    keepFirst(withId, incEdges.union(crossEdges), maxDriverEdges)
+    // EAGER, unlike the one-shot entry points (ADVICE r10): this API's
+    // whole premise is a long-lived nightly JVM calling it per batch, so
+    // leaking a cached withId/banded per call accumulates corpus copies
+    // (the clusterSizeStats hazard). The survivors are |increment|-
+    // bounded — localCheckpoint them, then release both caches.
+    val out = keepFirst(withId, incEdges.union(crossEdges), maxDriverEdges)
+      .localCheckpoint(true)
+    if (bandedSink.isEmpty) banded.unpersist()
+    withId.unpersist()
+    out
   }
 }
 

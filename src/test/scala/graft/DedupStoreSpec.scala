@@ -157,17 +157,39 @@ class DedupStoreSpec extends AnyFunSuite {
     val incBanded = MinHashDedup.bandedStore(df(newRows), "text", cfg,
       Some("id")) // same (band, bsig, id) shape as the increment's frame
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps the plan in a leaf AdaptiveSparkPlanExec; turn it off so
+    // the SortMergeJoin's branches are structurally inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val st = spark.table("graft_store_bucketed_spec")
         .withColumnRenamed("id", "sid")
       val j = incBanded.join(st, Seq("band", "bsig"))
-      val p = j.queryExecution.executedPlan.toString
-      // the bucketed scan reports its layout and pays no exchange; the
-      // single hashpartitioning exchange is the increment side aligning
-      assert(p.contains("Bucketed: true"), p.take(800))
-      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
-        p.take(800))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val exec = j.queryExecution.executedPlan
+      val smj = exec.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(smj.nonEmpty, exec.toString.take(800))
+      // the CLAIM is about the store branch (the join's right child): its
+      // bucketed scan reports its layout and pays NO exchange
+      val storeSide = smj.head.right
+      assert(storeSide.toString.contains("Bucketed: true"),
+        storeSide.toString.take(800))
+      assert(storeSide.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, storeSide.toString.take(800))
+      // the increment branch pays its own two exchanges — bandedStore's
+      // class-key repartition (MinHashDedup.scala REPARTITION_BY_NUM)
+      // plus its aggregate's ENSURE_REQUIREMENTS shuffle — which an
+      // earlier plan-wide count here wrongly attributed to the store
+      val incExchanges = smj.head.left.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(incExchanges.size === 2, smj.head.left.toString.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }
