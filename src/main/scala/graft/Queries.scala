@@ -331,5 +331,6 @@ object Queries {
     QueriesChat.all ++ QueriesPipeline.all ++ QueriesExtra.all ++
     QueriesExtra2.all ++ QueriesExtra3.all ++ QueriesExtra4.all ++
     QueriesExtra5.all ++ QueriesExtra6.all ++ QueriesExtra7.all ++
-    QueriesExtra8.all ++ QueriesExtra9.all ++ QueriesFuzz.all
+    QueriesExtra8.all ++ QueriesExtra9.all ++ QueriesExtra10.all ++
+    QueriesFuzz.all
 }

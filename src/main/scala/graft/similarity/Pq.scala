@@ -235,6 +235,122 @@ object Pq {
       idCol, codeCol, query, model, k)
   }
 
+  /** The per-query ADC lookup grid as driver-free row math: for a query
+    * embedding, `out(sub)(code) = floor(||q_sub − centroid||² · 1e6)` —
+    * the same integers [[adcTable]] builds for one driver-held query,
+    * computed INSIDE the row so a query BATCH never touches the driver.
+    * Identical loop order to [[adcTable]] (deterministic IEEE doubles),
+    * so an exported frame and the serving closure agree bit-for-bit.
+    */
+  private def queryGrid(model: PqModel, v: Seq[Float]): Array[Array[Long]] = {
+    val arr = v.toArray
+    Array.tabulate(model.m) { sub =>
+      model.codebooks(sub).indices.map { code =>
+        val cent = model.codebooks(sub)(code)
+        var d = 0.0
+        var j = 0
+        while (j < model.subDim) {
+          val diff = arr(sub * model.subDim + j).toDouble - cent(j)
+          d += diff * diff
+          j += 1
+        }
+        math.floor(d * 1e6).toLong
+      }.toArray
+    }
+  }
+
+  /** (query_id, sub, code, d2_micro) for EVERY query row — the exported
+    * oracle frame / published serving artifact of a query batch's ADC
+    * tables (Q·m·k rows; bounded by the batch, never by the corpus).
+    */
+  def adcTablesFrame(queries: DataFrame, embCol: String,
+      queryIdCol: String, model: PqModel): DataFrame = {
+    val mm = model
+    val grid = udf { (v: Seq[Float]) => queryGrid(mm, v) }
+    queries
+      .select(col(queryIdCol).as("query_id"), grid(col(embCol)).as("__g__"))
+      .select(col("query_id"), posexplode(col("__g__")).as(Seq("sub", "__r__")))
+      .select(col("query_id"), col("sub"),
+        posexplode(col("__r__")).as(Seq("code", "d2_micro")))
+  }
+
+  /** Batched probe decision — the set-to-set twin of [[Ann.probeCells]]:
+    * for EACH query row, the `nprobe` cells whose centroids are nearest
+    * (cosine, ties on cell id). Centroids are a k×dim aggregate
+    * broadcast against the query batch (BroadcastNestedLoopJoin linear
+    * in |queries|, never in the corpus); per-query ranking is a window
+    * on query_id — no global sort, no per-query driver round-trips.
+    * Returns (query_id, cell).
+    */
+  def probeCellsBatch(corpus: DataFrame, queries: DataFrame,
+      embCol: String, queryIdCol: String, cellCol: String,
+      nprobe: Int): DataFrame = {
+    val cents = broadcast(Ann.centroids(corpus, embCol, cellCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__csim__").desc, col(cellCol))
+    queries
+      .select(col(queryIdCol).as("query_id"), col(embCol).as("__qe__"))
+      .crossJoin(cents)
+      .withColumn("__csim__", Ann.cosine(col("__centroid__"), col("__qe__")))
+      .withColumn("__pr__", row_number().over(w))
+      .where(col("__pr__") <= nprobe)
+      .select(col("query_id"), col(cellCol).as("cell"))
+  }
+
+  /** Batched IVF-PQ serving (VERDICT r10 #6): top-k ADC neighbors in the
+    * encoded corpus for EVERY row of a query batch — the set-to-set twin
+    * of [[ivfAdcTopK]], which collects ONE query vector to the driver
+    * (fine for a probe, wrong as the serving shape; [[Ann.knnJoin]] is
+    * the precedent). Self-pairs (query_id = corpus id) are excluded,
+    * matching knnJoin.
+    *
+    * Plan shape (the 100 TB contract): the corpus is NEVER shuffled —
+    *  - the probe decision (Q·nprobe rows) broadcast-semi-prunes the
+    *    corpus scan to probed cells (partition pruning when the codes
+    *    frame is published partitioned by cell),
+    *  - the query batch's ADC grids (Q rows × m·k longs) broadcast-join
+    *    candidates on cell membership,
+    *  - per-pair distance is an O(m) integer lookup sum,
+    *  - the ONLY exchange is the per-query rank window on query_id over
+    *    candidate pairs (|probed corpus| × probing queries), and top-k
+    *    filters inside it.
+    * `probes`: pass a materialized [[probeCellsBatch]] frame to pin/share
+    * the float probe decision (the oracle contract); None computes it.
+    * Returns (query_id, rank, neighbor_id, pq_d2_micro).
+    */
+  def ivfAdcKnnJoin(queries: DataFrame, encoded: DataFrame, embCol: String,
+      queryIdCol: String, idCol: String, cellCol: String, codeCol: String,
+      model: PqModel, k: Int, nprobe: Int,
+      probes: Option[DataFrame] = None): DataFrame = {
+    val mm = model
+    val pr = probes.getOrElse(
+      probeCellsBatch(encoded, queries, embCol, queryIdCol, cellCol, nprobe))
+    val grid = udf { (v: Seq[Float]) => queryGrid(mm, v) }
+    val qGrids = queries.select(col(queryIdCol).as("query_id"),
+      grid(col(embCol)).as("__qt__"))
+    val dist = udf { (qt: Seq[Seq[Long]], codes: Seq[Int]) =>
+      var s = 0L
+      var sub = 0
+      while (sub < codes.length) { s += qt(sub)(codes(sub)); sub += 1 }
+      s
+    }
+    val cand = encoded
+      .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
+        col(codeCol).as("__c__"))
+      .join(broadcast(pr), Seq("cell"))
+      .join(broadcast(qGrids), Seq("query_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pq_d2_micro", dist(col("__qt__"), col("__c__")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("pq_d2_micro"), col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("pq_d2_micro"))
+  }
+
   /** ADC shortlist + EXACT re-rank — how PQ is actually served: the
     * cheap code scan nominates `shortlist` candidates, then only those
     * rows (broadcast semi-join of ≤ shortlist ids) pay the exact

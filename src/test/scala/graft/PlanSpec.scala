@@ -261,6 +261,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("ivf-pq knn join: corpus never shuffled — broadcast probes+grids, " +
+      "one rank-window exchange") {
+    // the suite query localCheckpoints (cache-release) — rebuild the
+    // identical pre-checkpoint serving composition
+    import graft.similarity.{Ann, Pq}
+    val emb = Queries.table(spark, sf, "embeddings")
+    val queries = emb.orderBy("vec_id").limit(3)
+    val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
+      k = 4, iters = 2, trainFraction = 0.5)
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+      k = 8, iters = 2, maxTrain = 200)
+    val encoded = Pq.encode(cells, "embedding", model, "_codes")
+    val probes = Pq.probeCellsBatch(cells, queries, "embedding", "vec_id",
+      "__cell__", nprobe = 2).localCheckpoint(true) // the pinned decision
+    val out = Pq.ivfAdcKnnJoin(queries, encoded, "embedding", "vec_id",
+      "vec_id", "__cell__", "_codes", model, k = 3, nprobe = 2,
+      probes = Some(probes))
+    val p = out.queryExecution.executedPlan.toString
+    // both candidate joins broadcast the bounded query-batch side
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(600))
+    // the only hash exchange is the per-query rank window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(600))
+  }
+
   test("extensions class registers functions and rule on a fresh session") {
     val s2 = SparkSession.builder()
       .master("local[2]")

@@ -100,6 +100,38 @@ class PqSpec extends AnyFunSuite {
       s"pruned=${pruned.toSeq} full=${full.toSeq}")
   }
 
+  test("ivfAdcKnnJoin: each query's rows equal the single-query IVF-ADC " +
+      "path minus self") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
+      k = 4, iters = 2, trainFraction = 0.5).persist()
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+      k = 8, iters = 2, maxTrain = 500)
+    val encoded = Pq.encode(cells, "embedding", model, "_codes").persist()
+    val queries = emb.orderBy("vec_id").limit(3)
+    // probes computed internally → also exercises probeCellsBatch ≡
+    // probeCells on each query (same centroid cosine, same tie-break)
+    val joined = Pq.ivfAdcKnnJoin(queries, encoded, "embedding", "vec_id",
+      "vec_id", "__cell__", "_codes", model, k = 4, nprobe = 2)
+      .collect().toSeq.groupBy(_.getLong(0))
+    assert(joined.keySet.size == 3)
+    val qRows = queries.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    qRows.foreach { case (qid, qv) =>
+      // single-query twin at k+1, self removed, truncated to k: equals
+      // the batch's top-k non-self rows whether or not self ranked
+      val single = Pq.ivfAdcTopK(encoded, "vec_id", "_codes", "embedding",
+        "__cell__", qv.toArray, model, k = 5, nprobe = 2)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+        .filter(_._1 != qid).take(4).toSeq
+      val batch = joined(qid).sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3)))
+      assert(batch == single, s"query $qid")
+    }
+    encoded.unpersist(); cells.unpersist()
+  }
+
   test("recall@10 vs exact L2 brute force is useful") {
     // sf0.01 (500 vectors): enough training points that the codebooks
     // are representative — the tiny sf0.001 corpus under-trains k=16
