@@ -118,6 +118,86 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__sh__")
       .drop("__sh__")
 
+  /** Continuous near-dedup against the persisted banded store (VERDICT
+    * r10 #5) — the streaming twin of
+    * [[graft.dedup.MinHashDedup.deduplicateAgainstStore]]: each
+    * micro-batch computes signatures for ITS rows only, band-joins the
+    * current store, emits the survivors, and folds their banded frame
+    * back in via [[graft.dedup.MinHashDedup.mergeStores]] — so a
+    * long-running ingestion stream pays |micro-batch| per trigger while
+    * the corpus state it carries is ONE bounded frame (one row per
+    * occupied LSH bucket, lineage cut per batch with localCheckpoint —
+    * no Spark streaming state store at all; at 100 TB the fold-in runs
+    * against the bucket-published store instead).
+    *
+    * Drive it from `foreachBatch` (see [[foreachBatchStoreNearDedup]]):
+    * the LSH band self-join and the store join are batch joins streaming
+    * state can't express (the [[streamingNearDedup]] caveat), and
+    * foreachBatch is exactly the escape hatch built for that.
+    *
+    * Determinism contract: `orderCol` must be unique, non-null, and in
+    * [0, 2^40) within every batch; batch N's global ids are
+    * `orderCol + offset_N` with offsets stepping 2^40 per batch from
+    * 2^62, so every earlier-retained row orders below every later row
+    * (the keep-first invariant) and ids stay exact Longs for ~4M
+    * batches. NOT thread-safe across concurrent streams — one instance
+    * per query (foreachBatch invocations of one query are sequential).
+    */
+  final class StoreNearDedup(initialStore: DataFrame, column: String,
+      cfg: graft.dedup.MinHashConfig, orderCol: String) {
+    import graft.dedup.MinHashDedup
+    private val BatchIdStep = 1L << 40
+    private var store0: DataFrame = initialStore.localCheckpoint(true)
+    private var offset: Long = MinHashDedup.NewIdOffset
+
+    /** Dedup one micro-batch against everything retained so far, fold
+      * the survivors in, return them (already eagerly materialized by
+      * deduplicateAgainstStore's localCheckpoint).
+      */
+    def processBatch(batch: DataFrame): DataFrame = synchronized {
+      val kept = MinHashDedup.deduplicateAgainstStore(batch, store0,
+        column, cfg, orderCol = Some(orderCol), newIdOffset = offset)
+      val keptGlobal = kept.withColumn("__gid__",
+        col(orderCol).cast("long") + lit(offset))
+      val old = store0
+      store0 = MinHashDedup.mergeStores(old,
+        MinHashDedup.bandedStore(keptGlobal, column, cfg, Some("__gid__")))
+        .localCheckpoint(true)
+      offset += BatchIdStep
+      kept
+    }
+
+    /** The current retained-corpus store — checkpointed (scan of
+      * materialized blocks, no lineage back through past batches); hand
+      * it to `Sources.publishBucketedBy` on shutdown to persist the
+      * stream's state for the next run.
+      */
+    def currentStore: DataFrame = synchronized(store0)
+  }
+
+  /** Start the composed stream: `stream` → per-batch store near-dedup →
+    * append surviving rows as parquet under `outPath`.
+    *
+    * Replay note: if the checkpoint re-delivers a batch after a crash
+    * that happened AFTER the fold-in, every re-delivered row is an exact
+    * copy of (or near-dup of) something already in the store, so the
+    * replay emits zero survivors — the fold-in makes re-processing
+    * naturally convergent. A crash between the parquet append and the
+    * fold-in can still double-append; a transactional sink closes that
+    * window.
+    */
+  def foreachBatchStoreNearDedup(stream: DataFrame, dedup: StoreNearDedup,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedup.processBatch(b.toDF())
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Read the events table as a (bounded) stream — lets every batch test
     * drive the streaming path synchronously with `processAllAvailable`.
     */

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{MinHashConfig, MinHashDedup}
+import graft.streaming.StreamingPipeline
+
+/** Streaming near-dedup composed with the persisted banded store
+  * (VERDICT r10 #5): the streamed kept set over N micro-batches must
+  * equal the batch `deduplicateAgainstStore` + `mergeStores` fold chain
+  * over the same increments, cross-batch kills must actually fire, and
+  * the state the stream carries must be the bounded store frame — no
+  * Spark streaming state store at all.
+  */
+class StreamingStoreDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    .getOrCreate()
+
+  private val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+
+  private val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+    "india juliet kilo lima mike november oscar papa quebec romeo sierra " +
+    "tango uniform victor whiskey xray yankee zulu one two three four " +
+    "five six seven eight nine ten"
+
+  private val refRows = Seq(
+    1L -> (base + " variant zero"),
+    2L -> "completely different retained sentence about parquet readers and vectorized scans in the engine",
+    3L -> "another retained row with its own words entirely unlike the rest of this corpus today")
+
+  // batch 1: a ref copy (dies), a near-dup of ref (dies), a within-batch
+  // dup pair (keep-first), fresh content (survives)
+  private val batch1 = Seq(
+    100L -> (base + " variant zero"),
+    101L -> (base + " altered zero"),
+    104L -> "fresh duplicated increment sentence with plenty of words to shingle over nicely today",
+    105L -> "fresh duplicated increment sentence with plenty of words to shingle over nicely today",
+    106L -> "genuinely novel increment content speaking of streams windows and watermarks never seen before")
+
+  // batch 2: a copy of a BATCH-1 survivor (dies only if the fold-in
+  // worked), a ref copy (dies), fresh content (survives)
+  private val batch2 = Seq(
+    200L -> "genuinely novel increment content speaking of streams windows and watermarks never seen before",
+    201L -> (base + " variant zero"),
+    202L -> "entirely new second wave content involving bloom filters sketches and hyperloglog registers")
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def ids(d: DataFrame): Set[Long] =
+    d.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("streamed kept set == batch store-fold chain; cross-batch kills " +
+      "fire; state is the bounded store only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val store0 = MinHashDedup.bandedStore(df(refRows), "text", cfg,
+      Some("doc_id"))
+    val stamp = System.nanoTime()
+    val outPath = s"/tmp/graft_stream_store_out_$stamp"
+    val ckpt = s"/tmp/graft_stream_store_ckpt_$stamp"
+
+    // ---- streamed path: two micro-batches through foreachBatch ----
+    val dedup = new StreamingPipeline.StoreNearDedup(store0, "text", cfg,
+      "doc_id")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingPipeline.foreachBatchStoreNearDedup(
+      mem.toDF.toDF("doc_id", "text"), dedup, outPath, ckpt)
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      mem.addData(batch2)
+      q.processAllAvailable()
+      // no stateful streaming operators: the ONLY state is the store
+      val p = q.lastProgress
+      assert(p == null || p.stateOperators.isEmpty,
+        "foreachBatch composition must carry no streaming state store")
+    } finally q.stop()
+    val streamed = ids(spark.read.parquet(outPath))
+
+    // ---- batch twin: same increments, same offsets, same fold-in ----
+    var store = store0
+    var offset = MinHashDedup.NewIdOffset
+    val twinKept = Seq(batch1, batch2).map { rows =>
+      val kept = MinHashDedup.deduplicateAgainstStore(df(rows), store,
+        "text", cfg, orderCol = Some("doc_id"), newIdOffset = offset)
+      val keptGlobal = kept.withColumn("__gid__",
+        org.apache.spark.sql.functions.col("doc_id") +
+          org.apache.spark.sql.functions.lit(offset))
+      store = MinHashDedup.mergeStores(store,
+        MinHashDedup.bandedStore(keptGlobal, "text", cfg, Some("__gid__")))
+      offset += (1L << 40)
+      ids(kept)
+    }
+    assert(streamed === twinKept.reduce(_ ++ _))
+
+    // the semantics themselves, path by path
+    assert(!streamed.contains(100L), "ref exact copy must die")
+    assert(!streamed.contains(101L), "ref near-dup must die")
+    assert(streamed.contains(104L) && !streamed.contains(105L),
+      "within-batch keep-first")
+    assert(streamed.contains(106L), "fresh batch-1 content survives")
+    assert(!streamed.contains(200L),
+      "copy of a batch-1 survivor must die — proves the fold-in fired")
+    assert(!streamed.contains(201L), "ref copy in batch 2 must die")
+    assert(streamed.contains(202L), "fresh batch-2 content survives")
+
+    // bounded state: the carried store equals the batch twin's store
+    // (one row per occupied bucket) and its lineage is CUT per batch —
+    // a checkpoint scan, not a plan growing through every past batch
+    val carried = dedup.currentStore
+    assert(carried.count() ===
+      store.groupBy("band", "bsig").count().count())
+    assert(carried.queryExecution.executedPlan.toString
+      .contains("ExistingRDD"),
+      "store lineage must be cut (localCheckpoint) per batch")
+  }
+}
