@@ -94,6 +94,62 @@ object IncrBench {
     require(rows4 == srows4,
       s"store path kept $srows4 rows at 4x, recompute kept $rows4")
     println(s"""{"metric":"incr_near_dedup","sf":"$sfDir","inc_rows":${inc.count()},"ref1_rows":${ref1.count()},"ref4_rows":${ref4.count()},"recompute_1x":$r1,"recompute_4x":$r4,"store_1x":$s1,"store_4x":$s4,"store_build_1x":$build1,"store_build_4x":$build4,"kept_1x":$rows1,"kept_4x":$rows4,"store_kept_4x":$srows4}""")
+
+    // ---- nightly CYCLE (VERDICT r10 #3): N consecutive folds ----
+    // One store-vs-recompute pass proves |delta| cost at a FIXED store;
+    // a production pipeline runs dedup → fold survivors in → next night,
+    // repeatedly, so the store GROWS. Four nights each fold a ref1-sized
+    // wave of fresh content in (store row count ends ~5× where it
+    // started) while the per-night DEDUP time must stay flat — that is
+    // the claim; if it tracked |store| it would roughly quintuple.
+    // Fold-in time is reported separately and honestly: mergeStores is a
+    // full groupBy of store ∪ increment frames, so it scales with
+    // |store| here — at 100 TB the fold is a partitioned upsert into the
+    // bucket-published store (only touched buckets rewrite), which this
+    // single-JVM bench cannot express.
+    {
+      var store = store1
+      var offset = MinHashDedup.NewIdOffset
+      val step = 1L << 40
+      // each wave = ref1 under a DIFFERENT vowel bijection: every word
+      // containing a vowel changes, so wave texts share almost no
+      // 3-gram shingles with the store or with other waves (genuinely
+      // fresh content — a plain " waveK" suffix would leave them
+      // near-dups of their originals and the whole wave would die,
+      // keeping the store flat and the assertion vacuous), while the
+      // corpus's internal dup structure is preserved within each wave
+      val vowelMaps = Seq("12345", "23451", "34512", "45123")
+      val nights = (1 to 4).map { k =>
+        val wave = ref1.select(
+          (col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+          translate(col("text"), "aeiou", vowelMaps(k - 1)).as("text"))
+        spark.catalog.clearCache()
+        graft.dedup.MinHash.clearPermCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val kept = MinHashDedup.deduplicateAgainstStore(wave, store,
+          "text", cfg, orderCol = Some("doc_id"), newIdOffset = offset)
+        val keptRows = kept.count()
+        val dedupSec = (System.nanoTime() - t0) / 1e9
+        val keptGlobal = kept.select(
+          (col("doc_id") + lit(offset)).as("doc_id"), col("text"))
+        val t1 = System.nanoTime()
+        store = MinHashDedup.mergeStores(store,
+          MinHashDedup.bandedStore(keptGlobal, "text", cfg, Some("doc_id")))
+          .localCheckpoint(true)
+        val foldSec = (System.nanoTime() - t1) / 1e9
+        offset += step
+        (dedupSec, foldSec, keptRows, store.count())
+      }
+      val dd = nights.map(_._1)
+      // flatness: the store quintupled; |store|-proportional dedup would
+      // show ~5× — require the last night within 2× of the first (noise
+      // band; the REAL number goes to PERF.md's table)
+      require(dd.last <= dd.head * 2.0,
+        s"nightly dedup cost not flat: ${dd.mkString(", ")}")
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      println(s"""{"metric":"incr_nightly_cycle","sf":"$sfDir","nights":4,"wave_rows":${ref1.count()},"dedup_sec":${arr(dd)},"fold_sec":${arr(nights.map(_._2))},"kept_rows":${nights.map(_._3).mkString("[", ",", "]")},"store_rows":${nights.map(_._4).mkString("[", ",", "]")}}""")
+    }
     spark.stop()
   }
 }
