@@ -125,4 +125,21 @@ class StreamingStoreDedupSpec extends AnyFunSuite {
       .contains("ExistingRDD"),
       "store lineage must be cut (localCheckpoint) per batch")
   }
+
+  test("replay convergence: a re-delivered batch emits zero survivors") {
+    // the foreachBatchStoreNearDedup doc's crash-recovery claim: if the
+    // checkpoint re-delivers a batch AFTER its fold-in landed, every
+    // re-delivered row is an exact copy of a folded-in survivor (or a
+    // dup that died the first time and dies again), so the replay emits
+    // nothing — re-processing is naturally convergent
+    val store0 = MinHashDedup.bandedStore(df(refRows), "text", cfg,
+      Some("doc_id"))
+    val dedup = new StreamingPipeline.StoreNearDedup(store0, "text", cfg,
+      "doc_id")
+    val first = ids(dedup.processBatch(df(batch1)))
+    assert(first === Set(104L, 106L), "baseline: batch 1 keeps its fresh rows")
+    val replay = ids(dedup.processBatch(df(batch1)))
+    assert(replay === Set.empty,
+      s"re-delivered batch must emit zero survivors, got $replay")
+  }
 }
