@@ -93,5 +93,115 @@ object QueriesExtra10 {
       "SELECT query_id, rank, neighbor_id, pq_d2_micro FROM r " +
       "WHERE rank <= 3 ORDER BY query_id, rank"))
 
-  val all: Seq[QueryDef] = Seq(annIvfPqKnnJoin)
+  // ---- perceptual image near-dedup (dHash over real PGM pixels) ----
+
+  /** splitmix64 — deterministic per-class base hash. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** A 9×8 P5 PGM whose dHash is EXACTLY `hash`: each row starts at
+    * 128 + `offset` and steps −1 for a set bit (left > right) or +1 for
+    * a clear bit — the 9×8 input makes every downsample box one pixel,
+    * so the comparisons read the raster directly. `offset` shifts
+    * brightness WITHOUT changing any comparison: different bytes, same
+    * perceptual hash (what makes the dedup perceptual, not byte-exact).
+    */
+  private def pgmFor(hash: Long, offset: Int): Array[Byte] = {
+    val head = s"P5\n9 8\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](72)
+    var bit = 63
+    var y = 0
+    while (y < 8) {
+      var v = 128 + offset
+      px(y * 9) = v.toByte
+      var x = 0
+      while (x < 8) {
+        v = if (((hash >>> bit) & 1L) == 1L) v - 1 else v + 1
+        px(y * 9 + x + 1) = v.toByte
+        bit -= 1
+        x += 1
+      }
+      y += 1
+    }
+    head ++ px
+  }
+
+  /** Image bytes per doc — every dedup path constructed to fire:
+    *  - class c = doc_id % 12, base hash = mix64(c);
+    *  - doc_id % 97 == 0: garbage bytes (no decode → null sig →
+    *    always survives);
+    *  - doc_id % 5 == 1: base hash with bits 0 and 33 flipped —
+    *    hamming 2, two of the four 16-bit bands untouched, so the
+    *    band join finds it and the ≤3 verify kills it into the class
+    *    cluster;
+    *  - doc_id % 5 == 2: base hash with two bits flipped in EVERY
+    *    16-bit band (mask 0x0022004200220022) — hamming 8, no shared
+    *    band: a separate per-class cluster (its members collapse at
+    *    hamming 0);
+    *  - otherwise: the exact base hash at a doc-varying brightness
+    *    offset — different BYTES, identical hash (the perceptual
+    *    point), collapsed by the hamming-0 window.
+    */
+  private val imgBytesUdf = udf { (docId: Long) =>
+    if (docId % 97 == 0) Array[Byte]('n', 'o', 't', 'a', 'p', 'g', 'm')
+    else {
+      val base = mix64(docId % 12)
+      val h =
+        if (docId % 5 == 1) base ^ (1L << 0) ^ (1L << 33)
+        else if (docId % 5 == 2) base ^ 0x0022004200220022L
+        else base
+      pgmFor(h, (docId % 3).toInt)
+    }
+  }
+
+  private val imgSigVariant = "imgdhash"
+
+  /** Perceptual image near-dedup as a suite line: PGM pixels decoded
+    * for real, dHash-64, simhash-machinery clustering at hamming ≤ 3,
+    * keep-first. The oracle gets the exported (id, sig) frame and
+    * re-derives the hamming-0 collapse, the 4 bit-sliced bands, the
+    * bucket self-join, the popcount-≤3 verify, and the closure — the
+    * `dedup_simhash` trust split with NULL-sig rows (undecodable
+    * payloads) proven to pass through undeduped on BOTH sides.
+    */
+  val imgDhashDedup: QueryDef = QueryDef("img_dhash_dedup",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+        .select(col("doc_id"), imgBytesUdf(col("doc_id")).as("img"))
+      graft.multimodal.ImageHash.deduplicateByDHash(docs, "img",
+          maxHamming = 3, orderCol = Some("doc_id"),
+          sigSink = QueriesExtra2.sinkOnce(
+            QueriesExtra2.sigPath(imgSigVariant, QueriesExtra2.scaleKey(dir))))
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some {
+      val glob = QueriesExtra2.sigPath(imgSigVariant,
+        QueriesExtra2.OracleScaleKey) + "/*.parquet"
+      // simhashKeepFirstSql's chain with one addition: NULL sigs
+      // (undecodable images) are excluded from clustering entirely, so
+      // those rows fall through the final left join and survive
+      "WITH RECURSIVE s AS (SELECT id, sig FROM " +
+        s"parquet_scan('$glob') WHERE sig IS NOT NULL), " +
+        "cmu AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS smin " +
+        "FROM s), " +
+        "ide AS (SELECT id AS a, smin AS b FROM cmu WHERE id <> smin), " +
+        "reps AS (SELECT id, sig FROM cmu WHERE id = smin), " +
+        "bd AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 " +
+        "AS chunk FROM reps, LATERAL (SELECT unnest(generate_series(0, " +
+        "3)) AS band) g), " +
+        "pr AS (SELECT y.id AS a, x.id AS b FROM bd x JOIN bd y ON " +
+        "x.band = y.band AND x.chunk = y.chunk AND x.id < y.id " +
+        "WHERE bit_count(xor(x.sig, y.sig)) <= 3), " +
+        "e0 AS (SELECT a, b FROM pr UNION SELECT a, b FROM ide), " +
+        QueriesExtra2.closureFromE0 + " " +
+        "SELECT t.doc_id FROM documents t LEFT JOIN root r ON " +
+        "t.doc_id = r.id WHERE r.root IS NULL OR r.root = t.doc_id " +
+        "ORDER BY t.doc_id"
+    })
+
+  val all: Seq[QueryDef] = Seq(annIvfPqKnnJoin, imgDhashDedup)
 }

@@ -87,13 +87,25 @@ object SimHash {
     * (QueriesExtra2.simhashKeepFirstSql).
     */
   private[graft] def verifiedEdges(withId: DataFrame, column: String,
-      maxHamming: Int, sigSink: Option[String] = None): DataFrame = {
-    val bands = maxHamming + 1
-    val width = 64 / bands
-    val sigs = SideChannel.through(
+      maxHamming: Int, sigSink: Option[String] = None): DataFrame =
+    verifiedEdgesFromSigs(SideChannel.through(
       withId.select(col(MinHashDedup.IdCol).as("id"),
         signature(col(column)).as("sig")),
-      sigSink)
+      sigSink), maxHamming)
+
+  /** The pigeonhole machinery over ANY 64-bit signature frame (id, sig)
+    * — shared by text simhash and the image dHash
+    * ([[graft.multimodal.ImageHash]]): hamming-0 window collapse,
+    * (maxHamming+1)-way bit-sliced banding, bucket self-join,
+    * `bit_count(xor) <= k` verify. NULL signatures (undecodable
+    * payloads) produce no edges — those rows always survive, they are
+    * never silently clustered together.
+    */
+  private[graft] def verifiedEdgesFromSigs(sigsRaw: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val sigs = sigsRaw.where(col("sig").isNotNull)
     // hamming-0 collapse: one streaming window, star edges to the first
     // row of each identical-signature class
     val wSig = Window.partitionBy("sig")
