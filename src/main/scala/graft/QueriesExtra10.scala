@@ -168,6 +168,33 @@ object QueriesExtra10 {
     * `dedup_simhash` trust split with NULL-sig rows (undecodable
     * payloads) proven to pass through undeduped on BOTH sides.
     */
+  /** QueriesExtra2.simhashKeepFirstSql's chain with one addition: NULL
+    * sigs (undecodable payloads) are excluded from clustering entirely,
+    * so those rows fall through the final left join and survive —
+    * shared by the image and audio perceptual-dedup oracles.
+    */
+  private def nullableSigKeepFirstSql(variant: String): String = {
+    val glob = QueriesExtra2.sigPath(variant,
+      QueriesExtra2.OracleScaleKey) + "/*.parquet"
+    "WITH RECURSIVE s AS (SELECT id, sig FROM " +
+      s"parquet_scan('$glob') WHERE sig IS NOT NULL), " +
+      "cmu AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS smin " +
+      "FROM s), " +
+      "ide AS (SELECT id AS a, smin AS b FROM cmu WHERE id <> smin), " +
+      "reps AS (SELECT id, sig FROM cmu WHERE id = smin), " +
+      "bd AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 " +
+      "AS chunk FROM reps, LATERAL (SELECT unnest(generate_series(0, " +
+      "3)) AS band) g), " +
+      "pr AS (SELECT y.id AS a, x.id AS b FROM bd x JOIN bd y ON " +
+      "x.band = y.band AND x.chunk = y.chunk AND x.id < y.id " +
+      "WHERE bit_count(xor(x.sig, y.sig)) <= 3), " +
+      "e0 AS (SELECT a, b FROM pr UNION SELECT a, b FROM ide), " +
+      QueriesExtra2.closureFromE0 + " " +
+      "SELECT t.doc_id FROM documents t LEFT JOIN root r ON " +
+      "t.doc_id = r.id WHERE r.root IS NULL OR r.root = t.doc_id " +
+      "ORDER BY t.doc_id"
+  }
+
   val imgDhashDedup: QueryDef = QueryDef("img_dhash_dedup",
     (s, dir) => {
       val docs = Queries.table(s, dir, "documents")
@@ -178,30 +205,80 @@ object QueriesExtra10 {
             QueriesExtra2.sigPath(imgSigVariant, QueriesExtra2.scaleKey(dir))))
         .select("doc_id").orderBy("doc_id")
     },
-    Some {
-      val glob = QueriesExtra2.sigPath(imgSigVariant,
-        QueriesExtra2.OracleScaleKey) + "/*.parquet"
-      // simhashKeepFirstSql's chain with one addition: NULL sigs
-      // (undecodable images) are excluded from clustering entirely, so
-      // those rows fall through the final left join and survive
-      "WITH RECURSIVE s AS (SELECT id, sig FROM " +
-        s"parquet_scan('$glob') WHERE sig IS NOT NULL), " +
-        "cmu AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS smin " +
-        "FROM s), " +
-        "ide AS (SELECT id AS a, smin AS b FROM cmu WHERE id <> smin), " +
-        "reps AS (SELECT id, sig FROM cmu WHERE id = smin), " +
-        "bd AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 " +
-        "AS chunk FROM reps, LATERAL (SELECT unnest(generate_series(0, " +
-        "3)) AS band) g), " +
-        "pr AS (SELECT y.id AS a, x.id AS b FROM bd x JOIN bd y ON " +
-        "x.band = y.band AND x.chunk = y.chunk AND x.id < y.id " +
-        "WHERE bit_count(xor(x.sig, y.sig)) <= 3), " +
-        "e0 AS (SELECT a, b FROM pr UNION SELECT a, b FROM ide), " +
-        QueriesExtra2.closureFromE0 + " " +
-        "SELECT t.doc_id FROM documents t LEFT JOIN root r ON " +
-        "t.doc_id = r.id WHERE r.root IS NULL OR r.root = t.doc_id " +
-        "ORDER BY t.doc_id"
-    })
+    Some(nullableSigKeepFirstSql(imgSigVariant)))
 
-  val all: Seq[QueryDef] = Seq(annIvfPqKnnJoin, imgDhashDedup)
+  // ---- perceptual audio near-dedup (energy envelope over PCM-16) ----
+
+  /** A mono PCM-16 WAV of exactly 65 samples whose eHash is EXACTLY
+    * `hash`: each window is one sample, |sample| steps −1 for a set bit
+    * (left energy > right) or +1 for a clear bit from 1000 + `gain` —
+    * a uniform gain shifts every window energy equally and changes no
+    * comparison (different bytes, same fingerprint).
+    */
+  private def wavFor(hash: Long, gain: Int): Array[Byte] = {
+    val n = 65
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var v = 1000 + gain
+    bb.putShort(v.toShort)
+    var bit = 63
+    var w = 0
+    while (w < 64) {
+      v = if (((hash >>> bit) & 1L) == 1L) v - 1 else v + 1
+      bb.putShort(v.toShort)
+      bit -= 1
+      w += 1
+    }
+    bb.array()
+  }
+
+  /** Clip bytes per doc — the [[imgBytesUdf]] construction transposed to
+    * audio: class c = doc_id % 12 at base hash mix64(c + 5000);
+    * doc_id % 89 == 0 → non-WAV garbage (null sig, survives);
+    * doc_id % 5 == 1 → hamming 2 (band-join merge);
+    * doc_id % 5 == 2 → two bits flipped per 16-bit band (hamming 8,
+    * separate cluster); otherwise the exact base hash at a doc-varying
+    * gain (different bytes, identical fingerprint).
+    */
+  private val wavBytesUdf = udf { (docId: Long) =>
+    if (docId % 89 == 0) Array[Byte]('n', 'o', 't', 'a', 'w', 'a', 'v')
+    else {
+      val base = mix64(docId % 12 + 5000L)
+      val h =
+        if (docId % 5 == 1) base ^ (1L << 3) ^ (1L << 37)
+        else if (docId % 5 == 2) base ^ 0x0044001100440011L
+        else base
+      wavFor(h, 50 * (docId % 3).toInt)
+    }
+  }
+
+  private val audioSigVariant = "audioehash"
+
+  /** Audio perceptual near-dedup as a suite line — the audio twin of
+    * [[imgDhashDedup]]: PCM-16 decoded for real, 64-bit energy-envelope
+    * hash, simhash-machinery clustering at hamming ≤ 3, keep-first;
+    * DuckDB replays the full decision from the exported (id, sig)
+    * frame, undecodable rows proven to pass through on both sides.
+    */
+  val audioEhashDedup: QueryDef = QueryDef("audio_ehash_dedup",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+        .select(col("doc_id"), wavBytesUdf(col("doc_id")).as("clip"))
+      graft.multimodal.AudioHash.deduplicateByEHash(docs, "clip",
+          maxHamming = 3, orderCol = Some("doc_id"),
+          sigSink = QueriesExtra2.sinkOnce(QueriesExtra2.sigPath(
+            audioSigVariant, QueriesExtra2.scaleKey(dir))))
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some(nullableSigKeepFirstSql(audioSigVariant)))
+
+  val all: Seq[QueryDef] = Seq(annIvfPqKnnJoin, imgDhashDedup,
+    audioEhashDedup)
 }
