@@ -288,6 +288,42 @@ class PlanSpec extends AnyFunSuite {
       p.take(600))
   }
 
+  test("codes published partitioned by cell: the probe prunes the scan " +
+      "at the source") {
+    // the claim in Pq's docs — at scale the codes frame is PUBLISHED
+    // partitioned by the coarse cell id, so a probe decision reaches the
+    // scan as partition pruning instead of a post-scan filter
+    import spark.implicits._
+    import graft.similarity.{Ann, Pq}
+    val emb = Queries.table(spark, sf, "embeddings")
+    val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "cell",
+      k = 4, iters = 2, trainFraction = 0.5)
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+      k = 8, iters = 2, maxTrain = 200)
+    val path = s"/tmp/graft_pq_codes_pub_${System.nanoTime()}"
+    graft.sources.Sources.publishPartitioned(
+      Pq.encode(cells, "embedding", model, "codes")
+        .select(col("vec_id"), col("cell"), col("codes")), path, "cell")
+    val pub = spark.read.parquet(path)
+    // a materialized probe list prunes STATICALLY
+    val ps = pub.where(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("PartitionFilters: [cell"), ps.take(500))
+    // a broadcast semi-join on the partition column prunes DYNAMICALLY —
+    // Spark's DPP requires a SELECTIVE predicate on the probe side (a
+    // local value list constant-folds away and doesn't qualify), which a
+    // real MATERIALIZED probe decision — a filtered read of the exported
+    // (cell, similarity) ranking, the ivf-pq queries' exact shape — has
+    val probePath = s"/tmp/graft_pq_probe_pub_${System.nanoTime()}"
+    Seq((0, 0.9), (1, 0.8), (2, 0.1), (3, 0.05)).toDF("cell", "sim")
+      .write.parquet(probePath)
+    val probes = spark.read.parquet(probePath)
+      .where(col("sim") > 0.5).select("cell")
+    val pd = pub.join(broadcast(probes), Seq("cell"), "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(pd.toLowerCase.contains("dynamicpruning"), pd.take(700))
+  }
+
   test("extensions class registers functions and rule on a fresh session") {
     val s2 = SparkSession.builder()
       .master("local[2]")
