@@ -279,6 +279,111 @@ object QueriesExtra10 {
     },
     Some(nullableSigKeepFirstSql(audioSigVariant)))
 
+  // ---- incremental perceptual dedup against a persisted sig store ----
+
+  private val Off = graft.dedup.MinHashDedup.NewIdOffset
+
+  private def sigStorePath(key: String) = s"/tmp/graft_sig_store_img_$key"
+
+  private val sigStoreWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Retained-corpus image per doc: 20 hash classes (so the store is 20
+    * rows — one per distinct signature), with ≡0 mod 83 docs carrying
+    * undecodable payloads (the store build must drop them).
+    */
+  private val refImgUdf = udf { (docId: Long) =>
+    if (docId % 83 == 0) Array[Byte]('b', 'a', 'd', 'r', 'e', 'f')
+    else pgmFor(mix64(docId % 20 + 7000L), (docId % 2).toInt)
+  }
+
+  /** Increment image per doc — every |delta| path fires: exact class
+    * copy (hamming 0 → dies), 2-bit variant (band-join cross kill),
+    * shared fresh class (within-increment keep-first), unique fresh
+    * (survives), undecodable (null sig, survives).
+    */
+  private val incImgUdf = udf { (docId: Long) =>
+    docId % 5 match {
+      case 0 => pgmFor(mix64(docId % 20 + 7000L), 9)
+      case 1 => pgmFor(mix64(docId % 20 + 7000L) ^ (1L << 3) ^ (1L << 50), 0)
+      case 2 => pgmFor(mix64(docId % 12 + 9001L), (docId % 3).toInt)
+      case 3 => pgmFor(mix64(docId + 9500L), 0)
+      case _ => Array[Byte]('b', 'a', 'd', 'i', 'n', 'c')
+    }
+  }
+
+  /** Incremental near-dedup for the HAMMING family (the minhash
+    * `incr_near_dedup` architecture extended per r11: one (sig, min id)
+    * store row per distinct retained signature, increment signatures
+    * computed for the delta only, pigeonhole band join against the
+    * store). DuckDB replays the ENTIRE decision from the two exported
+    * frames — the store and the increment's (id, sig) — re-deriving the
+    * within-increment collapse/band pairs, the increment×store banded
+    * hamming join, the closure, and the root-below-offset death rule;
+    * null signatures on BOTH sides proven handled (dropped from the
+    * store, passed through the increment).
+    */
+  val incrImgDedup: QueryDef = QueryDef("incr_img_dedup",
+    (s, dir) => {
+      import graft.dedup.SimHash
+      import graft.multimodal.ImageHash
+      val docs = Queries.table(s, dir, "documents")
+      val ref = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), refImgUdf(col("doc_id")).as("img"))
+      val inc = docs.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), incImgUdf(col("doc_id")).as("img"))
+      val key = QueriesExtra2.scaleKey(dir)
+      val store = SimHash.sigStore(ref, "img", ImageHash.dhashUdf,
+        Some("doc_id"))
+      if (!sigStoreWritten.contains(key)) {
+        store.write.mode("overwrite").parquet(sigStorePath(key))
+        sigStoreWritten.add(key)
+        graft.dedup.SideChannel.record(sigStorePath(key))
+      }
+      SimHash.deduplicateAgainstSigStore(inc,
+          s.read.parquet(sigStorePath(key)), "img", ImageHash.dhashUdf,
+          maxHamming = 3, orderCol = Some("doc_id"),
+          sigSink = QueriesExtra2.sinkOnce(QueriesExtra2.sigPath(
+            "incrimg", key)))
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some {
+      val stGlob = sigStorePath(QueriesExtra2.OracleScaleKey) + "/*.parquet"
+      val incGlob = QueriesExtra2.sigPath("incrimg",
+        QueriesExtra2.OracleScaleKey) + "/*.parquet"
+      "WITH RECURSIVE st AS (SELECT sig, id AS sid FROM " +
+        s"parquet_scan('$stGlob')), " +
+        s"incs AS (SELECT id, sig FROM parquet_scan('$incGlob')), " +
+        "inc AS (SELECT id, sig FROM incs WHERE sig IS NOT NULL), " +
+        "cmu AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS smin " +
+        "FROM inc), " +
+        "ide AS (SELECT id AS a, smin AS b FROM cmu WHERE id <> smin), " +
+        "reps AS (SELECT id, sig FROM cmu WHERE id = smin), " +
+        "bdr AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS " +
+        "chunk FROM reps, LATERAL (SELECT unnest(generate_series(0, 3)) " +
+        "AS band) g), " +
+        "bda AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS " +
+        "chunk FROM inc, LATERAL (SELECT unnest(generate_series(0, 3)) " +
+        "AS band) g), " +
+        "bds AS (SELECT sid, sig, band, (sig >> (band * 16)) & 65535 AS " +
+        "chunk FROM st, LATERAL (SELECT unnest(generate_series(0, 3)) " +
+        "AS band) g), " +
+        // within-increment pairs over reps; cross edges band ALL
+        // increment rows against the store (the engine's exact shape)
+        "pr AS (SELECT y.id AS a, x.id AS b FROM bdr x JOIN bdr y ON " +
+        "x.band = y.band AND x.chunk = y.chunk AND x.id < y.id " +
+        "WHERE bit_count(xor(x.sig, y.sig)) <= 3), " +
+        "crs AS (SELECT DISTINCT a.id AS a, s.sid AS b FROM bda a " +
+        "JOIN bds s ON a.band = s.band AND a.chunk = s.chunk " +
+        "WHERE bit_count(xor(a.sig, s.sig)) <= 3), " +
+        "e0 AS (SELECT a, b FROM pr UNION SELECT a, b FROM ide " +
+        "UNION SELECT a, b FROM crs), " +
+        QueriesExtra2.closureFromE0 + " " +
+        s"SELECT d.id - $Off AS doc_id FROM incs d " +
+        "LEFT JOIN root r ON d.id = r.id " +
+        "WHERE r.root IS NULL OR r.root = d.id ORDER BY doc_id"
+    })
+
   val all: Seq[QueryDef] = Seq(annIvfPqKnnJoin, imgDhashDedup,
-    audioEhashDedup)
+    audioEhashDedup, incrImgDedup)
 }

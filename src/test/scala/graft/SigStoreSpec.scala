@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.SimHash
+import graft.multimodal.ImageHash
+
+/** The hamming family's persisted signature store: store path ≡
+  * recompute path, controlled-hash cross kills at hamming 0 and 2,
+  * store mergeability, continuous fold-in, and null-signature
+  * passthrough on both sides — the DedupStoreSpec battery for
+  * [[SimHash.sigStore]]/[[SimHash.deduplicateAgainstSigStore]].
+  */
+class SigStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    .getOrCreate()
+
+  private def pgmOf(hash: Long, offset: Int): Array[Byte] = {
+    val px = new Array[Byte](72)
+    var bit = 63
+    (0 until 8).foreach { y =>
+      var v = 128 + offset
+      px(y * 9) = v.toByte
+      (0 until 8).foreach { x =>
+        v = if (((hash >>> bit) & 1L) == 1L) v - 1 else v + 1
+        px(y * 9 + x + 1) = v.toByte
+        bit -= 1
+      }
+    }
+    s"P5\n9 8\n255\n".getBytes("US-ASCII") ++ px
+  }
+
+  private val hA = 0x1111222233334444L
+  private val hB = 0x5555666677778888L
+  private val hFresh = 0x0F0E0D0C0B0A0908L
+
+  // retained corpus: two image classes + an undecodable row
+  private def refRows = Seq(
+    1L -> pgmOf(hA, 0),
+    2L -> pgmOf(hB, 0),
+    3L -> "garbage-in-the-retained-corpus".getBytes("US-ASCII"))
+
+  // increment: every path
+  private def incRows = Seq(
+    100L -> pgmOf(hA, 5),                      // hamming 0 vs ref (bytes differ) -> dies
+    101L -> pgmOf(hB ^ (1L << 4) ^ (1L << 44), 0), // hamming 2 vs ref -> dies
+    102L -> pgmOf(hFresh, 0),                  // fresh -> survives
+    103L -> pgmOf(hFresh, 9),                  // within-inc ham-0 dup of 102 -> dies
+    104L -> pgmOf(hFresh ^ 0x0044001100440011L, 0), // ham 8 from everything -> survives
+    105L -> "undecodable increment row".getBytes("US-ASCII")) // survives
+
+  private def df(rows: Seq[(Long, Array[Byte])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "img")
+  }
+
+  private def ids(d: DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("image-dhash store path keeps exactly the recompute path's rows; " +
+      "all engineered paths fire") {
+    val store = SimHash.sigStore(df(refRows), "img", ImageHash.dhashUdf,
+      Some("id"))
+    // the undecodable ref row never enters the store
+    assert(store.count() === 2)
+    val viaStore = ids(SimHash.deduplicateAgainstSigStore(df(incRows),
+      store, "img", ImageHash.dhashUdf, maxHamming = 3,
+      orderCol = Some("id")))
+    val viaRecompute = ids(SimHash.deduplicateAgainst(df(incRows),
+      df(refRows), "img", ImageHash.dhashUdf, maxHamming = 3))
+    assert(viaStore === viaRecompute)
+    assert(viaStore === Set(102L, 104L, 105L))
+  }
+
+  test("text-simhash default: exact-copy cross kill, fresh survival, " +
+      "store ≡ recompute") {
+    import spark.implicits._
+    val ref = Seq(
+      1L -> "a retained sentence about shuffle partitions and broadcast joins in spark",
+      2L -> "another retained paragraph covering watermarks and stateful streaming").toDF("id", "text")
+    val inc = Seq(
+      10L -> "a retained sentence about shuffle partitions and broadcast joins in spark", // ham 0 -> dies
+      11L -> "entirely fresh words on bloom filters sketches and hyperloglog registers")
+      .toDF("id", "text")
+    val store = SimHash.sigStore(ref, "text", orderCol = Some("id"))
+    val kept = ids(SimHash.deduplicateAgainstSigStore(inc, store, "text",
+      orderCol = Some("id")))
+    assert(kept === ids(SimHash.deduplicateAgainst(inc, ref, "text")))
+    assert(kept === Set(11L))
+  }
+
+  test("mergeSigStores(a, b) equals the store of the union corpus") {
+    val refB: Seq[(Long, Array[Byte])] = Seq(
+      10L -> pgmOf(hA, 3), // cross-side identical signature, higher id
+      11L -> pgmOf(0x9999AAAABBBBCCCCL, 0))
+    val merged = SimHash.mergeSigStores(
+      SimHash.sigStore(df(refRows), "img", ImageHash.dhashUdf, Some("id")),
+      SimHash.sigStore(df(refB), "img", ImageHash.dhashUdf, Some("id")))
+    val combined = SimHash.sigStore(df(refRows).unionByName(df(refB)),
+      "img", ImageHash.dhashUdf, Some("id"))
+    def rows(s: DataFrame): Set[(Long, Long)] =
+      s.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(merged) === rows(combined))
+    // the shared-signature class keeps the MIN id across sides
+    assert(merged.where(org.apache.spark.sql.functions.col("id") === 1L)
+      .count() === 1)
+  }
+
+  test("continuous operation: surviving increment folds into the store") {
+    val store = SimHash.sigStore(df(refRows), "img", ImageHash.dhashUdf,
+      Some("id"))
+    val kept = SimHash.deduplicateAgainstSigStore(df(incRows), store,
+      "img", ImageHash.dhashUdf, orderCol = Some("id"))
+    import org.apache.spark.sql.functions._
+    val keptGlobal = kept.select(
+      (col("id") + lit(graft.dedup.MinHashDedup.NewIdOffset)).as("id"),
+      col("img"))
+    val store2 = SimHash.mergeSigStores(store,
+      SimHash.sigStore(keptGlobal, "img", ImageHash.dhashUdf, Some("id")))
+    // batch 2: a copy of the batch-1 survivor must now die; fresh lives
+    val batch2 = df(Seq(
+      7L -> pgmOf(hFresh, 2),
+      8L -> pgmOf(0x1234432156788765L, 0)))
+    val kept2 = ids(SimHash.deduplicateAgainstSigStore(batch2, store2,
+      "img", ImageHash.dhashUdf, orderCol = Some("id"),
+      newIdOffset = graft.dedup.MinHashDedup.NewIdOffset + 1000L))
+    assert(kept2 === Set(8L))
+  }
+}
