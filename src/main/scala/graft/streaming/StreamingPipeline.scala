@@ -175,6 +175,54 @@ object StreamingPipeline {
     def currentStore: DataFrame = synchronized(store0)
   }
 
+  /** [[StoreNearDedup]]'s twin for the hamming family's signature store
+    * ([[graft.dedup.SimHash.sigStore]] — text simhash, image dHash,
+    * audio eHash via `sigOf`): per micro-batch, signatures for the
+    * batch only, pigeonhole band join against the store, survivors'
+    * signatures folded back via `mergeSigStores`. Same id-offset
+    * stepping, same bounded-state story (the carried store is one
+    * (sig, min id) row per distinct retained signature, lineage cut per
+    * batch), same replay convergence. One instance per query.
+    */
+  final class SigStoreNearDedup(initialStore: DataFrame, column: String,
+      sigOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxHamming: Int, orderCol: String) {
+    import graft.dedup.{MinHashDedup, SimHash}
+    private val BatchIdStep = 1L << 40
+    private var store0: DataFrame = initialStore.localCheckpoint(true)
+    private var offset: Long = MinHashDedup.NewIdOffset
+
+    def processBatch(batch: DataFrame): DataFrame = synchronized {
+      val kept = SimHash.deduplicateAgainstSigStore(batch, store0, column,
+        sigOf, maxHamming, orderCol = Some(orderCol),
+        newIdOffset = offset)
+      val keptGlobal = kept.withColumn("__gid__",
+        col(orderCol).cast("long") + lit(offset))
+      store0 = SimHash.mergeSigStores(store0,
+        SimHash.sigStore(keptGlobal, column, sigOf, Some("__gid__")))
+        .localCheckpoint(true)
+      offset += BatchIdStep
+      kept
+    }
+
+    def currentStore: DataFrame = synchronized(store0)
+  }
+
+  /** Start a hamming-family composed stream — [[SigStoreNearDedup]]
+    * driven from foreachBatch, appending survivors under `outPath`.
+    */
+  def foreachBatchSigStoreNearDedup(stream: DataFrame,
+      dedup: SigStoreNearDedup, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedup.processBatch(b.toDF())
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Start the composed stream: `stream` → per-batch store near-dedup →
     * append surviving rows as parquet under `outPath`.
     *

@@ -126,6 +126,71 @@ class StreamingStoreDedupSpec extends AnyFunSuite {
       "store lineage must be cut (localCheckpoint) per batch")
   }
 
+  test("hamming-family streaming twin: streamed image dedup == batch " +
+      "sig-store fold chain; cross-batch kill fires") {
+    import spark.implicits._
+    import graft.dedup.SimHash
+    import graft.multimodal.ImageHash
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def pgmOf(hash: Long, offset: Int): Array[Byte] = {
+      val px = new Array[Byte](72)
+      var bit = 63
+      (0 until 8).foreach { y =>
+        var v = 128 + offset
+        px(y * 9) = v.toByte
+        (0 until 8).foreach { x =>
+          v = if (((hash >>> bit) & 1L) == 1L) v - 1 else v + 1
+          px(y * 9 + x + 1) = v.toByte
+          bit -= 1
+        }
+      }
+      s"P5\n9 8\n255\n".getBytes("US-ASCII") ++ px
+    }
+    val hA = 0x1212343456567878L
+    val hNew = 0xFEDCBA9876543210L
+    val ref = Seq(1L -> pgmOf(hA, 0)).toDF("doc_id", "img")
+    val b1 = Seq(
+      10L -> pgmOf(hA, 5),   // ham-0 copy of ref -> dies
+      11L -> pgmOf(hNew, 0)) // fresh -> survives
+    val b2 = Seq(
+      20L -> pgmOf(hNew ^ (1L << 9), 2), // ham-1 of the b1 SURVIVOR -> dies
+      21L -> pgmOf(0x0102030405060708L, 0)) // fresh -> survives
+    val store0 = SimHash.sigStore(ref, "img", ImageHash.dhashUdf,
+      Some("doc_id"))
+    val stamp = System.nanoTime()
+    val outPath = s"/tmp/graft_stream_sig_out_$stamp"
+    val dedup = new StreamingPipeline.SigStoreNearDedup(store0, "img",
+      ImageHash.dhashUdf, 3, "doc_id")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = StreamingPipeline.foreachBatchSigStoreNearDedup(
+      mem.toDF.toDF("doc_id", "img"), dedup, outPath,
+      s"/tmp/graft_stream_sig_ckpt_$stamp")
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = ids(spark.read.parquet(outPath))
+    assert(streamed === Set(11L, 21L),
+      "ham-0 ref copy and ham-1 copy of a folded-in survivor must die")
+    // batch twin over the same increments and offsets
+    var store = store0
+    var offset = graft.dedup.MinHashDedup.NewIdOffset
+    val twin = Seq(b1, b2).flatMap { rows =>
+      val kept = SimHash.deduplicateAgainstSigStore(
+        rows.toDF("doc_id", "img"), store, "img", ImageHash.dhashUdf,
+        maxHamming = 3, orderCol = Some("doc_id"), newIdOffset = offset)
+      store = SimHash.mergeSigStores(store, SimHash.sigStore(
+        kept.select((org.apache.spark.sql.functions.col("doc_id") +
+          org.apache.spark.sql.functions.lit(offset)).as("doc_id"),
+          org.apache.spark.sql.functions.col("img")),
+        "img", ImageHash.dhashUdf, Some("doc_id")))
+      offset += (1L << 40)
+      ids(kept)
+    }.toSet
+    assert(streamed === twin)
+  }
+
   test("replay convergence: a re-delivered batch emits zero survivors") {
     // the foreachBatchStoreNearDedup doc's crash-recovery claim: if the
     // checkpoint re-delivers a batch AFTER its fold-in landed, every
