@@ -324,6 +324,27 @@ class PlanSpec extends AnyFunSuite {
     assert(pd.toLowerCase.contains("dynamicpruning"), pd.take(700))
   }
 
+  test("perceptual dedup result plans: broadcast keep filter, no join, " +
+      "no hash exchange") {
+    // driver-UnionFind path: the kept set arrives as a broadcast map, so
+    // the RESULT plan is just the (cached) corpus scan + UDF filter +
+    // output sort — the banding/clustering ran eagerly in the edge probe
+    Seq("img_dhash_dedup", "audio_ehash_dedup").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$name: ${p.take(400)}")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 0,
+        s"$name: ${p.take(400)}")
+    }
+    // the incremental sig-store query is eagerly materialized
+    // (localCheckpoint) — its result plan must be a bare checkpoint scan
+    val pi = plan("incr_img_dedup")
+    assert(!pi.contains("CartesianProduct") && !pi.contains("SortMergeJoin"),
+      pi.take(400))
+    assert("Exchange hashpartitioning".r.findAllIn(pi).size === 0,
+      pi.take(400))
+  }
+
   test("extensions class registers functions and rule on a fresh session") {
     val s2 = SparkSession.builder()
       .master("local[2]")
