@@ -384,6 +384,79 @@ object QueriesExtra10 {
         "WHERE r.root IS NULL OR r.root = d.id ORDER BY doc_id"
     })
 
+  // ---- perceptual video near-dedup (frame-size envelope over stsz) ----
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  /** A minimal MP4 (ftyp + moov/trak/mdia/minf/stbl/stsz) whose 65
+    * per-sample sizes step ±1 from 1000 + `pad` per the bits of `hash` —
+    * one sample per envelope window, so [[graft.multimodal.VideoHash]]'s
+    * fingerprint is EXACTLY `hash`; `pad` models re-muxing with a
+    * constant per-frame container overhead (every window shifts equally,
+    * no comparison flips — different bytes, same fingerprint).
+    */
+  private def mp4For(hash: Long, pad: Int): Array[Byte] = {
+    val stszP = java.nio.ByteBuffer.allocate(12 + 65 * 4)
+    stszP.putInt(0).putInt(0).putInt(65) // version+flags, size=0, count
+    var v = 1000 + pad
+    stszP.putInt(v)
+    var bit = 63
+    var w = 0
+    while (w < 64) {
+      v = if (((hash >>> bit) & 1L) == 1L) v - 1 else v + 1
+      stszP.putInt(v)
+      bit -= 1
+      w += 1
+    }
+    val moov = box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", box("stsz", stszP.array()))))))
+    box("ftyp", "isom   isom".getBytes("US-ASCII")) ++
+      moov
+  }
+
+  /** Clip bytes per doc — the image/audio construction transposed to
+    * video: class c = doc_id % 12 at base hash mix64(c + 11000);
+    * doc_id % 101 == 0 → non-MP4 garbage (null sig, survives);
+    * doc_id % 5 == 1 → hamming 2; doc_id % 5 == 2 → two bits per band
+    * (hamming 8); otherwise the exact base hash at a doc-varying
+    * container pad.
+    */
+  private val mp4BytesUdf = udf { (docId: Long) =>
+    if (docId % 101 == 0) Array[Byte]('n', 'o', 't', 'm', 'p', '4')
+    else {
+      val base = mix64(docId % 12 + 11000L)
+      val h =
+        if (docId % 5 == 1) base ^ (1L << 6) ^ (1L << 41)
+        else if (docId % 5 == 2) base ^ 0x0088002200880022L
+        else base
+      mp4For(h, 4 * (docId % 3).toInt)
+    }
+  }
+
+  private val videoSigVariant = "videofhash"
+
+  /** Video perceptual near-dedup — the third member of the perceptual
+    * family: the MP4 container's stsz sample-size table parsed for real
+    * (no codec), frame-size envelope fingerprint, simhash-machinery
+    * clustering; DuckDB replays the full decision from the exported
+    * (id, sig) frame, undecodable rows pass through on both sides.
+    */
+  val videoFhashDedup: QueryDef = QueryDef("video_fhash_dedup",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+        .select(col("doc_id"), mp4BytesUdf(col("doc_id")).as("clip"))
+      graft.multimodal.VideoHash.deduplicateByFHash(docs, "clip",
+          maxHamming = 3, orderCol = Some("doc_id"),
+          sigSink = QueriesExtra2.sinkOnce(QueriesExtra2.sigPath(
+            videoSigVariant, QueriesExtra2.scaleKey(dir))))
+        .select("doc_id").orderBy("doc_id")
+    },
+    Some(nullableSigKeepFirstSql(videoSigVariant)))
+
   val all: Seq[QueryDef] = Seq(annIvfPqKnnJoin, imgDhashDedup,
-    audioEhashDedup, incrImgDedup)
+    audioEhashDedup, incrImgDedup, videoFhashDedup)
 }

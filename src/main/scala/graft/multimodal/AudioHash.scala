@@ -83,37 +83,19 @@ object AudioHash {
     }
   }
 
-  private val Windows = 65
-
-  /** 64-bit energy-envelope hash: window w covers samples
-    * [w·n/65, (w+1)·n/65), energy = Σ|sample| (Long-exact), bit
-    * (63 − w) set iff energy(w) > energy(w+1). Clips shorter than 65
-    * samples return None (no envelope basis; callers keep such rows
-    * undeduped).
+  /** 64-bit energy-envelope hash: [[Envelope.hash64]] over per-sample
+    * |amplitude| — window w covers samples [w·n/65, (w+1)·n/65), energy
+    * = Σ|sample| (Long-exact), bit (63 − w) set iff energy(w) >
+    * energy(w+1). Clips shorter than 65 samples return None (no
+    * envelope basis; callers keep such rows undeduped).
     */
   def ehash64(samples: Array[Short]): Option[Long] = {
-    val n = samples.length
-    if (n < Windows) return None
-    val energy = new Array[Long](Windows)
-    var w = 0
-    while (w < Windows) {
-      val s0 = w * n / Windows
-      val s1 = (w + 1) * n / Windows
-      var e = 0L
-      var s = s0
-      while (s < s1) { e += math.abs(samples(s).toLong); s += 1 }
-      energy(w) = e
-      w += 1
+    val abs = new Array[Long](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      abs(i) = math.abs(samples(i).toLong); i += 1
     }
-    var sig = 0L
-    var bit = 63
-    w = 0
-    while (w < Windows - 1) {
-      if (energy(w) > energy(w + 1)) sig |= 1L << bit
-      bit -= 1
-      w += 1
-    }
-    Some(sig)
+    Envelope.hash64(abs)
   }
 
   /** WAV bytes → eHash as a scalar column; null for non-PCM-16 or

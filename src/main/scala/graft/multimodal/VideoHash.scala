@@ -1,0 +1,153 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{MinHashDedup, SimHash}
+
+/** Shared 64-bit envelope fingerprint: 65 equal windows over a
+  * non-negative Long sequence, window value = Σ entries (exact), bit
+  * (63 − w) set iff window(w) > window(w+1). The common core of the
+  * audio energy hash and the video frame-size hash — any per-unit
+  * magnitude series reduces to a hamming-comparable signature.
+  */
+private[multimodal] object Envelope {
+  val Windows = 65
+
+  def hash64(values: Array[Long]): Option[Long] = {
+    val n = values.length
+    if (n < Windows) return None
+    val acc = new Array[Long](Windows)
+    var w = 0
+    while (w < Windows) {
+      val s0 = w * n / Windows
+      val s1 = (w + 1) * n / Windows
+      var e = 0L
+      var s = s0
+      while (s < s1) { e += values(s); s += 1 }
+      acc(w) = e
+      w += 1
+    }
+    var sig = 0L
+    var bit = 63
+    w = 0
+    while (w < Windows - 1) {
+      if (acc(w) > acc(w + 1)) sig |= 1L << bit
+      bit -= 1
+      w += 1
+    }
+    Some(sig)
+  }
+}
+
+/** Perceptual video near-dedup — the video member of the dedup family
+  * beside [[ImageHash]]/[[AudioHash]], built on a trick that needs NO
+  * codec: an MP4's `stsz` box (ISO 14496-12 §8.7.3) declares every
+  * sample's byte size, and the frame-size sequence is a fingerprint of
+  * the encoded stream — two re-muxed/re-containered copies of the same
+  * encode share it exactly, and it survives even when the sample DATA
+  * is opaque or encrypted (the well-known traffic-analysis property of
+  * VBR streams). The multimodal mandate's line between real and
+  * stubbed: container structure is parsed for real, frame PIXELS are
+  * never decoded.
+  *
+  * fHash: [[Envelope.hash64]] over the first video track's sample
+  * sizes — 65 windows, Σ sizes per window, neighbor comparisons.
+  * Re-muxing (same samples, new container) preserves it bit-for-bit;
+  * re-encoding changes it; padding every frame by a constant shifts
+  * all windows equally and flips nothing.
+  *
+  * Dedup = the shared simhash pigeonhole machinery, SQL-replayable
+  * from the exported (id, sig) frame like its image/audio siblings.
+  */
+object VideoHash {
+
+  private def be32u(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32u(b, i) << 32) | be32u(b, i + 4)
+
+  /** The first `stsz` sample-size table on the moov/trak/mdia/minf/stbl
+    * path: Some(sizes) with one Long per sample, or None when absent or
+    * malformed. Same hostile-size discipline as
+    * [[Multimodal.decodeMp4]]'s box walk (Long cursors, declared sizes
+    * bounds-checked, largesize/to-end forms handled); a declared
+    * sample_count whose entries don't fit the box is REJECTED, not
+    * truncated — a partial envelope would fingerprint wrongly.
+    */
+  def frameSizes(b: Array[Byte]): Option[Array[Long]] = {
+    if (b == null || b.length < 16) return None
+    var out: Option[Array[Long]] = None
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end && out.isEmpty) {
+        val ii = i.toInt
+        var sz: Long = be32u(b, ii)
+        var payload = i + 8
+        val typ = new String(b, ii + 4, 4, "US-ASCII")
+        if (sz == 1L) {
+          if (i + 16 > end) return
+          sz = be64(b, ii + 8); payload = i + 16
+        } else if (sz == 0L) sz = end - i
+        if (sz < payload - i || sz > end - i) ok = false
+        else { f(typ, payload, i + sz); i += sz }
+      }
+    }
+    def descend(path: List[String], start: Long, end: Long): Unit =
+      path match {
+        case Nil => ()
+        case "stsz" :: Nil => walk(start, end) {
+          case ("stsz", p, e) if out.isEmpty && p + 12 <= e =>
+            val sampleSize = be32u(b, p.toInt + 4)
+            val count = be32u(b, p.toInt + 8)
+            if (count <= (1L << 22)) { // 4M samples ≈ 38h at 30fps — cap
+              if (sampleSize != 0L) // constant-size stream
+                out = Some(Array.fill(count.toInt)(sampleSize))
+              else if (p + 12 + count * 4 <= e)
+                out = Some(Array.tabulate(count.toInt)(k =>
+                  be32u(b, (p + 12 + k * 4L).toInt)))
+              // else: declared entries don't fit the box — malformed
+            }
+          case _ =>
+        }
+        case head :: tail => walk(start, end) {
+          case (t, p, e) if t == head && out.isEmpty => descend(tail, p, e)
+          case _ =>
+        }
+      }
+    descend(List("moov", "trak", "mdia", "minf", "stbl", "stsz"),
+      0L, b.length.toLong)
+    out
+  }
+
+  /** MP4 bytes → frame-size envelope hash; null for non-MP4, missing
+    * stsz, or sub-65-sample streams.
+    */
+  val fhashUdf: Column => Column = {
+    val u = udf { (b: Array[Byte]) =>
+      frameSizes(b).flatMap(Envelope.hash64)
+    }
+    c => u(c)
+  }
+
+  /** Near-dedup rows whose streams hash within `maxHamming` bits —
+    * [[SimHash.deduplicate]] with the frame-size fingerprint as the
+    * signature; undecodable payloads survive. `sigSink` exports the
+    * (id, sig) frame for the SQL oracle.
+    */
+  def deduplicateByFHash(df: DataFrame, binCol: String,
+      maxHamming: Int = 3,
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None,
+      sigSink: Option[String] = None): DataFrame = {
+    val withId = MinHashDedup.assignId(df, orderCol)
+    val sigs = graft.dedup.SideChannel.through(
+      withId.select(col(MinHashDedup.IdCol).as("id"),
+        fhashUdf(col(binCol)).as("sig")),
+      sigSink)
+    MinHashDedup.keepFirst(withId,
+      SimHash.verifiedEdgesFromSigs(sigs, maxHamming), maxDriverEdges)
+  }
+}
