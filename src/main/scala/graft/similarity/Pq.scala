@@ -351,6 +351,44 @@ object Pq {
         col("pq_d2_micro"))
   }
 
+  /** Batched ADC shortlist + EXACT re-rank — [[refineTopK]] for a query
+    * batch, completing the serving family: [[ivfAdcKnnJoin]] nominates
+    * `shortlist` candidates per query with cheap integer ADC, then ONLY
+    * those Q·shortlist pairs pay the double-precision L2 against the
+    * raw embeddings (both joins broadcast the bounded shortlist/query
+    * side — the corpus is scanned once for the re-rank, never
+    * shuffled; the only exchange is the per-query rank window). Recall
+    * is set by `shortlist` and `nprobe`, final ordering by the exact
+    * distance (ties on neighbor id). Returns (query_id, rank,
+    * neighbor_id) — the exact d2 stays internal: its last-ulp value is
+    * summation-order-dependent across engines while the RANKING is
+    * stable (the `ann_bruteforce_topk` oracle precedent).
+    */
+  def ivfAdcRefineKnnJoin(queries: DataFrame, encoded: DataFrame,
+      embCol: String, queryIdCol: String, idCol: String, cellCol: String,
+      codeCol: String, model: PqModel, k: Int, shortlist: Int,
+      nprobe: Int, probes: Option[DataFrame] = None): DataFrame = {
+    val short = ivfAdcKnnJoin(queries, encoded, embCol, queryIdCol,
+      idCol, cellCol, codeCol, model, shortlist, nprobe, probes)
+      .select(col("query_id"), col("neighbor_id"))
+    def dbl(c: Column) = transform(c, x => x.cast("double"))
+    val cand = encoded
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("__ce__"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(embCol).as("__qe__"))), Seq("query_id"))
+      .withColumn("__d2__", aggregate(
+        zip_with(dbl(col("__ce__")), dbl(col("__qe__")),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__d2__"), col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** ADC shortlist + EXACT re-rank — how PQ is actually served: the
     * cheap code scan nominates `shortlist` candidates, then only those
     * rows (broadcast semi-join of ≤ shortlist ids) pay the exact

@@ -132,6 +132,45 @@ class PqSpec extends AnyFunSuite {
     encoded.unpersist(); cells.unpersist()
   }
 
+  test("ivfAdcRefineKnnJoin: exactly the ADC shortlist re-ranked by " +
+      "true L2, per query") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
+      k = 4, iters = 2, trainFraction = 0.5).persist()
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+      k = 8, iters = 2, maxTrain = 500)
+    val encoded = Pq.encode(cells, "embedding", model, "_codes").persist()
+    val queries = emb.orderBy("vec_id").limit(3)
+    val probes = Pq.probeCellsBatch(cells, queries, "embedding", "vec_id",
+      "__cell__", nprobe = 2).localCheckpoint(true)
+    val short = Pq.ivfAdcKnnJoin(queries, encoded, "embedding", "vec_id",
+        "vec_id", "__cell__", "_codes", model, k = 5, nprobe = 2,
+        probes = Some(probes))
+      .collect().toSeq.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    val refined = Pq.ivfAdcRefineKnnJoin(queries, encoded, "embedding",
+        "vec_id", "vec_id", "__cell__", "_codes", model, k = 3,
+        shortlist = 5, nprobe = 2, probes = Some(probes))
+      .collect().toSeq.groupBy(_.getLong(0))
+    val embMap = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    short.foreach { case (qid, candidates) =>
+      val expected = candidates
+        .sortBy(n => (d2(embMap(n), embMap(qid)), n)).take(3)
+      val got = refined(qid).sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(got.toSeq == expected.toSeq, s"query $qid")
+    }
+    encoded.unpersist(); cells.unpersist()
+  }
+
   test("recall@10 vs exact L2 brute force is useful") {
     // sf0.01 (500 vectors): enough training points that the codebooks
     // are representative — the tiny sf0.001 corpus under-trains k=16
