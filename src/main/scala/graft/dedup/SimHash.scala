@@ -176,6 +176,29 @@ object SimHash {
   def mergeSigStores(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("sig").agg(min(col("id")).as("id"))
 
+  /** Explode a (…, sig, …) frame into its k+1 pigeonhole (band, chunk)
+    * rows — the join layout of both store sides and the increment.
+    */
+  private[graft] def bandSig(df: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    df.withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("chunk",
+        expr(s"shiftrightunsigned(sig, band * $width)")
+          .bitwiseAND(lit((1L << width) - 1)))
+  }
+
+  /** The PUBLISHED layout of a signature store at cluster scale:
+    * [[sigStore]] exploded to (band, chunk, sig, id) — write it through
+    * `Sources.publishBucketedBy(…, Seq("band", "chunk"), n)` and the
+    * nightly cross join reads the store pre-partitioned with NO
+    * store-side exchange (the [[MinHashDedup.exportBandedStore]]
+    * contract for the hamming family; `maxHamming` is baked into the
+    * layout — republish to change it).
+    */
+  def bandedSigStore(store: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandSig(store, maxHamming)
+
   /** Increment → store cross edges: both sides banded into the k+1
     * pigeonhole chunks, joined on (band, chunk), verified at
     * `bit_count(xor) ≤ maxHamming`, each hit linking the increment row
@@ -183,18 +206,16 @@ object SimHash {
     * covered — equal signatures share every band.
     */
   private[graft] def storeCrossEdges(incSigs: DataFrame, store: DataFrame,
-      maxHamming: Int): DataFrame = {
-    val bands = maxHamming + 1
-    val width = 64 / bands
-    def banded(df: DataFrame) = df
-      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
-      .withColumn("chunk",
-        expr(s"shiftrightunsigned(sig, band * $width)")
-          .bitwiseAND(lit((1L << width) - 1)))
-    val inc = banded(incSigs.where(col("sig").isNotNull))
-    val st = banded(store.withColumnRenamed("id", "__sid__"))
-      .withColumnRenamed("sig", "ssig")
-    inc.join(st, Seq("band", "chunk"))
+      maxHamming: Int): DataFrame =
+    crossEdgesPreBanded(incSigs,
+      bandSig(store.withColumnRenamed("id", "__sid__"), maxHamming)
+        .withColumnRenamed("sig", "ssig"),
+      maxHamming)
+
+  private[graft] def crossEdgesPreBanded(incSigs: DataFrame,
+      bandedStore: DataFrame, maxHamming: Int): DataFrame = {
+    val inc = bandSig(incSigs.where(col("sig").isNotNull), maxHamming)
+    inc.join(bandedStore, Seq("band", "chunk"))
       .where(bit_count(col("sig").bitwiseXOR(col("ssig"))) <= maxHamming)
       .select(col("id").as("__x__"), col("__sid__").as("__y__"))
       .distinct()
@@ -218,7 +239,36 @@ object SimHash {
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None,
       newIdOffset: Long = MinHashDedup.NewIdOffset,
-      sigSink: Option[String] = None): DataFrame = {
+      sigSink: Option[String] = None): DataFrame =
+    dedupAgainstStoreImpl(newDf, column, sigOf, maxHamming,
+      maxDriverEdges, orderCol, newIdOffset, sigSink)(
+      sigs => storeCrossEdges(sigs, store, maxHamming))
+
+  /** [[deduplicateAgainstSigStore]] against a PUBLISHED
+    * [[bandedSigStore]] (read back from its bucketed table): the store
+    * arrives pre-exploded on (band, chunk), so the cross join pays no
+    * store-side shuffle — the nightly 100 TB shape. The banded frame's
+    * layout fixes `maxHamming`.
+    */
+  def deduplicateAgainstBandedSigStore(newDf: DataFrame,
+      bandedStore: DataFrame, column: String,
+      sigOf: Column => Column = signature,
+      maxHamming: Int = 3,
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None,
+      newIdOffset: Long = MinHashDedup.NewIdOffset,
+      sigSink: Option[String] = None): DataFrame =
+    dedupAgainstStoreImpl(newDf, column, sigOf, maxHamming,
+      maxDriverEdges, orderCol, newIdOffset, sigSink)(
+      sigs => crossEdgesPreBanded(sigs,
+        bandedStore.withColumnRenamed("id", "__sid__")
+          .withColumnRenamed("sig", "ssig"), maxHamming))
+
+  private def dedupAgainstStoreImpl(newDf: DataFrame, column: String,
+      sigOf: Column => Column, maxHamming: Int, maxDriverEdges: Long,
+      orderCol: Option[String], newIdOffset: Long,
+      sigSink: Option[String])(
+      crossOf: DataFrame => DataFrame): DataFrame = {
     val withId = newDf.withColumn(MinHashDedup.IdCol,
       MinHashDedup.idExpr(orderCol) + lit(newIdOffset)).persist()
     val sigs = SideChannel.through(
@@ -226,7 +276,7 @@ object SimHash {
         sigOf(col(column)).as("sig")),
       sigSink)
     val edges = verifiedEdgesFromSigs(sigs, maxHamming)
-      .union(storeCrossEdges(sigs, store, maxHamming))
+      .union(crossOf(sigs))
     val out = MinHashDedup.keepFirst(withId, edges, maxDriverEdges)
       .localCheckpoint(true)
     withId.unpersist()

@@ -112,6 +112,61 @@ class SigStoreSpec extends AnyFunSuite {
       .count() === 1)
   }
 
+  test("bucket-published banded sig store: same kept set, no store-side " +
+      "exchange in the cross join") {
+    import org.apache.spark.sql.functions._
+    val store = SimHash.sigStore(df(refRows), "img", ImageHash.dhashUdf,
+      Some("id"))
+    spark.sql("DROP TABLE IF EXISTS graft_sig_store_bucketed_spec")
+    val loc = new java.io.File(
+      "/tmp/graft_warehouse/graft_sig_store_bucketed_spec")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    graft.sources.Sources.publishBucketedBy(
+      SimHash.bandedSigStore(store, maxHamming = 3),
+      "graft_sig_store_bucketed_spec", Seq("band", "chunk"), 4)
+    val published = spark.table("graft_sig_store_bucketed_spec")
+    // kept set identical through the banded path
+    val viaBanded = ids(SimHash.deduplicateAgainstBandedSigStore(
+      df(incRows), published, "img", ImageHash.dhashUdf, maxHamming = 3,
+      orderCol = Some("id")))
+    val viaPlain = ids(SimHash.deduplicateAgainstSigStore(df(incRows),
+      store, "img", ImageHash.dhashUdf, maxHamming = 3,
+      orderCol = Some("id")))
+    assert(viaBanded === viaPlain)
+    // plan: the increment's banded frame joins the published store with
+    // zero exchanges on the STORE branch (bucketed scan feeds the join)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val incSigs = df(incRows).select(col("id"),
+        ImageHash.dhashUdf(col("img")).as("sig"))
+      val j = SimHash.crossEdgesPreBanded(incSigs,
+        published.withColumnRenamed("id", "__sid__")
+          .withColumnRenamed("sig", "ssig"), 3)
+      val exec = j.queryExecution.executedPlan
+      val smj = exec.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(smj.nonEmpty, exec.toString.take(600))
+      val storeSide = smj.head.right
+      assert(storeSide.toString.contains("Bucketed: true"),
+        storeSide.toString.take(600))
+      assert(storeSide.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, storeSide.toString.take(600))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("continuous operation: surviving increment folds into the store") {
     val store = SimHash.sigStore(df(refRows), "img", ImageHash.dhashUdf,
       Some("id"))
