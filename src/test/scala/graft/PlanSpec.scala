@@ -345,6 +345,30 @@ class PlanSpec extends AnyFunSuite {
       pi.take(400))
   }
 
+  test("refine serving plan: broadcast joins only, two rank windows, " +
+      "no SMJ") {
+    import graft.similarity.{Ann, Pq}
+    val emb = Queries.table(spark, sf, "embeddings")
+    val queries = emb.orderBy("vec_id").limit(3)
+    val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
+      k = 4, iters = 2, trainFraction = 0.5)
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+      k = 8, iters = 2, maxTrain = 200)
+    val encoded = Pq.encode(cells, "embedding", model, "_codes")
+    val probes = Pq.probeCellsBatch(cells, queries, "embedding", "vec_id",
+      "__cell__", nprobe = 2).localCheckpoint(true)
+    val out = Pq.ivfAdcRefineKnnJoin(queries, encoded, "embedding",
+      "vec_id", "vec_id", "__cell__", "_codes", model, k = 3,
+      shortlist = 5, nprobe = 2, probes = Some(probes))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(600))
+    // the ADC shortlist's rank window + the exact re-rank's rank window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      p.take(600))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(600))
+  }
+
   test("extensions class registers functions and rule on a fresh session") {
     val s2 = SparkSession.builder()
       .master("local[2]")
