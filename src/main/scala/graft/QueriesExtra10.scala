@@ -3,10 +3,21 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Round-11 additions: IVF-PQ serving batched (VERDICT r10 #6) — the
-  * set-to-set twin of `ann_ivfpq_topk`, which collected its single query
-  * vector to the driver; real serving takes a query BATCH (the
-  * `ann_knn_join` precedent).
+/** Round-11 additions:
+  *  - batched IVF-PQ serving (VERDICT r10 #6): `ann_ivfpq_knn_join`
+  *    (query batch × corpus codes, integer ADC) and
+  *    `ann_ivfpq_refine_knn` (ADC shortlist + exact L2 re-rank) — the
+  *    set-to-set twins of `ann_ivfpq_topk`, which collected its single
+  *    query vector to the driver;
+  *  - the perceptual dedup triple over real zero-dependency decoders:
+  *    `img_dhash_dedup` (PGM pixels → dHash), `audio_ehash_dedup`
+  *    (PCM-16 → energy envelope), `video_fhash_dedup` (MP4 stsz →
+  *    frame-size envelope), all clustered by the shared simhash
+  *    pigeonhole machinery and SQL-replayed from exported (id, sig)
+  *    frames with explicit NULL (undecodable) handling;
+  *  - `incr_img_dedup`: incremental hamming-family dedup against the
+  *    persisted signature store (`SimHash.sigStore`), the |delta|-cost
+  *    nightly shape with the full decision replayed in SQL.
   */
 object QueriesExtra10 {
 
