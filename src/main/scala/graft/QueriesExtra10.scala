@@ -483,7 +483,9 @@ object QueriesExtra10 {
       bit -= 1
       w += 1
     }
-    val moov = box("moov", box("trak", box("mdia", box("minf",
+    val hdlr = box("hdlr",
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ "vide".getBytes("US-ASCII"))
+    val moov = box("moov", box("trak", box("mdia", hdlr ++ box("minf",
       box("stbl", box("stsz", stszP.array()))))))
     box("ftyp", "isom   isom".getBytes("US-ASCII")) ++
       moov

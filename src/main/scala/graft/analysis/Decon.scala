@@ -93,17 +93,18 @@ object Decon {
       idCol: String, textCol: String, n: Int = 13,
       expectedItems: Long = 0L, fpp: Double = 1e-9): DataFrame = {
     val grams = docGrams(benchmark, idCol, textCol, n)
-      .select("gram").distinct().persist()
+      .select("gram").distinct()
     // same sizing contract as bloomDedupAgainst (ADVICE r9 + r10): an
     // undersized filter degrades fpp silently — here that INFLATES hit
     // counts rather than dropping rows, but the fpp=1e-9 contract still
-    // breaks. <= 0 auto-sizes from the measured distinct-gram count (the
-    // persist amortizes the gram explode across the count and the filter
-    // aggregate); an explicit expectedItems is trusted without a
-    // validation count — sizing correctly is then the caller's contract.
+    // breaks. <= 0 auto-sizes from the measured distinct-gram count
+    // (cached only on THAT branch, where the gram explode feeds both the
+    // count and the filter aggregate); an explicit expectedItems is
+    // trusted without a validation count — sizing correctly is then the
+    // caller's contract, and the grams frame is consumed exactly once.
     val sized =
       if (expectedItems > 0L) expectedItems
-      else math.max(grams.count(), 1L)
+      else { grams.persist(); math.max(grams.count(), 1L) }
     val bf = grams.stat.bloomFilter("gram", sized, fpp)
     grams.unpersist()
     val b = corpus.sparkSession.sparkContext.broadcast(bf)

@@ -69,9 +69,13 @@ object ImageHash {
     }
     if (!skipWs()) return None
     val w = readInt()
-    if (w <= 0 || !skipWs()) return None
+    // dimension cap: readInt alone admits values near 2^35, whose
+    // product overflows a Long and wraps NEGATIVE — slipping past both
+    // bounds checks below into copyOfRange (crash) or a multi-GB
+    // allocation. 2^20 per side keeps w·h ≤ 2^40, exact in a Long.
+    if (w <= 0 || w > (1L << 20) || !skipWs()) return None
     val h = readInt()
-    if (h <= 0 || !skipWs()) return None
+    if (h <= 0 || h > (1L << 20) || !skipWs()) return None
     val maxval = readInt()
     if (maxval <= 0 || maxval > 255) return None
     // exactly ONE whitespace byte separates maxval from the raster

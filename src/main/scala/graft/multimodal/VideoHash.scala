@@ -28,6 +28,19 @@ private[multimodal] object Envelope {
       acc(w) = e
       w += 1
     }
+    // an all-equal envelope carries ZERO content information — its hash
+    // would depend only on the series LENGTH (every constant-bitrate
+    // stream with the same frame count, every silent clip, would
+    // collide at hamming 0 and falsely dedup unrelated content), so
+    // such series are declared un-fingerprintable like sub-65 inputs
+    var mn = acc(0); var mx = acc(0)
+    w = 1
+    while (w < Windows) {
+      if (acc(w) < mn) mn = acc(w)
+      if (acc(w) > mx) mx = acc(w)
+      w += 1
+    }
+    if (mn == mx) return None
     var sig = 0L
     var bit = 63
     w = 0
@@ -68,9 +81,12 @@ object VideoHash {
   private def be64(b: Array[Byte], i: Int): Long =
     (be32u(b, i) << 32) | be32u(b, i + 4)
 
-  /** The first `stsz` sample-size table on the moov/trak/mdia/minf/stbl
-    * path: Some(sizes) with one Long per sample, or None when absent or
-    * malformed. Same hostile-size discipline as
+  /** The first VIDEO track's `stsz` sample-size table on the
+    * moov/trak/mdia/minf/stbl path — a trak qualifies only when its
+    * mdia/hdlr declares handler 'vide' (audio-first muxing must not
+    * fingerprint the audio track): Some(sizes) with one Long per
+    * sample, or None when absent or malformed. Same hostile-size
+    * discipline as
     * [[Multimodal.decodeMp4]]'s box walk (Long cursors, declared sizes
     * bounds-checked, largesize/to-end forms handled); a declared
     * sample_count whose entries don't fit the box is REJECTED, not
@@ -95,6 +111,17 @@ object VideoHash {
         else { f(typ, payload, i + sz); i += sz }
       }
     }
+    // handler type of an mdia box (hdlr payload: version+flags(4),
+    // pre_defined(4), handler_type(4)); None when hdlr is absent
+    def handlerOf(start: Long, end: Long): Option[String] = {
+      var h: Option[String] = None
+      walk(start, end) {
+        case ("hdlr", p, e) if h.isEmpty && p + 12 <= e =>
+          h = Some(new String(b, p.toInt + 8, 4, "US-ASCII"))
+        case _ =>
+      }
+      h
+    }
     def descend(path: List[String], start: Long, end: Long): Unit =
       path match {
         case Nil => ()
@@ -113,7 +140,12 @@ object VideoHash {
           case _ =>
         }
         case head :: tail => walk(start, end) {
-          case (t, p, e) if t == head && out.isEmpty => descend(tail, p, e)
+          case (t, p, e) if t == head && out.isEmpty =>
+            // a trak is only a VIDEO trak if its mdia/hdlr says 'vide' —
+            // audio-first muxing would otherwise fingerprint the audio
+            // track's sample sizes (a trak without a vide hdlr is skipped)
+            if (head != "mdia" || handlerOf(p, e).contains("vide"))
+              descend(tail, p, e)
           case _ =>
         }
       }

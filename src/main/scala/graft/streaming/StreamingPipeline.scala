@@ -118,6 +118,86 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__sh__")
       .drop("__sh__")
 
+  /** Shared scaffold of both store-dedup streams: the carried store,
+    * the per-batch id-offset stepping, cache hygiene (each fold cuts
+    * lineage with localCheckpoint AND releases the previous store's
+    * checkpoint blocks — a long-running stream must not accumulate
+    * stale full-store copies until a driver GC), and the split
+    * dedup/fold API the foreachBatch driver needs for crash-safe
+    * ordering (emit survivors to the sink BETWEEN dedup and fold).
+    *
+    * `initialOffset`: fresh streams use the default 2^62; a stream
+    * RESUMING over a store persisted by an earlier run MUST pass an
+    * offset above every id already in that store (use
+    * [[StreamingPipeline.resumeOffset]]) — restarting at the default
+    * would order new rows below previously-retained ones and keep-first
+    * would keep duplicates.
+    */
+  sealed abstract class AbstractStoreNearDedup(initialStore: DataFrame,
+      orderCol: String, initialOffset: Long) {
+    protected final val BatchIdStep = 1L << 40
+    private var store0: DataFrame = initialStore.localCheckpoint(true)
+    private var offset: Long = initialOffset
+
+    /** Family-specific increment dedup (must be EAGER). */
+    protected def dedupAgainst(batch: DataFrame, store: DataFrame,
+        atOffset: Long): DataFrame
+    /** Family-specific store of a (global-id, payload) frame. */
+    protected def storeOf(keptGlobal: DataFrame): DataFrame
+    /** Family-specific associative store merge. */
+    protected def merge(a: DataFrame, b: DataFrame): DataFrame
+
+    /** Dedup one micro-batch against everything retained so far —
+      * WITHOUT folding. Pair every call with [[fold]] on its result.
+      */
+    def dedupBatch(batch: DataFrame): DataFrame = synchronized {
+      dedupAgainst(batch, store0, offset)
+    }
+
+    /** Fold a [[dedupBatch]] result into the store and advance the
+      * offset. The old store's checkpoint blocks are released once the
+      * new store is materialized — don't hold a pre-fold `currentStore`
+      * reference across folds.
+      */
+    def fold(kept: DataFrame): Unit = synchronized {
+      val keptGlobal = kept.withColumn("__gid__",
+        col(orderCol).cast("long") + lit(offset))
+      val old = store0
+      store0 = merge(old, storeOf(keptGlobal)).localCheckpoint(true)
+      releaseCheckpoint(old)
+      offset += BatchIdStep
+    }
+
+    /** dedup + fold in one call — the BATCH-pipeline convenience (and
+      * the replay-convergence shape: re-processing a folded batch emits
+      * nothing). Streaming drivers use the split calls so the sink
+      * append lands between them.
+      */
+    def processBatch(batch: DataFrame): DataFrame = synchronized {
+      val kept = dedupBatch(batch)
+      fold(kept)
+      kept
+    }
+
+    /** The current retained-corpus store — checkpointed (scan of
+      * materialized blocks, no lineage back through past batches); hand
+      * it to `Sources.publishBucketedBy` on shutdown to persist the
+      * stream's state for the next run (resume with
+      * [[StreamingPipeline.resumeOffset]]).
+      */
+    def currentStore: DataFrame = synchronized(store0)
+
+    /** Drop a superseded checkpointed store's cached blocks. Best
+      * effort: the RDD lives inside the LogicalRDD plan leaf; if the
+      * plan shape ever changes, GC-driven cleanup still applies.
+      */
+    private def releaseCheckpoint(df: DataFrame): Unit =
+      try df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(false))
+      catch { case _: Throwable => () }
+  }
+
   /** Continuous near-dedup against the persisted banded store (VERDICT
     * r10 #5) — the streaming twin of
     * [[graft.dedup.MinHashDedup.deduplicateAgainstStore]]: each
@@ -138,113 +218,97 @@ object StreamingPipeline {
     * Determinism contract: `orderCol` must be unique, non-null, and in
     * [0, 2^40) within every batch; batch N's global ids are
     * `orderCol + offset_N` with offsets stepping 2^40 per batch from
-    * 2^62, so every earlier-retained row orders below every later row
+    * 2^62 (or `initialOffset` when resuming over a persisted store),
+    * so every earlier-retained row orders below every later row
     * (the keep-first invariant) and ids stay exact Longs for ~4M
     * batches. NOT thread-safe across concurrent streams — one instance
     * per query (foreachBatch invocations of one query are sequential).
     */
   final class StoreNearDedup(initialStore: DataFrame, column: String,
-      cfg: graft.dedup.MinHashConfig, orderCol: String) {
+      cfg: graft.dedup.MinHashConfig, orderCol: String,
+      initialOffset: Long = graft.dedup.MinHashDedup.NewIdOffset)
+      extends AbstractStoreNearDedup(initialStore, orderCol,
+        initialOffset) {
     import graft.dedup.MinHashDedup
-    private val BatchIdStep = 1L << 40
-    private var store0: DataFrame = initialStore.localCheckpoint(true)
-    private var offset: Long = MinHashDedup.NewIdOffset
-
-    /** Dedup one micro-batch against everything retained so far, fold
-      * the survivors in, return them (already eagerly materialized by
-      * deduplicateAgainstStore's localCheckpoint).
-      */
-    def processBatch(batch: DataFrame): DataFrame = synchronized {
-      val kept = MinHashDedup.deduplicateAgainstStore(batch, store0,
-        column, cfg, orderCol = Some(orderCol), newIdOffset = offset)
-      val keptGlobal = kept.withColumn("__gid__",
-        col(orderCol).cast("long") + lit(offset))
-      val old = store0
-      store0 = MinHashDedup.mergeStores(old,
-        MinHashDedup.bandedStore(keptGlobal, column, cfg, Some("__gid__")))
-        .localCheckpoint(true)
-      offset += BatchIdStep
-      kept
-    }
-
-    /** The current retained-corpus store — checkpointed (scan of
-      * materialized blocks, no lineage back through past batches); hand
-      * it to `Sources.publishBucketedBy` on shutdown to persist the
-      * stream's state for the next run.
-      */
-    def currentStore: DataFrame = synchronized(store0)
+    protected def dedupAgainst(batch: DataFrame, store: DataFrame,
+        atOffset: Long): DataFrame =
+      MinHashDedup.deduplicateAgainstStore(batch, store, column, cfg,
+        orderCol = Some(orderCol), newIdOffset = atOffset)
+    protected def storeOf(keptGlobal: DataFrame): DataFrame =
+      MinHashDedup.bandedStore(keptGlobal, column, cfg, Some("__gid__"))
+    protected def merge(a: DataFrame, b: DataFrame): DataFrame =
+      MinHashDedup.mergeStores(a, b)
   }
 
   /** [[StoreNearDedup]]'s twin for the hamming family's signature store
     * ([[graft.dedup.SimHash.sigStore]] — text simhash, image dHash,
     * audio eHash via `sigOf`): per micro-batch, signatures for the
     * batch only, pigeonhole band join against the store, survivors'
-    * signatures folded back via `mergeSigStores`. Same id-offset
-    * stepping, same bounded-state story (the carried store is one
-    * (sig, min id) row per distinct retained signature, lineage cut per
-    * batch), same replay convergence. One instance per query.
+    * signatures folded back via `mergeSigStores`. Same offset stepping,
+    * bounded-state story, and resume contract. One instance per query.
     */
   final class SigStoreNearDedup(initialStore: DataFrame, column: String,
       sigOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      maxHamming: Int, orderCol: String) {
-    import graft.dedup.{MinHashDedup, SimHash}
-    private val BatchIdStep = 1L << 40
-    private var store0: DataFrame = initialStore.localCheckpoint(true)
-    private var offset: Long = MinHashDedup.NewIdOffset
-
-    def processBatch(batch: DataFrame): DataFrame = synchronized {
-      val kept = SimHash.deduplicateAgainstSigStore(batch, store0, column,
-        sigOf, maxHamming, orderCol = Some(orderCol),
-        newIdOffset = offset)
-      val keptGlobal = kept.withColumn("__gid__",
-        col(orderCol).cast("long") + lit(offset))
-      store0 = SimHash.mergeSigStores(store0,
-        SimHash.sigStore(keptGlobal, column, sigOf, Some("__gid__")))
-        .localCheckpoint(true)
-      offset += BatchIdStep
-      kept
-    }
-
-    def currentStore: DataFrame = synchronized(store0)
+      maxHamming: Int, orderCol: String,
+      initialOffset: Long = graft.dedup.MinHashDedup.NewIdOffset)
+      extends AbstractStoreNearDedup(initialStore, orderCol,
+        initialOffset) {
+    import graft.dedup.SimHash
+    protected def dedupAgainst(batch: DataFrame, store: DataFrame,
+        atOffset: Long): DataFrame =
+      SimHash.deduplicateAgainstSigStore(batch, store, column, sigOf,
+        maxHamming, orderCol = Some(orderCol), newIdOffset = atOffset)
+    protected def storeOf(keptGlobal: DataFrame): DataFrame =
+      SimHash.sigStore(keptGlobal, column, sigOf, Some("__gid__"))
+    protected def merge(a: DataFrame, b: DataFrame): DataFrame =
+      SimHash.mergeSigStores(a, b)
   }
 
-  /** Start a hamming-family composed stream — [[SigStoreNearDedup]]
-    * driven from foreachBatch, appending survivors under `outPath`.
+  /** The starting offset for a stream RESUMING over a persisted store
+    * (minhash banded or hamming sig — both carry an `id` column): the
+    * smallest BatchIdStep multiple ≥ 2^62 strictly above every retained
+    * id, so the keep-first invariant (old below new) holds across
+    * restarts.
     */
+  def resumeOffset(store: DataFrame): Long = {
+    val step = 1L << 40
+    val base = graft.dedup.MinHashDedup.NewIdOffset
+    val row = store.agg(org.apache.spark.sql.functions.max("id")).head()
+    val maxId = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
+    val floor = math.max(maxId + 1, base)
+    ((floor + step - 1) / step) * step
+  }
+
+  /** Start a composed store-dedup stream: per batch, dedup → APPEND the
+    * survivors under `outPath` → fold them into the store. The append
+    * sits BETWEEN dedup and fold deliberately: a crash after the append
+    * but before the fold re-delivers the batch, the store hasn't
+    * recorded its survivors, so they are re-emitted (at-least-once —
+    * dedupable downstream by id; a transactional sink makes it exactly
+    * once). Folding FIRST would invert that into silent LOSS: the
+    * re-delivered batch's survivors would collide with their folded-in
+    * copies, emit nothing, and never reach the sink. A crash after the
+    * fold re-delivers a batch whose rows all collide — the replay
+    * emits zero survivors and appends nothing (convergent).
+    */
+  def foreachBatchStoreNearDedup(stream: DataFrame,
+      dedup: AbstractStoreNearDedup, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val kept = dedup.dedupBatch(b.toDF())
+        kept.write.mode("append").parquet(outPath)
+        dedup.fold(kept)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Alias kept for the hamming family — same driver, same contract. */
   def foreachBatchSigStoreNearDedup(stream: DataFrame,
       dedup: SigStoreNearDedup, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        dedup.processBatch(b.toDF())
-          .write.mode("append").parquet(outPath)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-
-  /** Start the composed stream: `stream` → per-batch store near-dedup →
-    * append surviving rows as parquet under `outPath`.
-    *
-    * Replay note: if the checkpoint re-delivers a batch after a crash
-    * that happened AFTER the fold-in, every re-delivered row is an exact
-    * copy of (or near-dup of) something already in the store, so the
-    * replay emits zero survivors — the fold-in makes re-processing
-    * naturally convergent. A crash between the parquet append and the
-    * fold-in can still double-append; a transactional sink closes that
-    * window.
-    */
-  def foreachBatchStoreNearDedup(stream: DataFrame, dedup: StoreNearDedup,
-      outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        dedup.processBatch(b.toDF())
-          .write.mode("append").parquet(outPath)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+    foreachBatchStoreNearDedup(stream, dedup, outPath, checkpoint)
 
   /** Read the events table as a (bounded) stream — lets every batch test
     * drive the streaming path synchronously with `processAllAvailable`.

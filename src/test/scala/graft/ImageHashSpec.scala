@@ -45,6 +45,12 @@ class ImageHashSpec extends AnyFunSuite {
     // a declared size far past the buffer must not over-read
     assert(ImageHash.decodePgm(
       "P5\n999999 999999\n255\nxx".getBytes) === None)
+    // dimensions whose PRODUCT overflows a Long must not wrap negative
+    // past the bounds checks into copyOfRange / a giant allocation
+    assert(ImageHash.decodePgm(
+      "P5\n4000000000 4000000000\n255\n xx".getBytes) === None)
+    assert(ImageHash.decodePgm(
+      "P5\n3037000500 3037000500\n255\n xx".getBytes) === None)
   }
 
   test("dhash64: 9x8 identity raster pins exact bits; brightness " +

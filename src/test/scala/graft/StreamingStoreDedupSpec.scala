@@ -191,6 +191,31 @@ class StreamingStoreDedupSpec extends AnyFunSuite {
     assert(streamed === twin)
   }
 
+  test("restart over a persisted store: resumeOffset keeps the " +
+      "keep-first invariant across runs") {
+    // run 1 retains batch-1 survivors at ids offset by 2^62; a NEW
+    // process resuming over the published store must start its offsets
+    // ABOVE every retained id, or keep-first would prefer new rows over
+    // previously-retained ones (the silent cross-restart dup leak)
+    val store0 = MinHashDedup.bandedStore(df(refRows), "text", cfg,
+      Some("doc_id"))
+    val run1 = new StreamingPipeline.StoreNearDedup(store0, "text", cfg,
+      "doc_id")
+    run1.processBatch(df(batch1))
+    val published = run1.currentStore
+    val off = StreamingPipeline.resumeOffset(published)
+    assert(off > MinHashDedup.NewIdOffset,
+      "resume offset must clear run 1's retained ids")
+    assert(off % (1L << 40) === 0L)
+    val run2 = new StreamingPipeline.StoreNearDedup(published, "text",
+      cfg, "doc_id", initialOffset = off)
+    val kept2 = ids(run2.processBatch(df(Seq(
+      7L -> "genuinely novel increment content speaking of streams windows and watermarks never seen before", // copy of a run-1 survivor
+      8L -> "entirely new second wave content involving bloom filters sketches and hyperloglog registers"))))
+    assert(kept2 === Set(8L),
+      "a copy of a run-1 survivor must die after a resume")
+  }
+
   test("replay convergence: a re-delivered batch emits zero survivors") {
     // the foreachBatchStoreNearDedup doc's crash-recovery claim: if the
     // checkpoint re-delivers a batch AFTER its fold-in landed, every

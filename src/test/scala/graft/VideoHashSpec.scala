@@ -33,10 +33,15 @@ class VideoHashSpec extends AnyFunSuite {
     bb.array()
   }
 
+  private def hdlrOf(kind: String): Array[Byte] =
+    box("hdlr", Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+      kind.getBytes("US-ASCII"))
+
   private def mp4Of(stsz: Array[Byte],
-      leadingJunkBox: Boolean = false): Array[Byte] = {
-    val chain = box("moov", box("trak", box("mdia", box("minf",
-      box("stbl", (if (leadingJunkBox)
+      leadingJunkBox: Boolean = false,
+      handler: String = "vide"): Array[Byte] = {
+    val chain = box("moov", box("trak", box("mdia", hdlrOf(handler) ++
+      box("minf", box("stbl", (if (leadingJunkBox)
         box("stco", Array[Byte](0, 0, 0, 0)) else Array.empty[Byte]) ++
         box("stsz", stsz))))))
     box("ftyp", "isom   isom".getBytes("US-ASCII")) ++ chain
@@ -65,6 +70,33 @@ class VideoHashSpec extends AnyFunSuite {
     assert(VideoHash.frameSizes("plainly not a video".getBytes) === None)
     assert(VideoHash.frameSizes(box("ftyp", "isom".getBytes)) === None)
     assert(VideoHash.frameSizes(null) === None)
+    // a trak whose hdlr says 'soun' is NOT a video track — audio-first
+    // muxing must not fingerprint the audio sample sizes
+    assert(VideoHash.frameSizes(mp4Of(stszOf(sizes), handler = "soun"))
+      === None)
+    // soun trak first, vide trak second: the vide one wins
+    val videoSizes = Seq(7, 9, 5, 11)
+    val twoTraks = box("ftyp", "isom   isom".getBytes("US-ASCII")) ++
+      box("moov",
+        box("trak", box("mdia", hdlrOf("soun") ++ box("minf",
+          box("stbl", box("stsz", stszOf(sizes)))))) ++
+        box("trak", box("mdia", hdlrOf("vide") ++ box("minf",
+          box("stbl", box("stsz", stszOf(videoSizes)))))))
+    assert(VideoHash.frameSizes(twoTraks).map(_.toSeq) ===
+      Some(videoSizes.map(_.toLong)))
+  }
+
+  test("constant-bitrate streams are un-fingerprintable: an all-equal " +
+      "envelope carries no content information") {
+    // 130 equal-size samples WOULD hash purely by count — every CBR file
+    // with the same frame count would collide; the envelope refuses
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cbr = mp4Of(stszOf(Seq.fill(130)(0), sampleSize = 512))
+    val sig = Seq((1L, cbr)).toDF("id", "clip")
+      .select(VideoHash.fhashUdf(col("clip")).as("sig"))
+      .collect()(0)
+    assert(sig.isNullAt(0), "constant-size stream must not fingerprint")
   }
 
   test("fhash: identity envelope pins exact bits; constant container " +
