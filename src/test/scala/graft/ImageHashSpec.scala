@@ -89,20 +89,8 @@ class ImageHashSpec extends AnyFunSuite {
   test("deduplicateByDHash: perceptual collapse, band-join merge, " +
       "far-hash survival, undecodable passthrough") {
     import spark.implicits._
-    def img(hash: Long, offset: Int): Array[Byte] = {
-      val px = new Array[Byte](72)
-      var bit = 63
-      (0 until 8).foreach { y =>
-        var v = 128 + offset
-        px(y * 9) = v.toByte
-        (0 until 8).foreach { x =>
-          v = if (((hash >>> bit) & 1L) == 1L) v - 1 else v + 1
-          px(y * 9 + x + 1) = v.toByte
-          bit -= 1
-        }
-      }
-      s"P5\n9 8\n255\n".getBytes("US-ASCII") ++ px
-    }
+    def img(hash: Long, offset: Int): Array[Byte] =
+      TestFixtures.pgmOf(hash, offset)
     val base = 0x0F0F00FF12345678L
     val rows = Seq(
       1L -> img(base, 0),

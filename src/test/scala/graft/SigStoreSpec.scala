@@ -21,20 +21,8 @@ class SigStoreSpec extends AnyFunSuite {
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .getOrCreate()
 
-  private def pgmOf(hash: Long, offset: Int): Array[Byte] = {
-    val px = new Array[Byte](72)
-    var bit = 63
-    (0 until 8).foreach { y =>
-      var v = 128 + offset
-      px(y * 9) = v.toByte
-      (0 until 8).foreach { x =>
-        v = if (((hash >>> bit) & 1L) == 1L) v - 1 else v + 1
-        px(y * 9 + x + 1) = v.toByte
-        bit -= 1
-      }
-    }
-    s"P5\n9 8\n255\n".getBytes("US-ASCII") ++ px
-  }
+  private def pgmOf(hash: Long, offset: Int): Array[Byte] =
+    TestFixtures.pgmOf(hash, offset)
 
   private val hA = 0x1111222233334444L
   private val hB = 0x5555666677778888L

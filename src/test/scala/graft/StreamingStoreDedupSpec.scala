@@ -132,20 +132,8 @@ class StreamingStoreDedupSpec extends AnyFunSuite {
     import graft.dedup.SimHash
     import graft.multimodal.ImageHash
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def pgmOf(hash: Long, offset: Int): Array[Byte] = {
-      val px = new Array[Byte](72)
-      var bit = 63
-      (0 until 8).foreach { y =>
-        var v = 128 + offset
-        px(y * 9) = v.toByte
-        (0 until 8).foreach { x =>
-          v = if (((hash >>> bit) & 1L) == 1L) v - 1 else v + 1
-          px(y * 9 + x + 1) = v.toByte
-          bit -= 1
-        }
-      }
-      s"P5\n9 8\n255\n".getBytes("US-ASCII") ++ px
-    }
+    def pgmOf(hash: Long, offset: Int): Array[Byte] =
+      TestFixtures.pgmOf(hash, offset)
     val hA = 0x1212343456567878L
     val hNew = 0xFEDCBA9876543210L
     val ref = Seq(1L -> pgmOf(hA, 0)).toDF("doc_id", "img")
