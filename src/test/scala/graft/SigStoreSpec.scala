@@ -155,6 +155,19 @@ class SigStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed clustering branch: maxDriverEdges=0 keeps the same " +
+      "set as the driver UnionFind") {
+    val store = SimHash.sigStore(df(refRows), "img", ImageHash.dhashUdf,
+      Some("id"))
+    val driver = ids(SimHash.deduplicateAgainstSigStore(df(incRows),
+      store, "img", ImageHash.dhashUdf, maxHamming = 3,
+      orderCol = Some("id")))
+    val distributed = ids(SimHash.deduplicateAgainstSigStore(df(incRows),
+      store, "img", ImageHash.dhashUdf, maxHamming = 3,
+      maxDriverEdges = 0L, orderCol = Some("id")))
+    assert(distributed === driver)
+  }
+
   test("continuous operation: surviving increment folds into the store") {
     val store = SimHash.sigStore(df(refRows), "img", ImageHash.dhashUdf,
       Some("id"))
