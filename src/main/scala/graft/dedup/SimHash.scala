@@ -118,7 +118,7 @@ object SimHash {
       explode(array((0 until bands).map(lit): _*)).as("band"))
       .withColumn("chunk",
         expr(s"shiftrightunsigned(sig, band * $width)")
-          .bitwiseAND(lit((1L << width) - 1)))
+          .bitwiseAND(lit(chunkMask(width))))
     val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band", "chunk"))
       .where(col("a.id") < col("b.id"))
@@ -130,6 +130,28 @@ object SimHash {
     // A<B<C keeps only C→A) and over-keep vs transitive clustering —
     // and it cost an extra shuffle (ADVICE r3)
     pairs.union(identEdges)
+  }
+
+  /** Near-dedup rows by ANY 64-bit signature of a payload column — the
+    * ONE body behind the image/audio/video perceptual dedups
+    * ([[graft.multimodal.ImageHash.deduplicateByDHash]] and siblings):
+    * signature column, shared pigeonhole edges, shared keepFirst
+    * crossover; null signatures (undecodable payloads) always survive.
+    * `sigSink` exports the (id, sig) frame for the SQL oracle.
+    */
+  def deduplicateBySig(df: DataFrame, column: String,
+      sigOf: Column => Column,
+      maxHamming: Int = 3,
+      maxDriverEdges: Long = 10_000_000L,
+      orderCol: Option[String] = None,
+      sigSink: Option[String] = None): DataFrame = {
+    val withId = MinHashDedup.assignId(df, orderCol)
+    val sigs = SideChannel.through(
+      withId.select(col(MinHashDedup.IdCol).as("id"),
+        sigOf(col(column)).as("sig")),
+      sigSink)
+    MinHashDedup.keepFirst(withId,
+      verifiedEdgesFromSigs(sigs, maxHamming), maxDriverEdges)
   }
 
   // ------------------------------------------------------------------
@@ -185,8 +207,17 @@ object SimHash {
     df.withColumn("band", explode(array((0 until bands).map(lit): _*)))
       .withColumn("chunk",
         expr(s"shiftrightunsigned(sig, band * $width)")
-          .bitwiseAND(lit((1L << width) - 1)))
+          .bitwiseAND(lit(chunkMask(width))))
   }
+
+  /** The low-`width` bitmask. `(1L << 64) - 1` is NOT it: JVM long
+    * shifts mask the distance mod 64, so at maxHamming = 0 (one 64-bit
+    * band — legal exact-signature dedup) the naive mask is 0, every
+    * chunk collapses to 0, and the band join degenerates into a full
+    * cross join of all distinct signatures.
+    */
+  private def chunkMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1
 
   /** The PUBLISHED layout of a signature store at cluster scale:
     * [[sigStore]] exploded to (band, chunk, sig, id) — write it through

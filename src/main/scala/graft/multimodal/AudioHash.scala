@@ -83,19 +83,37 @@ object AudioHash {
     }
   }
 
-  /** 64-bit energy-envelope hash: [[Envelope.hash64]] over per-sample
-    * |amplitude| — window w covers samples [w·n/65, (w+1)·n/65), energy
-    * = Σ|sample| (Long-exact), bit (63 − w) set iff energy(w) >
-    * energy(w+1). Clips shorter than 65 samples return None (no
-    * envelope basis; callers keep such rows undeduped).
+  /** 64-bit energy-envelope hash over per-sample |amplitude| — window w
+    * covers samples [w·n/65, (w+1)·n/65), energy = Σ|sample|
+    * (Long-exact), bit (63 − w) set iff energy(w) > energy(w+1), with
+    * [[Envelope]]'s content-free guards (constant |amplitude| — e.g. a
+    * square wave or silence — is un-fingerprintable). Clips shorter
+    * than 65 samples return None. The abs is taken INSIDE the window
+    * loop: a per-sample Long copy would transiently 5× a large clip's
+    * memory in the hashing UDF.
     */
   def ehash64(samples: Array[Short]): Option[Long] = {
-    val abs = new Array[Long](samples.length)
-    var i = 0
-    while (i < samples.length) {
-      abs(i) = math.abs(samples(i).toLong); i += 1
+    val n = samples.length
+    if (n < Envelope.Windows) return None
+    val acc = new Array[Long](Envelope.Windows)
+    val first = math.abs(samples(0).toLong)
+    var constant = true
+    var w = 0
+    while (w < Envelope.Windows) {
+      val s0 = w * n / Envelope.Windows
+      val s1 = (w + 1) * n / Envelope.Windows
+      var e = 0L
+      var s = s0
+      while (s < s1) {
+        val a = math.abs(samples(s).toLong)
+        if (a != first) constant = false
+        e += a
+        s += 1
+      }
+      acc(w) = e
+      w += 1
     }
-    Envelope.hash64(abs)
+    Envelope.fromSums(acc, constant)
   }
 
   /** WAV bytes → eHash as a scalar column; null for non-PCM-16 or
@@ -118,13 +136,7 @@ object AudioHash {
       maxHamming: Int = 3,
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None,
-      sigSink: Option[String] = None): DataFrame = {
-    val withId = MinHashDedup.assignId(df, orderCol)
-    val sigs = graft.dedup.SideChannel.through(
-      withId.select(col(MinHashDedup.IdCol).as("id"),
-        ehashUdf(col(binCol)).as("sig")),
-      sigSink)
-    MinHashDedup.keepFirst(withId,
-      SimHash.verifiedEdgesFromSigs(sigs, maxHamming), maxDriverEdges)
-  }
+      sigSink: Option[String] = None): DataFrame =
+    SimHash.deduplicateBySig(df, binCol, ehashUdf, maxHamming,
+      maxDriverEdges, orderCol, sigSink)
 }

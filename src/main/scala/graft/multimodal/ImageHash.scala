@@ -97,8 +97,10 @@ object ImageHash {
     * bit (cy·8 + cx) — MSB first — is set iff cell(cx) > cell(cx+1).
     * A 9×8 input hashes its raw pixels directly (every box is one
     * pixel), which is what lets a spec — and a query construction —
-    * pin EXACT target hashes. Images smaller than the grid return None
-    * (no averaging basis; callers keep such rows undeduped).
+    * pin EXACT target hashes. Images smaller than the grid, and images
+    * whose downsampled grid is completely FLAT (no structure to
+    * fingerprint — see the guard below), return None; callers keep such
+    * rows undeduped.
     */
   def dhash64(w: Int, h: Int, pixels: Array[Byte]): Option[Long] = {
     if (w < GridW || h < GridH || pixels.length < w * h) return None
@@ -123,6 +125,23 @@ object ImageHash {
       }
       cy += 1
     }
+    // flat-grid guard (the [[Envelope.hash64]] rule): an image whose
+    // every downsampled cell is equal — solid colors, uniform noise
+    // below the averaging floor — carries no structure; hashing it to 0
+    // would collapse a solid-black and a solid-white image (dHash is
+    // deliberately brightness-invariant) at hamming 0
+    var mn = cell(0)(0); var mx = cell(0)(0)
+    cy = 0
+    while (cy < GridH) {
+      var cx = 0
+      while (cx < GridW) {
+        if (cell(cy)(cx) < mn) mn = cell(cy)(cx)
+        if (cell(cy)(cx) > mx) mx = cell(cy)(cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    if (mn == mx) return None
     var sig = 0L
     var bit = 63
     cy = 0
@@ -159,13 +178,7 @@ object ImageHash {
       maxHamming: Int = 3,
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None,
-      sigSink: Option[String] = None): DataFrame = {
-    val withId = MinHashDedup.assignId(df, orderCol)
-    val sigs = graft.dedup.SideChannel.through(
-      withId.select(col(MinHashDedup.IdCol).as("id"),
-        dhashUdf(col(binCol)).as("sig")),
-      sigSink)
-    MinHashDedup.keepFirst(withId,
-      SimHash.verifiedEdgesFromSigs(sigs, maxHamming), maxDriverEdges)
-  }
+      sigSink: Option[String] = None): DataFrame =
+    SimHash.deduplicateBySig(df, binCol, dhashUdf, maxHamming,
+      maxDriverEdges, orderCol, sigSink)
 }

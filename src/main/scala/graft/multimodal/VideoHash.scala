@@ -18,23 +18,38 @@ private[multimodal] object Envelope {
     val n = values.length
     if (n < Windows) return None
     val acc = new Array[Long](Windows)
+    var constant = true
     var w = 0
     while (w < Windows) {
       val s0 = w * n / Windows
       val s1 = (w + 1) * n / Windows
       var e = 0L
       var s = s0
-      while (s < s1) { e += values(s); s += 1 }
+      while (s < s1) {
+        if (values(s) != values(0)) constant = false
+        e += values(s)
+        s += 1
+      }
       acc(w) = e
       w += 1
     }
-    // an all-equal envelope carries ZERO content information — its hash
-    // would depend only on the series LENGTH (every constant-bitrate
-    // stream with the same frame count, every silent clip, would
-    // collide at hamming 0 and falsely dedup unrelated content), so
-    // such series are declared un-fingerprintable like sub-65 inputs
+    fromSums(acc, constant)
+  }
+
+  /** Window sums → bits, guarded: a CONSTANT input series, or one whose
+    * window sums are all equal, carries ZERO content information — its
+    * bits would depend only on the series LENGTH (when 65 ∤ n the
+    * window lengths alternate L/L+1, so a constant series still yields
+    * UNEQUAL sums c·L vs c·(L+1) — the sum guard alone misses it and
+    * every constant-bitrate stream / square-wave clip with the same
+    * count would collide at hamming 0), so such series are declared
+    * un-fingerprintable like sub-65 inputs.
+    */
+  private[multimodal] def fromSums(acc: Array[Long],
+      constantInput: Boolean): Option[Long] = {
+    if (constantInput) return None
     var mn = acc(0); var mx = acc(0)
-    w = 1
+    var w = 1
     while (w < Windows) {
       if (acc(w) < mn) mn = acc(w)
       if (acc(w) > mx) mx = acc(w)
@@ -173,13 +188,7 @@ object VideoHash {
       maxHamming: Int = 3,
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None,
-      sigSink: Option[String] = None): DataFrame = {
-    val withId = MinHashDedup.assignId(df, orderCol)
-    val sigs = graft.dedup.SideChannel.through(
-      withId.select(col(MinHashDedup.IdCol).as("id"),
-        fhashUdf(col(binCol)).as("sig")),
-      sigSink)
-    MinHashDedup.keepFirst(withId,
-      SimHash.verifiedEdgesFromSigs(sigs, maxHamming), maxDriverEdges)
-  }
+      sigSink: Option[String] = None): DataFrame =
+    SimHash.deduplicateBySig(df, binCol, fhashUdf, maxHamming,
+      maxDriverEdges, orderCol, sigSink)
 }

@@ -39,6 +39,7 @@ object Pq {
       maxTrain: Int, seed: Long): Array[Array[Float]] =
     corpus
       .select(col(idCol), col(embCol))
+      .where(col(embCol).isNotNull) // a null row must not NPE the train
       .orderBy(md5(concat(lit(s"$seed:"), col(idCol).cast("string"))),
         col(idCol))
       .limit(maxTrain)
@@ -52,7 +53,7 @@ object Pq {
     * keep their previous centroid.
     */
   private def lloyd(slices: Array[Array[Double]], k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int, dim: Int): Array[Array[Double]] = {
     val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
     var i = 0
@@ -62,8 +63,10 @@ object Pq {
       i += 1
     }
     var cents = init.toArray
-    if (cents.isEmpty) return Array(Array.fill(slices.headOption
-      .map(_.length).getOrElse(0))(0.0))
+    // an empty sample must still yield a centroid of the SUBSPACE
+    // dimension — a 0-length centroid would violate the invariant
+    // adcTable/adcTopK/queryGrid index against (cent(j) AIOOBE)
+    if (cents.isEmpty) return Array(new Array[Double](dim))
     var it = 0
     while (it < iters) {
       val dim = cents(0).length
@@ -124,7 +127,7 @@ object Pq {
       val slices = sample.map { v =>
         Array.tabulate(subDim)(j => v(sub * subDim + j).toDouble)
       }
-      lloyd(slices, k, iters)
+      lloyd(slices, k, iters, subDim)
     }
     PqModel(m, k, subDim, books)
   }
@@ -136,13 +139,18 @@ object Pq {
       codeCol: String): DataFrame = {
     val mm = model
     val enc = udf { (v: Seq[Float]) =>
-      val arr = v.toArray
-      Array.tabulate(mm.m) { sub =>
-        val slice = Array.tabulate(mm.subDim)(j =>
-          arr(sub * mm.subDim + j).toDouble)
-        nearest(mm.codebooks(sub), slice)
+      if (v == null) None
+      else {
+        val arr = v.toArray
+        Some(Array.tabulate(mm.m) { sub =>
+          val slice = Array.tabulate(mm.subDim)(j =>
+            arr(sub * mm.subDim + j).toDouble)
+          nearest(mm.codebooks(sub), slice)
+        })
       }
     }
+    // null embeddings get NULL codes (never a crashed job); downstream
+    // scans filter them out — an unembeddable row can't be served
     corpus.withColumn(codeCol, enc(col(embCol)))
   }
 
@@ -161,20 +169,11 @@ object Pq {
   def adcTable(spark: SparkSession, query: Array[Float],
       model: PqModel): DataFrame = {
     import spark.implicits._
+    val grid = queryGrid(model, query.toSeq)
     val rows = for {
       sub <- 0 until model.m
-      code <- model.codebooks(sub).indices
-    } yield {
-      val cent = model.codebooks(sub)(code)
-      var d = 0.0
-      var j = 0
-      while (j < model.subDim) {
-        val diff = query(sub * model.subDim + j).toDouble - cent(j)
-        d += diff * diff
-        j += 1
-      }
-      (sub, code, math.floor(d * 1e6).toLong)
-    }
+      code <- grid(sub).indices
+    } yield (sub, code, grid(sub)(code))
     rows.toDF("sub", "code", "d2_micro")
   }
 
@@ -184,28 +183,17 @@ object Pq {
     */
   def adcTopK(encoded: DataFrame, idCol: String, codeCol: String,
       query: Array[Float], model: PqModel, k: Int): DataFrame = {
-    val mm = model
-    // dense m×k lookup array in the closure — same integers as adcTable
-    val table = Array.tabulate(mm.m) { sub =>
-      mm.codebooks(sub).indices.map { code =>
-        val cent = mm.codebooks(sub)(code)
-        var d = 0.0
-        var j = 0
-        while (j < mm.subDim) {
-          val diff = query(sub * mm.subDim + j).toDouble - cent(j)
-          d += diff * diff
-          j += 1
-        }
-        math.floor(d * 1e6).toLong
-      }.toArray
-    }
+    // dense m×k lookup array in the closure — THE SAME integers as
+    // adcTable/adcTablesFrame by construction (one quantization loop)
+    val table = queryGrid(model, query.toSeq)
     val dist = udf { (codes: Seq[Int]) =>
       var s = 0L
       var sub = 0
       while (sub < table.length) { s += table(sub)(codes(sub)); sub += 1 }
       s
     }
-    val scored = encoded.withColumn("pq_d2_micro", dist(col(codeCol)))
+    val scored = encoded.where(col(codeCol).isNotNull)
+      .withColumn("pq_d2_micro", dist(col(codeCol)))
       .orderBy(col("pq_d2_micro"), col(idCol))
       .limit(k)
     scored.withColumn("rank", row_number().over(
@@ -336,6 +324,7 @@ object Pq {
       s
     }
     val cand = encoded
+      .where(col(codeCol).isNotNull) // unembeddable rows can't be served
       .select(col(cellCol).as("cell"), col(idCol).as("neighbor_id"),
         col(codeCol).as("__c__"))
       .join(broadcast(pr), Seq("cell"))

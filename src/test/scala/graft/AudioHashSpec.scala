@@ -86,6 +86,17 @@ class AudioHashSpec extends AnyFunSuite {
     assert(AudioHash.ehash64(envelope(0).map(s => (-s).toShort)) ===
       Some(target))
     assert(AudioHash.ehash64(new Array[Short](64)) === None)
+    // constant |amplitude| (square wave, silence) carries no envelope
+    // information — two different-frequency square waves of equal length
+    // would otherwise collide; un-fingerprintable, including at lengths
+    // NOT divisible by 65 where window sums differ but bits would
+    // depend only on the length
+    assert(AudioHash.ehash64(Array.fill[Short](130)(500)) === None)
+    assert(AudioHash.ehash64(Array.fill[Short](131)(500)) === None)
+    assert(AudioHash.ehash64(
+      Array.tabulate[Short](131)(i => if (i % 2 == 0) 500 else -500))
+      === None)
+    assert(AudioHash.ehash64(new Array[Short](200)) === None)
     // multi-sample windows: duplicating every sample 3x scales every
     // window energy by 3 -> same comparisons, same hash
     val tripled = envelope(0).flatMap(s => Array(s, s, s))

@@ -84,6 +84,11 @@ class ImageHashSpec extends AnyFunSuite {
     // sub-grid images don't hash
     assert(ImageHash.dhash64(8, 8, new Array[Byte](64)) === None)
     assert(ImageHash.dhash64(9, 7, new Array[Byte](63)) === None)
+    // FLAT images don't hash either: solid black and solid white would
+    // otherwise both hash to 0 (dHash is brightness-invariant) and
+    // falsely collapse at hamming 0
+    assert(ImageHash.dhash64(9, 8, Array.fill[Byte](72)(0)) === None)
+    assert(ImageHash.dhash64(9, 8, Array.fill[Byte](72)(-1)) === None)
   }
 
   test("deduplicateByDHash: perceptual collapse, band-join merge, " +

@@ -168,6 +168,29 @@ class SigStoreSpec extends AnyFunSuite {
     assert(distributed === driver)
   }
 
+  test("maxHamming = 0: the single 64-bit band chunks on the WHOLE sig " +
+      "(no degenerate zero mask), and exact-sig dedup behaves") {
+    import spark.implicits._
+    // (1L << 64) - 1 == 0 on the JVM (shift distance mod 64): a zero
+    // mask would send EVERY signature to chunk 0 and degenerate the
+    // band join into a full cross join of distinct sigs
+    val banded = SimHash.bandSig(
+      Seq((1L, 123456789123L), (2L, -42L)).toDF("id", "sig"), 0)
+      .select("id", "chunk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(banded(1L) === 123456789123L)
+    assert(banded(2L) === -42L)
+    // semantics: hamming-0 twins collapse, hamming-1 neighbors survive
+    val h = 0x7777000012349876L
+    val rows = df(Seq(
+      1L -> pgmOf(h, 0),
+      2L -> pgmOf(h, 6),             // same hash, different bytes -> dies
+      3L -> pgmOf(h ^ (1L << 5), 0))) // hamming 1 -> must SURVIVE at k=0
+    val kept = ids(ImageHash.deduplicateByDHash(rows, "img",
+      maxHamming = 0, orderCol = Some("id")))
+    assert(kept === Set(1L, 3L))
+  }
+
   test("continuous operation: surviving increment folds into the store") {
     val store = SimHash.sigStore(df(refRows), "img", ImageHash.dhashUdf,
       Some("id"))

@@ -93,10 +93,14 @@ class VideoHashSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val cbr = mp4Of(stszOf(Seq.fill(130)(0), sampleSize = 512))
-    val sig = Seq((1L, cbr)).toDF("id", "clip")
-      .select(VideoHash.fhashUdf(col("clip")).as("sig"))
-      .collect()(0)
-    assert(sig.isNullAt(0), "constant-size stream must not fingerprint")
+    // 131: 65 does NOT divide it, so window sums DIFFER (L vs L+1
+    // windows) — the constant-INPUT guard must still refuse
+    val cbrOdd = mp4Of(stszOf(Seq.fill(131)(0), sampleSize = 512))
+    val sigs = Seq((1L, cbr), (2L, cbrOdd)).toDF("id", "clip")
+      .select(col("id"), VideoHash.fhashUdf(col("clip")).as("sig"))
+      .collect()
+    assert(sigs.forall(_.isNullAt(1)),
+      "constant-size streams must not fingerprint at any length")
   }
 
   test("fhash: identity envelope pins exact bits; constant container " +
