@@ -107,6 +107,15 @@ object Decon {
       else { grams.persist(); math.max(grams.count(), 1L) }
     val bf = grams.stat.bloomFilter("gram", sized, fpp)
     grams.unpersist()
+    // zero-extra-pass observability (ADVICE r11): realized fpp from the
+    // built filter's bit saturation exposes an undersized explicit count
+    if (expectedItems > 0L && bf.expectedFpp() > fpp * 10) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        f"bloomContaminated: explicit expectedItems=$expectedItems undersized " +
+          f"— realized fpp ${bf.expectedFpp()}%.3g vs requested $fpp%.3g; " +
+          "hit counts inflate at the realized rate. Pass expectedItems <= 0 " +
+          "to auto-size from the measured distinct-gram count.")
+    }
     val b = corpus.sparkSession.sparkContext.broadcast(bf)
     val hitCount = udf { (s: String) =>
       val grams = graft.dedup.NgramJaccard.gramSet(s, n)

@@ -55,11 +55,22 @@ object ExactDedup {
     // to validate it costs a full pass over a potentially huge corpus per
     // call, undercutting the "only the bit array reaches the driver" cost
     // profile — so when you size explicitly, the no-oversubscription
-    // guarantee is YOUR contract; pass <= 0 to have it measured.
+    // guarantee is YOUR contract; pass <= 0 to have it measured. To keep
+    // that contract OBSERVABLE at zero extra passes (ADVICE r11), the
+    // built filter's REALIZED fpp (BloomFilter.expectedFpp() — computed
+    // from actual bit saturation, so oversubscription shows up directly)
+    // is checked against the request: >10× degradation logs loudly.
     val sized =
       if (expectedItems > 0L) expectedItems
       else math.max(refDf.count(), 1L)
     val bf = refDf.stat.bloomFilter(column, sized, fpp)
+    if (expectedItems > 0L && bf.expectedFpp() > fpp * 10) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        f"bloomDedupAgainst: explicit expectedItems=$expectedItems undersized " +
+          f"— realized fpp ${bf.expectedFpp()}%.3g vs requested $fpp%.3g; " +
+          "genuinely-fresh rows WILL be dropped at the realized rate. " +
+          "Pass expectedItems <= 0 to auto-size from a measured count.")
+    }
     val b = newDf.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf { (v: String) => v != null && b.value.mightContainString(v) }
     newDf.where(!mightContain(col(column)))

@@ -100,8 +100,10 @@ object AudioHash {
     var constant = true
     var w = 0
     while (w < Envelope.Windows) {
-      val s0 = w * n / Envelope.Windows
-      val s1 = (w + 1) * n / Envelope.Windows
+      // Long product: w·n overflows Int for clips past ~33M samples
+      // (~12.5 min mono @44.1kHz) — realistic WAV input
+      val s0 = (w.toLong * n / Envelope.Windows).toInt
+      val s1 = ((w + 1).toLong * n / Envelope.Windows).toInt
       var e = 0L
       var s = s0
       while (s < s1) {

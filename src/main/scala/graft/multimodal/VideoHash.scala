@@ -21,8 +21,10 @@ private[multimodal] object Envelope {
     var constant = true
     var w = 0
     while (w < Windows) {
-      val s0 = w * n / Windows
-      val s1 = (w + 1) * n / Windows
+      // Long product: w·n overflows Int past ~33M entries — today shielded
+      // by stsz's 2^22 cap, but the shared core must not rely on callers
+      val s0 = (w.toLong * n / Windows).toInt
+      val s1 = ((w + 1).toLong * n / Windows).toInt
       var e = 0L
       var s = s0
       while (s < s1) {
@@ -105,7 +107,11 @@ object VideoHash {
     * [[Multimodal.decodeMp4]]'s box walk (Long cursors, declared sizes
     * bounds-checked, largesize/to-end forms handled); a declared
     * sample_count whose entries don't fit the box is REJECTED, not
-    * truncated — a partial envelope would fingerprint wrongly.
+    * truncated — a partial envelope would fingerprint wrongly. A
+    * constant-size stream (sample_size != 0, no entry table) is None
+    * directly: a constant series is always un-fingerprintable
+    * ([[Envelope.fromSums]]' constant guard), so materializing up to 4M
+    * equal Longs (~32MB per row inside the UDF) would be dead work.
     */
   def frameSizes(b: Array[Byte]): Option[Array[Long]] = {
     if (b == null || b.length < 16) return None
@@ -145,8 +151,12 @@ object VideoHash {
             val sampleSize = be32u(b, p.toInt + 4)
             val count = be32u(b, p.toInt + 8)
             if (count <= (1L << 22)) { // 4M samples ≈ 38h at 30fps — cap
-              if (sampleSize != 0L) // constant-size stream
-                out = Some(Array.fill(count.toInt)(sampleSize))
+              if (sampleSize != 0L) {
+                // constant-size stream: a constant series is always
+                // un-fingerprintable (fromSums' constant guard), so
+                // building up to 4M Longs (~32MB/row in the UDF) would be
+                // guaranteed dead work — stay None directly
+              }
               else if (p + 12 + count * 4 <= e)
                 out = Some(Array.tabulate(count.toInt)(k =>
                   be32u(b, (p + 12 + k * 4L).toInt)))

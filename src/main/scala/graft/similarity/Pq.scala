@@ -254,7 +254,10 @@ object Pq {
   def adcTablesFrame(queries: DataFrame, embCol: String,
       queryIdCol: String, model: PqModel): DataFrame = {
     val mm = model
-    val grid = udf { (v: Seq[Float]) => queryGrid(mm, v) }
+    // null embedding → no grid rows (posexplode of null emits nothing),
+    // mirroring encode()'s null passthrough — never a crashed job
+    val grid = udf { (v: Seq[Float]) =>
+      if (v == null) None else Some(queryGrid(mm, v)) }
     queries
       .select(col(queryIdCol).as("query_id"), grid(col(embCol)).as("__g__"))
       .select(col("query_id"), posexplode(col("__g__")).as(Seq("sub", "__r__")))
@@ -278,6 +281,7 @@ object Pq {
       .partitionBy(col("query_id"))
       .orderBy(col("__csim__").desc, col(cellCol))
     queries
+      .where(col(embCol).isNotNull) // unembeddable queries probe nothing
       .select(col(queryIdCol).as("query_id"), col(embCol).as("__qe__"))
       .crossJoin(cents)
       .withColumn("__csim__", Ann.cosine(col("__centroid__"), col("__qe__")))
@@ -314,9 +318,12 @@ object Pq {
     val mm = model
     val pr = probes.getOrElse(
       probeCellsBatch(encoded, queries, embCol, queryIdCol, cellCol, nprobe))
-    val grid = udf { (v: Seq[Float]) => queryGrid(mm, v) }
-    val qGrids = queries.select(col(queryIdCol).as("query_id"),
-      grid(col(embCol)).as("__qt__"))
+    // null-embedding query rows are dropped (can't be served), mirroring
+    // encode(): the serving path must never crash on an unembeddable row
+    val grid = udf { (v: Seq[Float]) =>
+      if (v == null) None else Some(queryGrid(mm, v)) }
+    val qGrids = queries.where(col(embCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"), grid(col(embCol)).as("__qt__"))
     val dist = udf { (qt: Seq[Seq[Long]], codes: Seq[Int]) =>
       var s = 0L
       var sub = 0

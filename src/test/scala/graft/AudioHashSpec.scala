@@ -101,6 +101,17 @@ class AudioHashSpec extends AnyFunSuite {
     // window energy by 3 -> same comparisons, same hash
     val tripled = envelope(0).flatMap(s => Array(s, s, s))
     assert(AudioHash.ehash64(tripled) === Some(target))
+    // ADVICE r11 regression: w·n must be computed in Long — at
+    // n > Int.MaxValue/64 (~33.5M samples, a ~12.5 min mono 44.1kHz WAV)
+    // the Int product went negative and indexed out of bounds. Repeat
+    // each envelope sample 523077× (n = 65·523077 ≈ 34M, window w maps
+    // exactly to envelope sample w) → same hash, no crash.
+    val reps = 523077
+    val long = new Array[Short](65 * reps)
+    val env = envelope(0)
+    var i = 0
+    while (i < long.length) { long(i) = env(i / reps); i += 1 }
+    assert(AudioHash.ehash64(long) === Some(target))
   }
 
   test("deduplicateByEHash: gain-shifted collapse, hamming merge, far " +

@@ -132,6 +132,35 @@ class PqSpec extends AnyFunSuite {
     encoded.unpersist(); cells.unpersist()
   }
 
+  test("batched serving drops null-embedding query rows instead of " +
+      "crashing (ADVICE r11)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = Ann.kmeansAssign(emb, "embedding", "vec_id", "__cell__",
+      k = 4, iters = 2, trainFraction = 0.5).persist()
+    val model = Pq.train(emb, "embedding", "vec_id", dim = 64, m = 8,
+      k = 8, iters = 2, maxTrain = 500)
+    val encoded = Pq.encode(cells, "embedding", model, "_codes").persist()
+    val good = emb.orderBy("vec_id").limit(2).select("vec_id", "embedding")
+    val nullRow = Seq((999999L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val queries = good.unionByName(nullRow)
+    // ivfAdcKnnJoin (internally probeCellsBatch + the grid UDF): the two
+    // good queries serve, the unembeddable one contributes zero rows
+    val joined = Pq.ivfAdcKnnJoin(queries, encoded, "embedding", "vec_id",
+      "vec_id", "__cell__", "_codes", model, k = 3, nprobe = 2).collect()
+    assert(joined.map(_.getLong(0)).toSet == Set(0L, 1L))
+    // same contract for the exported ADC-tables frame
+    val frames = Pq.adcTablesFrame(queries, "embedding", "vec_id", model)
+    assert(frames.select("query_id").distinct()
+      .as[Long].collect().toSet == Set(0L, 1L))
+    // and the refine path
+    val refined = Pq.ivfAdcRefineKnnJoin(queries, encoded, "embedding",
+      "vec_id", "vec_id", "__cell__", "_codes", model, k = 2,
+      shortlist = 4, nprobe = 2).collect()
+    assert(refined.map(_.getLong(0)).toSet == Set(0L, 1L))
+    encoded.unpersist(); cells.unpersist()
+  }
+
   test("ivfAdcRefineKnnJoin: exactly the ADC shortlist re-ranked by " +
       "true L2, per query") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -55,9 +55,11 @@ class VideoHashSpec extends AnyFunSuite {
     // a sibling box before stsz inside stbl is skipped
     assert(VideoHash.frameSizes(mp4Of(stszOf(sizes), leadingJunkBox = true))
       .map(_.toSeq) === Some(sizes.map(_.toLong)))
-    // constant-size stream: sample_size != 0, no entry table
+    // constant-size stream (sample_size != 0, no entry table): None
+    // DIRECTLY — a constant series is always un-fingerprintable, so
+    // materializing the size array would be guaranteed dead work
     assert(VideoHash.frameSizes(mp4Of(stszOf(Seq(1, 1, 1), sampleSize = 7)))
-      .map(_.toSeq) === Some(Seq(7L, 7L, 7L)))
+      === None)
     // declared count whose entries overflow the box -> rejected
     val lying = java.nio.ByteBuffer.allocate(12)
       .putInt(0).putInt(0).putInt(999).array()
