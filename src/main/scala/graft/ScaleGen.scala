@@ -31,6 +31,48 @@ object ScaleGen {
       f: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
 
+  /** Zipf-template corpus (VERDICT r11 #1 — the adversarial LSH-banding
+    * skew shape): `total` docs drawn from `templates` boilerplate classes
+    * with Zipf(`exponent`) weights, so the hottest template owns a large
+    * constant fraction of the corpus — the Common Crawl reality of
+    * templated boilerplate. Every token carries the template id (zero
+    * cross-template shingle overlap — the SoakEdges lesson: sloppy
+    * synthetic corpora legitimately merge into one component), and each
+    * doc gets ONE unique tail token, so texts are near- but never
+    * exact-identical: the identical-text pre-collapse cannot absorb the
+    * class, every row genuinely reaches banding, and the hot template's
+    * docs land together in the same (band, bsig) buckets (within-class
+    * shingle Jaccard ≈ 0.95 ≫ the 0.7 threshold).
+    *
+    * Deterministic: template choice is an inverse-CDF lookup on a
+    * xxhash64-derived uniform of the doc id — no RNG state, stable
+    * across partitionings. Schema (doc_id, template, text).
+    */
+  def zipfTemplateDocs(spark: SparkSession, total: Long, templates: Int,
+      exponent: Double, tokensPerDoc: Int = 40): DataFrame = {
+    val weights =
+      Array.tabulate(templates)(t => math.pow(t + 1.0, -exponent))
+    val z = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / z)
+    val bCum = spark.sparkContext.broadcast(cum)
+    val pick = udf { (u: Double) =>
+      val c = bCum.value
+      val i = java.util.Arrays.binarySearch(c, u)
+      math.min(if (i >= 0) i else -i - 1, c.length - 1)
+    }
+    // uniform [0,1) from the top 53 bits of xxhash64(doc_id)
+    val u = shiftrightunsigned(xxhash64(col("doc_id")), 11)
+      .cast("double") / lit(9007199254740992.0)
+    val tpl = col("template").cast("string")
+    val body = concat_ws(" ",
+      (1 to tokensPerDoc).map(i => concat(lit(s"t${i}x"), tpl)): _*)
+    spark.range(total)
+      .select(col("id").as("doc_id"))
+      .withColumn("template", pick(u))
+      .withColumn("text",
+        concat(body, lit(" zz"), col("doc_id").cast("string")))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dest = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -101,6 +143,12 @@ object ScaleGen {
     Seq("region", "nation", "supplier", "part").foreach { t =>
       write(read(t), t, 1)
     }
+
+    // adversarial LSH-banding skew corpus (VERDICT r11 #1): Zipf-template
+    // boilerplate whose hottest class owns ~38% of the docs — consumed by
+    // `runMain graft.SoakSkew` (which can also generate it in-memory)
+    write(zipfTemplateDocs(spark, 30_000L * factor, templates = 500,
+      exponent = 1.5), "documents_zipf", 8)
 
     val counts = Seq("orders", "lineitem", "customer", "documents",
       "embeddings", "events").map { t =>

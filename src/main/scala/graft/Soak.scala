@@ -100,6 +100,101 @@ object Soak {
   *
   * Usage: runMain graft.SoakEdges
   */
+/** Adversarial-skew soak for LSH banding (VERDICT r11 #1 — "the last
+  * untested 100× hazard"): a Zipf-template corpus
+  * ([[ScaleGen.zipfTemplateDocs]]) whose hottest boilerplate class owns
+  * ~38% of all docs. The docs are NEAR-identical (unique tail token), so
+  * the identical-text pre-collapse cannot absorb them: every row reaches
+  * banding and the hot class floods one (band, bsig) bucket per band —
+  * the plain `bucketMinEdges` window then sorts each such bucket on ONE
+  * task. Measures, on the SAME persisted banded frame (signature cost
+  * excluded — this isolates the hot-bucket stage):
+  *
+  *   1. hot-bucket profile: depth of the deepest (band, bsig) buckets;
+  *   2. plain windowed bucket-min wall time;
+  *   3. salted two-stage bucket-min wall time (skewSalts = 32);
+  *
+  * then proves END-TO-END kept-set AND cluster-root equality of
+  * `deduplicate`/`componentRoots` with skewSalts on vs off (min is
+  * associative; the salted edge set differs but connectivity and
+  * component minima are identical — SkewSoakSpec pins the same at test
+  * scale). Prints the PERF.md skew table row.
+  *
+  * Usage: runMain graft.SoakSkew [totalDocs] [templates] [exponent]
+  */
+object SoakSkew {
+  def main(args: Array[String]): Unit = {
+    val total = if (args.length > 0) args(0).toLong else 1_000_000L
+    val templates = if (args.length > 1) args(1).toInt else 500
+    val exponent = if (args.length > 2) args(2).toDouble else 1.5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+
+    val docs = ScaleGen.zipfTemplateDocs(spark, total, templates, exponent)
+      .persist()
+    val hottest = docs.groupBy("template").count()
+      .orderBy(col("count").desc).limit(3).collect()
+      .map(r => s"tpl${r.getInt(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[soak-skew] docs=${docs.count()} templates=$templates " +
+      s"zipf=$exponent hottest: $hottest")
+
+    // isolate the bucket-min stage: banding once, persisted
+    val withId = MinHashDedup.assignId(docs, Some("doc_id"))
+    val (_, banded0) = MinHashDedup.classEdgesAndBanded(withId, "text", cfg)
+    val banded = banded0.persist()
+    val bandedRows = banded.count()
+    val depths = banded.groupBy("band", "bsig").count()
+      .orderBy(col("count").desc).limit(5).collect().map(_.getLong(2))
+    println(s"[soak-skew] banded rows=$bandedRows deepest buckets: " +
+      depths.mkString(", "))
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // alternate to average out JVM warmup ordering effects
+    val (nPlain, tPlain) =
+      time(MinHashDedup.bucketMinEdges(banded).count())
+    val (nSalted, tSalted) =
+      time(MinHashDedup.bucketMinEdges(banded, 32).count())
+    val (nPlain2, tPlain2) =
+      time(MinHashDedup.bucketMinEdges(banded).count())
+    val (nSalted2, tSalted2) =
+      time(MinHashDedup.bucketMinEdges(banded, 32).count())
+    println(f"[soak-skew] bucket-min stage: plain=$tPlain%.1fs/" +
+      f"$tPlain2%.1fs ($nPlain edges) salted32=$tSalted%.1fs/" +
+      f"$tSalted2%.1fs ($nSalted edges)")
+    assert(nPlain == nPlain2 && nSalted == nSalted2)
+    banded.unpersist()
+
+    // end-to-end equality: kept sets and cluster roots identical
+    val keptPlain = MinHashDedup.deduplicate(docs, "text", cfg,
+      orderCol = Some("doc_id")).select("doc_id").persist()
+    val keptSalted = MinHashDedup.deduplicate(docs, "text",
+      cfg.copy(skewSalts = 32), orderCol = Some("doc_id"))
+      .select("doc_id").persist()
+    val onlyPlain = keptPlain.except(keptSalted).count()
+    val onlySalted = keptSalted.except(keptPlain).count()
+    val rootsDiff = MinHashDedup.clusterRoots(docs, "text", cfg,
+        orderCol = Some("doc_id"))
+      .except(MinHashDedup.clusterRoots(docs, "text",
+        cfg.copy(skewSalts = 32), orderCol = Some("doc_id"))).count()
+    println(s"[soak-skew] kept plain=${keptPlain.count()} " +
+      s"salted=${keptSalted.count()} onlyPlain=$onlyPlain " +
+      s"onlySalted=$onlySalted rootsDiff=$rootsDiff")
+    assert(onlyPlain == 0 && onlySalted == 0 && rootsDiff == 0,
+      "salted bucket-min diverged from the plain window")
+    spark.stop()
+  }
+}
+
 object SoakEdges {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -200,7 +200,17 @@ final case class MinHashConfig(
     ngramSize: Int = 5,
     numPerm: Int = 256,
     threshold: Double = 0.7,
-    minNgramSize: Int = 5)
+    minNgramSize: Int = 5,
+    /** > 1 routes the LSH bucket-min stage through the salted two-stage
+      * variant ([[MinHashDedup.bucketMinEdgesSalted]]): a TEMPLATED
+      * corpus (boilerplate docs that are near- but not exact-identical,
+      * so the identical-text pre-collapse cannot absorb them) lands one
+      * (band, bsig) bucket of the whole template class on ONE window
+      * task; salting splits it `skewSalts` ways at the cost of a second
+      * (reduced-frame) shuffle. Kept sets and cluster roots are
+      * IDENTICAL either way (SkewSoakSpec); 0 = plain single window.
+      */
+    skewSalts: Int = 0)
 
 /** Spark dataflow for the dedup (SURVEY.md §2.6), de-skewed for 100 TB:
   *
@@ -262,13 +272,63 @@ object MinHashDedup {
     * exploded (id, band, bsig) frame. Streaming window aggregate — one
     * shuffle on (band, bsig), no per-bucket array; hot buckets spill.
     */
-  private[dedup] def bucketMinEdges(banded: DataFrame): DataFrame = {
-    val w = Window.partitionBy("band", "bsig")
-    banded.repartition(parallelism(banded), col("band"), col("bsig"))
-      .withColumn("__min__", min(col("id")).over(w))
-      .where(col("id") =!= col("__min__"))
-      .select(col("id").as("__x__"), col("__min__").as("__y__"))
-      .distinct()
+  private[graft] def bucketMinEdges(banded: DataFrame,
+      skewSalts: Int = 0): DataFrame =
+    if (skewSalts > 1) bucketMinEdgesSalted(banded, skewSalts)
+    else {
+      val w = Window.partitionBy("band", "bsig")
+      banded.repartition(parallelism(banded), col("band"), col("bsig"))
+        .withColumn("__min__", min(col("id")).over(w))
+        .where(col("id") =!= col("__min__"))
+        .select(col("id").as("__x__"), col("__min__").as("__y__"))
+        .distinct()
+    }
+
+  /** Salted two-stage bucket-min (VERDICT r11 #1) — the skew-safe twin of
+    * the plain window above for TEMPLATED corpora (the Common Crawl
+    * reality: 100k near-identical boilerplate docs share every hot
+    * (band, bsig) bucket, and since their texts differ, the
+    * identical-text pre-collapse can't absorb them — the plain window
+    * then sorts the whole class on ONE task per bucket).
+    *
+    * Stage 1 salts each row by `pmod(hash(id), salts)` and windows over
+    * (band, bsig, salt): a hot bucket spreads across `salts` tasks, each
+    * emitting member → salt-partial-min star edges. Stage 2 windows the
+    * REDUCED frame (exactly one surviving row per (bucket, salt) — the
+    * rows where id = partial min, no extra distinct pass) over
+    * (band, bsig), chaining the ≤`salts` partial minima to the true
+    * bucket min.
+    *
+    * The EDGE SET differs from the plain variant (two-hop chains instead
+    * of direct member → bucket-min stars), but min is associative and
+    * clustering consumes only CONNECTIVITY: every member stays connected
+    * to its bucket min, so components, component minima, kept sets, and
+    * the oracle's independent signature-frame closure replay are all
+    * unchanged (SkewSoakSpec proves kept/root equality; the DuckDB
+    * oracle never sees engine edges, only signatures).
+    *
+    * Cost trade: one extra shuffle+window over the stage-2 frame, which
+    * is ≤ |banded| (one row per bucket-salt slice; ≈ |banded| when
+    * buckets are mostly singletons) — so the plain window stays the
+    * default and `MinHashConfig.skewSalts` opts a templated corpus in.
+    */
+  private[graft] def bucketMinEdgesSalted(banded: DataFrame,
+      salts: Int): DataFrame = {
+    val w1 = Window.partitionBy("band", "bsig", "__salt__")
+    val w2 = Window.partitionBy("band", "bsig")
+    val staged = banded
+      .withColumn("__salt__", pmod(hash(col("id")), lit(salts)))
+      .repartition(parallelism(banded),
+        col("band"), col("bsig"), col("__salt__"))
+      .withColumn("__pmin__", min(col("id")).over(w1))
+    val memberEdges = staged.where(col("id") =!= col("__pmin__"))
+      .select(col("id").as("__x__"), col("__pmin__").as("__y__"))
+    val mergeEdges = staged.where(col("id") === col("__pmin__"))
+      .select(col("band"), col("bsig"), col("__pmin__"))
+      .withColumn("__min__", min(col("__pmin__")).over(w2))
+      .where(col("__pmin__") =!= col("__min__"))
+      .select(col("__pmin__").as("__x__"), col("__min__").as("__y__"))
+    memberEdges.union(mergeEdges).distinct()
   }
 
   /** ONE limited collect decides the clustering branch AND delivers the
@@ -553,7 +613,7 @@ object MinHashDedup {
       cfg: MinHashConfig, bandedSink: Option[String] = None): DataFrame = {
     val (identEdges, banded) = classEdgesAndBanded(withId, column, cfg,
       bandedSink)
-    bucketMinEdges(banded).union(identEdges)
+    bucketMinEdges(banded, cfg.skewSalts).union(identEdges)
   }
 
   /** The shared front half of every minhash-family pass: the identical/
@@ -752,7 +812,7 @@ object MinHashDedup {
     // otherwise persist — |increment|×bands rows, the frame a nightly run
     // would append to the store afterwards anyway)
     val banded = if (bandedSink.isDefined) banded0 else banded0.persist()
-    val incEdges = bucketMinEdges(banded).union(identEdges)
+    val incEdges = bucketMinEdges(banded, cfg.skewSalts).union(identEdges)
     val crossEdges = banded
       .join(store.withColumnRenamed("id", "__sid__"), Seq("band", "bsig"))
       .select(col("id").as("__x__"), col("__sid__").as("__y__"))
