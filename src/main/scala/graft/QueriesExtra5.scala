@@ -229,6 +229,62 @@ object QueriesExtra5 {
       "SELECT doc_id, source, toks, cum_tokens FROM c " +
       "WHERE cum_tokens <= budget ORDER BY doc_id"))
 
+  /** TOKENIZER-TRUE budget fill (VERDICT r11 #4 / r12 #5): the same
+    * deterministic greedy mixture as `mix_token_budget`, but priced in
+    * TRAINED-BPE tokens — `Bpe.encode`'s per-doc totals joined in by id
+    * ([[Mixture.tokenBudgetSelectCounted]]) — instead of the whitespace
+    * word proxy. The oracle replays the per-doc totals from the SAME
+    * per-word side-channel `bpe_encode_tokens` exports (the merge-apply
+    * loop is the one step DuckDB does not re-derive; document totals,
+    * budget fill, md5 order and the running sum are all SQL). Budgets
+    * sit 4× the word-proxy ones: BPE piece counts run ~2-4× word counts
+    * on this corpus, keeping the same some-truncate/some-keep-all mix.
+    */
+  private val MixBudgetsBpe: Map[String, Long] =
+    (0 until 20).map(k => s"src$k" -> (2000L + 1600L * (k % 4))).toMap
+
+  val mixSelectBpe: QueryDef = QueryDef("mix_token_budget_bpe",
+    (s, dir) => {
+      val docs = Queries.table(s, dir, "documents")
+      val model = graft.text.Bpe.train(docs, "text", numMerges = 40,
+        maxWords = 200)
+      val key = QueriesExtra2.scaleKey(dir)
+      graft.dedup.SideChannel.through(
+        graft.text.Bpe.wordEncodings(s, docs, model, "text"),
+        QueriesExtra2.sinkOnce(bpePath(key)))
+      val counts = graft.text.Bpe.encode(docs, model, "text")
+        .select(col(d), col("n_bpe_tokens"))
+      Mixture.tokenBudgetSelectCounted(docs, d, "source", counts,
+        MixBudgetsBpe, seed = 11L)
+        .select(col(d), col("source"), col("toks"), col("cum_tokens"))
+        .orderBy(d)
+    },
+    Some {
+      val p = bpePath(QueriesExtra2.OracleScaleKey) + "/*.parquet"
+      val valuesSql = MixBudgetsBpe.toSeq.sortBy(_._1)
+        .map { case (src, b) => s"('$src', $b)" }.mkString(", ")
+      s"WITH we AS (SELECT * FROM parquet_scan('$p')), " +
+        "t0 AS (SELECT doc_id, regexp_extract_all(lower(text), " +
+        "'[\\p{L}\\p{N}_]+') AS ws FROM documents), " +
+        "tok AS (SELECT doc_id, i, ws[i] AS w FROM t0, LATERAL " +
+        "(SELECT unnest(generate_series(1, len(ws))) AS i) g), " +
+        "j AS (SELECT tok.doc_id, we.n_toks FROM tok " +
+        "JOIN we ON we.word = tok.w), " +
+        "agg AS (SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS toks " +
+        "FROM j GROUP BY doc_id), " +
+        "t AS (SELECT d.doc_id, d.source, " +
+        "coalesce(a.toks, 0) AS toks FROM documents d " +
+        "LEFT JOIN agg a USING (doc_id)), " +
+        s"b(source, budget) AS (VALUES $valuesSql), " +
+        "c AS (SELECT t.doc_id, t.source, t.toks, b.budget, " +
+        "CAST(sum(t.toks) OVER (PARTITION BY t.source ORDER BY " +
+        "md5('11:' || CAST(t.doc_id AS VARCHAR)), t.doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS cum_tokens FROM t JOIN b USING (source)) " +
+        "SELECT doc_id, source, toks, cum_tokens FROM c " +
+        "WHERE cum_tokens <= budget ORDER BY doc_id"
+    })
+
   /** Corpus data card: per-(source x lang) cells + all margins in ONE
     * CUBE pass (Expand → one partially-aggregated shuffle). All-integer
     * aggregates; `grp` = grouping_id so rolled-up NULLs are explicit.
@@ -346,5 +402,5 @@ object QueriesExtra5 {
     })
 
   val all: Seq[QueryDef] = Seq(nbTrainCounts, nbPredict, nbPredictCgram,
-    mixPlan, mixSelect, corpusCard, bpeEncode, urlCanonical)
+    mixPlan, mixSelect, mixSelectBpe, corpusCard, bpeEncode, urlCanonical)
 }

@@ -73,6 +73,32 @@ object ScaleGen {
         concat(body, lit(" zz"), col("doc_id").cast("string")))
   }
 
+  /** Templated-corpus SIGNATURE cloud (VERDICT r12 #2 — the adversarial
+    * shape for the hamming family's (band, chunk) buckets): `n` 64-bit
+    * signatures all equal to `center` except for `flips` bit-flips drawn
+    * (with replacement — duplicates cancel, giving a spread of hamming
+    * radii) from a FIXED set of `varyingBits` positions. This is what
+    * simhash does to boilerplate: template words fix most bit votes,
+    * only the low-margin positions vary — so the corpus yields MANY
+    * DISTINCT near signatures that the hamming-0 collapse cannot absorb
+    * and that share 16-bit chunks in most bands (deep buckets, the
+    * O(depth²) self-join hazard). Positions (7j mod 64) spread the
+    * varying set across every chunk. Deterministic per id. Schema
+    * (id, sig).
+    */
+  def templateSigCloud(spark: SparkSession, n: Long,
+      varyingBits: Int = 40, flips: Int = 5,
+      center: Long = 0x5AC3F00F96693CA5L): DataFrame = {
+    require(varyingBits >= 1 && varyingBits <= 64)
+    val positions = Array.tabulate(varyingBits)(j => (j * 7) % 64)
+    val posSql = positions.mkString("array(", ",", ")")
+    val flipTerms = (0 until flips).map(j =>
+      s"shiftleft(1L, element_at($posSql, " +
+        s"CAST(pmod(xxhash64(id, $j), $varyingBits) AS INT) + 1))")
+    spark.range(n).select(col("id"),
+      expr(s"${center}L ^ ${flipTerms.mkString(" ^ ")}").as("sig"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dest = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -151,7 +177,7 @@ object ScaleGen {
       exponent = 1.5), "documents_zipf", 8)
 
     val counts = Seq("orders", "lineitem", "customer", "documents",
-      "embeddings", "events").map { t =>
+      "embeddings", "events", "documents_zipf").map { t =>
       t -> spark.read.parquet(s"$dest/$t.parquet").count()
     }
     println(s"[scalegen] $dest factor=$factor " +

@@ -79,8 +79,9 @@ object EditDistanceDedup {
     val banded = spread
       .select(col(MinHashDedup.IdCol).as("id"),
         posexplode(sig(text)).as(Seq("band", "bsig")))
+    // cfg.skewSalts reaches the bucket-min stage (VERDICT r12 #3)
     val candidates = MinHashDedup.bucketMinEdges(
-      SideChannel.through(banded, bandedSink))
+      SideChannel.through(banded, bandedSink), cfg.skewSalts)
     candidates
       .join(withId.select(col(MinHashDedup.IdCol).as("__x__"),
         col(column).as("__ta__")), Seq("__x__"))

@@ -140,8 +140,11 @@ object NgramJaccard {
     val banded = spread
       .select(col(MinHashDedup.IdCol).as("id"),
         posexplode(sig(text)).as(Seq("band", "bsig")))
+    // cfg.skewSalts reaches the bucket-min stage (VERDICT r12 #3: the
+    // jaccard candidate path hits the same templated-corpus hot buckets
+    // as plain minhash, and previously had no knob)
     val candidates = MinHashDedup.bucketMinEdges(
-      SideChannel.through(banded, bandedSink))
+      SideChannel.through(banded, bandedSink), cfg.skewSalts)
     // exact verification: only candidate pairs pull their texts back in
     // (broadcast-able candidate side at bench scale, shuffle join on id
     // at cluster scale); single-pass JVM kernel — see [[jaccardDocs]]

@@ -93,16 +93,57 @@ object SimHash {
         signature(col(column)).as("sig")),
       sigSink), maxHamming)
 
+  /** Hot-bucket depth cap for the pigeonhole self-join (VERDICT r12
+    * #2): a (band, chunk) bucket deeper than this is SPLIT by
+    * sub-banding its members' remaining bits instead of self-joined —
+    * 2048² ≈ 4.2M join pairs is the most any single bucket ever
+    * produces. Int.MaxValue disables the guard (the pre-r13 plan; kept
+    * for the equality spec and for corpora known to be skew-free).
+    */
+  val DefaultBucketCap: Int = 2048
+
   /** The pigeonhole machinery over ANY 64-bit signature frame (id, sig)
     * — shared by text simhash and the image dHash
     * ([[graft.multimodal.ImageHash]]): hamming-0 window collapse,
-    * (maxHamming+1)-way bit-sliced banding, bucket self-join,
-    * `bit_count(xor) <= k` verify. NULL signatures (undecodable
-    * payloads) produce no edges — those rows always survive, they are
-    * never silently clustered together.
+    * (maxHamming+1)-way bit-sliced banding, DEPTH-BOUNDED bucket
+    * self-join, `bit_count(xor) <= k` verify. NULL signatures
+    * (undecodable payloads) produce no edges — those rows always
+    * survive, they are never silently clustered together.
+    *
+    * The depth bound (VERDICT r12 #2): a templated corpus yields many
+    * DISTINCT signatures differing in a few bits — the hamming-0
+    * collapse cannot absorb them, they share 16-bit chunks in most
+    * bands, and the plain self-join is O(depth²) on the hot bucket
+    * (a 100k-doc template class ⇒ up to 10^10 join pairs in ONE
+    * bucket). Buckets deeper than `bucketCap` are therefore split
+    * RECURSIVELY: members of a (band, chunk) bucket agree on that
+    * chunk, so any qualifying pair's ≤ k differing bits lie entirely
+    * in the REMAINING bits — re-banding those remaining bits into k+1
+    * sub-chunks preserves the pigeonhole guarantee (≥ 1 sub-chunk
+    * clean), and the pair meets again in a strictly narrower bucket.
+    * Recursion bottoms out when the remaining width drops below k+1:
+    * bucket members there are distinct sigs agreeing on all but < k+1
+    * bits, so depth ≤ 2^k and the self-join is trivial. The leaf
+    * self-joins verify TRUE hamming on the full signatures, so the
+    * emitted pair SET is exactly the unbounded plan's (modulo
+    * duplicate emissions, which the clustering absorbs) — proven by
+    * SimHashBoundedSpec at cap 32 vs cap ∞ and soaked by
+    * `graft.SoakSkewHamming` at a 100k-deep synthetic template class.
+    *
+    * Cost when no bucket exceeds the cap (the common corpus): one
+    * window count + an existence probe over the banded frame — the
+    * frame is (k+1)×reps narrow rows, persisted (`cacheSink` lets the
+    * EAGER store path release those caches after it materializes;
+    * one-shot entry points leave them pinned, the assignId
+    * convention). The store-side cross join
+    * ([[crossEdgesPreBanded]]) is a different shape (increment ×
+    * store, bounded by the increment) and keeps the plain join.
     */
   private[graft] def verifiedEdgesFromSigs(sigsRaw: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      bucketCap: Int = DefaultBucketCap,
+      cacheSink: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     val bands = maxHamming + 1
     val width = 64 / bands
     val sigs = sigsRaw.where(col("sig").isNotNull)
@@ -119,17 +160,101 @@ object SimHash {
       .withColumn("chunk",
         expr(s"shiftrightunsigned(sig, band * $width)")
           .bitwiseAND(lit(chunkMask(width))))
-    val pairs = banded.as("a")
-      .join(banded.as("b"), Seq("band", "chunk"))
-      .where(col("a.id") < col("b.id"))
-      .where(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
-      .select(col("b.id").as("__x__"), col("a.id").as("__y__"))
+    val pairs =
+      if (bucketCap == Int.MaxValue) {
+        // unguarded legacy plan — zero probe overhead, O(depth²) hazard
+        banded.as("a")
+          .join(banded.as("b"), Seq("band", "chunk"))
+          .where(col("a.id") < col("b.id"))
+          .where(bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+            <= maxHamming)
+          .select(col("b.id").as("__x__"), col("a.id").as("__y__"))
+      } else {
+        // frontier columns: bkey (bucket path), id, sig, rem (the bits
+        // NOT yet consumed by the path, compacted low). Level 0 removes
+        // band b's chunk from the signature; the CASE guards the JVM
+        // shift-mod-64 trap when (band+1)*width == 64.
+        val level0 = banded.select(
+          concat_ws(":", col("band").cast("string"),
+            col("chunk").cast("string")).as("bkey"),
+          col("id"), col("sig"),
+          (expr(s"CASE WHEN (band + 1) * $width >= 64 THEN 0L ELSE " +
+            s"shiftleft(shiftrightunsigned(sig, (band + 1) * $width), " +
+            s"band * $width) END")
+            .bitwiseOR(col("sig").bitwiseAND(
+              expr(s"shiftleft(1L, band * $width) - 1L")))).as("rem"))
+        boundedBucketPairs(level0, 64 - width, maxHamming, bucketCap,
+          cacheSink)
+      }
     // ALL verified pairs feed the clustering (union-find and the
     // distributed min-label path both absorb multi-edges/duplicates):
     // a per-node min-reduction here would drop cross-links (A-C, B-C with
     // A<B<C keeps only C→A) and over-keep vs transitive clustering —
     // and it cost an extra shuffle (ADVICE r3)
     pairs.union(identEdges)
+  }
+
+  /** The depth-bounded recursion over bucket frontiers: per level, tag
+    * every bucket with its depth (one window count), self-join+verify
+    * the shallow buckets, and re-band the deep buckets' remaining bits
+    * into k+1 sub-chunks. `rw` strictly shrinks by ≥ 1 per level, so
+    * ≤ 10 levels for k = 3 even adversarially; in practice deep
+    * buckets empty out after 1-2 (each level multiplies the shared-bit
+    * count, and distinct sigs confined to w free bits number ≤ 2^w).
+    */
+  private def boundedBucketPairs(level0: DataFrame, remWidth0: Int,
+      maxHamming: Int, bucketCap: Int,
+      cacheSink: Option[scala.collection.mutable.Buffer[DataFrame]])
+      : DataFrame = {
+    val bands = maxHamming + 1
+    def verify(b: DataFrame): DataFrame =
+      b.select(col("bkey"), col("id").as("__ida__"),
+          col("sig").as("__siga__"))
+        .join(b.select(col("bkey"), col("id").as("__idb__"),
+          col("sig").as("__sigb__")), Seq("bkey"))
+        .where(col("__ida__") < col("__idb__"))
+        .where(bit_count(col("__siga__").bitwiseXOR(col("__sigb__")))
+          <= maxHamming)
+        .select(col("__idb__").as("__x__"), col("__ida__").as("__y__"))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var frontier = level0
+    var rw = remWidth0
+    var done = false
+    while (!done) {
+      val sw = rw / bands // sub-chunk width; 0 = cannot split further
+      val tagged = frontier.withColumn("__d__",
+        count(lit(1)).over(Window.partitionBy("bkey"))).persist()
+      cacheSink.foreach(_ += tagged)
+      if (sw < 1) {
+        // members agree on all but rw < k+1 bits and sigs are distinct
+        // ⇒ depth ≤ 2^rw ≤ 2^k: safe to join whatever remains
+        parts += verify(tagged.drop("__d__"))
+        done = true
+      } else {
+        parts += verify(tagged.where(col("__d__") <= bucketCap)
+          .drop("__d__"))
+        val deep = tagged.where(col("__d__") > bucketCap)
+        if (deep.limit(1).count() == 0) done = true
+        else {
+          frontier = deep
+            .withColumn("__sb__",
+              explode(array((0 until bands).map(lit): _*)))
+            .select(
+              concat_ws(":", col("bkey"), col("__sb__").cast("string"),
+                expr(s"shiftrightunsigned(rem, __sb__ * $sw)")
+                  .bitwiseAND(lit(chunkMask(sw))).cast("string"))
+                .as("bkey"),
+              col("id"), col("sig"),
+              // (sb+1)*sw ≤ bands*sw ≤ rw ≤ 48 < 64: no shift guard
+              (expr(s"shiftleft(shiftrightunsigned(rem, " +
+                s"(__sb__ + 1) * $sw), __sb__ * $sw)")
+                .bitwiseOR(col("rem").bitwiseAND(
+                  expr(s"shiftleft(1L, __sb__ * $sw) - 1L")))).as("rem"))
+          rw -= sw
+        }
+      }
+    }
+    parts.reduce(_ union _)
   }
 
   /** Near-dedup rows by ANY 64-bit signature of a payload column — the
@@ -197,6 +322,35 @@ object SimHash {
     */
   def mergeSigStores(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("sig").agg(min(col("id")).as("id"))
+
+  /** Retention journal for the hamming family (VERDICT r12 #4 — see
+    * the retention block in [[MinHashDedup]]): (id, sig) for EVERY
+    * retained row (the [[sigStore]] keeps only the min id per distinct
+    * sig, so deleting that id would strand the signature's other
+    * holders). Null sigs (undecodable payloads) never enter — nothing
+    * can be a near-dup of them. `compactSigJournal(sigJournal(ref))`
+    * equals `sigStore(ref)` exactly.
+    */
+  def sigJournal(refDf: DataFrame, column: String,
+      sigOf: Column => Column = signature,
+      orderCol: Option[String] = None): DataFrame =
+    refDf.withColumn(MinHashDedup.IdCol, MinHashDedup.idExpr(orderCol))
+      .select(col(MinHashDedup.IdCol).as("id"),
+        sigOf(col(column)).as("sig"))
+      .where(col("sig").isNotNull)
+
+  /** Takedown: drop every journal row of the given ids (one-column
+    * frame, any name).
+    */
+  def deleteFromSigJournal(journal: DataFrame, ids: DataFrame): DataFrame =
+    journal.join(ids.toDF("id"), Seq("id"), "left_anti")
+
+  /** Compaction: journal → the exact [[sigStore]] of the surviving
+    * rows (deleted min ids promote the signature's next member;
+    * emptied signatures disappear).
+    */
+  def compactSigJournal(journal: DataFrame): DataFrame =
+    journal.groupBy("sig").agg(min(col("id")).as("id"))
 
   /** Explode a (…, sig, …) frame into its k+1 pigeonhole (band, chunk)
     * rows — the join layout of both store sides and the increment.
@@ -306,10 +460,16 @@ object SimHash {
       withId.select(col(MinHashDedup.IdCol).as("id"),
         sigOf(col(column)).as("sig")),
       sigSink)
-    val edges = verifiedEdgesFromSigs(sigs, maxHamming)
+    // the bounded-bucket recursion persists its per-level frontiers;
+    // collect them so this EAGER per-batch API releases every cache
+    // after the survivors materialize (the clusterSizeStats hazard)
+    val levelCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+    val edges = verifiedEdgesFromSigs(sigs, maxHamming,
+        cacheSink = Some(levelCaches))
       .union(crossOf(sigs))
     val out = MinHashDedup.keepFirst(withId, edges, maxDriverEdges)
       .localCheckpoint(true)
+    levelCaches.foreach(_.unpersist())
     withId.unpersist()
     out
   }

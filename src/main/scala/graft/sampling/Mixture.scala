@@ -120,6 +120,27 @@ object Mixture {
       .drop("budget", "_key", "_bkt", "_off")
   }
 
+  /** [[tokenBudgetSelect]] with TOKENIZER-TRUE per-document counts
+    * supplied as a frame (`idCol`, count) instead of a Column expression
+    * — the shape a trained-tokenizer budget needs (VERDICT r11 #4 /
+    * r12 #5): the whitespace/regex proxies mis-price rare-word-heavy
+    * sources (their words explode into many subword pieces), so a
+    * budget that must hold in TRAINING tokens joins
+    * [[graft.text.Bpe.encode]]'s `n_bpe_tokens` (or any tokenizer's
+    * totals) in by id. One id-keyed join on top of the bucketed fill —
+    * AQE broadcasts whichever side is small; documents missing from
+    * `counts` are not selectable (inner join — they have no defined
+    * token cost).
+    */
+  def tokenBudgetSelectCounted(df: DataFrame, idCol: String,
+      sourceCol: String, counts: DataFrame, budgets: Map[String, Long],
+      seed: Long): DataFrame = {
+    val c = counts.toDF(idCol, "__true_toks__")
+    tokenBudgetSelectBy(df.join(c, Seq(idCol)), idCol, sourceCol,
+      col("__true_toks__"), budgetDf(df, sourceCol, budgets), seed)
+      .drop("__true_toks__")
+  }
+
   /** Materialize the full training-order mixture: `full_epochs` complete
     * copies of every budgeted source plus the greedy remainder fill as
     * the final partial epoch — (id, source, toks, epoch) rows, the

@@ -61,6 +61,61 @@ class SkewSoakSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("skewSalts reaches the jaccard and edit-distance candidate paths " +
+      "(VERDICT r12 #3): salted kept sets equal plain") {
+    val docs = ScaleGen.zipfTemplateDocs(spark, 800L, 10, 1.5).persist()
+    val plainJac = graft.dedup.NgramJaccard.deduplicate(docs, "text",
+      n = 3, threshold = 0.7, cfg, orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plainEd = graft.dedup.EditDistanceDedup.deduplicate(docs, "text",
+      n = 3, threshold = 0.8, cfg, orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the verified families really collapsed the templates
+    assert(plainJac.size < 400 && plainEd.size < 400,
+      s"jac=${plainJac.size} ed=${plainEd.size} of 800")
+    for (salts <- Seq(2, 8)) {
+      val saltedJac = graft.dedup.NgramJaccard.deduplicate(docs, "text",
+        n = 3, threshold = 0.7, cfg.copy(skewSalts = salts),
+        orderCol = Some("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(saltedJac == plainJac, s"jaccard diverged at salts=$salts")
+      val saltedEd = graft.dedup.EditDistanceDedup.deduplicate(docs,
+        "text", n = 3, threshold = 0.8, cfg.copy(skewSalts = salts),
+        orderCol = Some("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(saltedEd == plainEd, s"editdist diverged at salts=$salts")
+    }
+    docs.unpersist()
+  }
+
+  test("AutoSalts: probe picks plain below the depth threshold, salted " +
+      "above; auto kept set equals plain") {
+    import graft.dedup.MinHashConfig.{AutoSalts, SaltDepthThreshold}
+    // shallow frame: hottest bucket far below the crossover → plain
+    val docs = ScaleGen.zipfTemplateDocs(spark, 500L, 5, 1.5).persist()
+    val withId = MinHashDedup.assignId(docs, Some("doc_id"))
+    val (_, banded) = MinHashDedup.classEdgesAndBanded(withId, "text", cfg)
+    assert(MinHashDedup.probeSkewSalts(banded) == 0)
+    // synthetic threshold-deep frame → salted engaged
+    val deep = spark.range(SaltDepthThreshold)
+      .select(lit(0).as("band"), lit(Array[Byte](1, 2)).as("bsig"),
+        col("id"))
+    assert(MinHashDedup.probeSkewSalts(deep) ==
+      graft.dedup.MinHashConfig.DefaultSkewSalts)
+    deep.unpersist()
+    // empty frame degenerates safely
+    assert(MinHashDedup.probeSkewSalts(deep.where(lit(false))) == 0)
+    // end-to-end: auto config keeps exactly the plain set
+    val plainKept = MinHashDedup.deduplicate(docs, "text", cfg,
+      orderCol = Some("doc_id")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val autoKept = MinHashDedup.deduplicate(docs, "text",
+      cfg.copy(skewSalts = AutoSalts), orderCol = Some("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(autoKept == plainKept)
+    docs.unpersist()
+  }
+
   test("salted edge set differs in shape but spans the same components; " +
       "salts > bucket depth and salts = corpus size degenerate safely") {
     val docs = ScaleGen.zipfTemplateDocs(spark, 300L, 3, 1.2).persist()
