@@ -88,23 +88,22 @@ class SkewSoakSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
-  test("AutoSalts: probe picks plain below the depth threshold, salted " +
-      "above; auto kept set equals plain") {
-    import graft.dedup.MinHashConfig.{AutoSalts, SaltDepthThreshold}
+  test("AutoSalts: probe picks plain below the depth threshold, the " +
+      "agg-join variant above; auto kept set equals plain") {
+    import graft.dedup.MinHashConfig.{AutoSalts, SkewDepthThreshold}
     // shallow frame: hottest bucket far below the crossover → plain
     val docs = ScaleGen.zipfTemplateDocs(spark, 500L, 5, 1.5).persist()
     val withId = MinHashDedup.assignId(docs, Some("doc_id"))
     val (_, banded) = MinHashDedup.classEdgesAndBanded(withId, "text", cfg)
-    assert(MinHashDedup.probeSkewSalts(banded) == 0)
-    // synthetic threshold-deep frame → salted engaged
-    val deep = spark.range(SaltDepthThreshold)
+    assert(!MinHashDedup.probeSkewDeep(banded))
+    // synthetic threshold-deep frame → skew handling engaged
+    val deep = spark.range(SkewDepthThreshold)
       .select(lit(0).as("band"), lit(Array[Byte](1, 2)).as("bsig"),
         col("id"))
-    assert(MinHashDedup.probeSkewSalts(deep) ==
-      graft.dedup.MinHashConfig.DefaultSkewSalts)
+    assert(MinHashDedup.probeSkewDeep(deep))
     deep.unpersist()
     // empty frame degenerates safely
-    assert(MinHashDedup.probeSkewSalts(deep.where(lit(false))) == 0)
+    assert(!MinHashDedup.probeSkewDeep(deep.where(lit(false))))
     // end-to-end: auto config keeps exactly the plain set
     val plainKept = MinHashDedup.deduplicate(docs, "text", cfg,
       orderCol = Some("doc_id")).select("doc_id")
@@ -114,6 +113,20 @@ class SkewSoakSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(autoKept == plainKept)
     docs.unpersist()
+  }
+
+  test("agg-join bucket-min emits EXACTLY the plain window's edge frame " +
+      "(same member → bucket-min stars) on a skewed corpus") {
+    val docs = ScaleGen.zipfTemplateDocs(spark, 600L, 6, 1.5).persist()
+    val withId = MinHashDedup.assignId(docs, Some("doc_id"))
+    val (_, banded0) = MinHashDedup.classEdgesAndBanded(withId, "text", cfg)
+    val banded = banded0.persist()
+    val plain = MinHashDedup.bucketMinEdges(banded)
+    val agg = MinHashDedup.bucketMinEdgesAgg(banded)
+    assert(plain.except(agg).count() == 0L &&
+      agg.except(plain).count() == 0L)
+    assert(plain.count() == agg.count() && plain.count() > 0L)
+    banded.unpersist(); docs.unpersist()
   }
 
   test("salted edge set differs in shape but spans the same components; " +
