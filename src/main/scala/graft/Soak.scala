@@ -244,8 +244,14 @@ object SoakSkewSweep {
         .withColumn("bsig", bsigOf(concat(lit("hot"),
           col("band").cast("string"))))
         .select("band", "bsig", "id")
+      // band derives from the SAME id/4 group as the bsig, so the 4
+      // rows sharing a bsig share one (band, bsig) bucket — genuine
+      // depth-4 background buckets (ADVICE r13: pmod(id, bands) spread
+      // each group over 4 distinct buckets, making the background
+      // depth-1 and edge-free)
       val bg = spark.range(d, d + 2_000_000L)
-        .select(pmod(col("id"), lit(bands)).cast("int").as("band"),
+        .select(pmod((col("id") / 4).cast("long"), lit(bands))
+          .cast("int").as("band"),
           bsigOf((col("id") / 4).cast("long").cast("string")).as("bsig"),
           col("id"))
       val banded = hot.unionByName(bg)

@@ -211,7 +211,7 @@ final case class MinHashConfig(
       * IDENTICAL either way (SkewSoakSpec); 0 = plain single window;
       * [[MinHashConfig.AutoSalts]] (-1) probes the banded frame's max
       * bucket depth and routes hot frames to a skew-safe bucket-min
-      * only above [[MinHashConfig.SaltDepthThreshold]] — the measured
+      * only above [[MinHashConfig.SkewDepthThreshold]] — the measured
       * crossover (`graft.SoakSkewSweep`, PERF.md round-13 skew table:
       * the plain window WINS at shallow buckets, where a single-task
       * sort is cheaper than any extra stage). Auto mode persists the
@@ -304,17 +304,22 @@ object MinHashDedup {
     * shuffle on (band, bsig), no per-bucket array; hot buckets spill.
     */
   private[graft] def bucketMinEdges(banded: DataFrame,
-      skewSalts: Int = 0): DataFrame =
-    if (skewSalts == MinHashConfig.AutoSalts && probeSkewDeep(banded))
+      skewSalts: Int = 0,
+      cacheSink: Option[mutable.Buffer[DataFrame]] = None): DataFrame =
+    if (skewSalts == MinHashConfig.AutoSalts &&
+        probeSkewDeep(banded, cacheSink))
       bucketMinEdgesAgg(banded) // probe already persisted the frame
-    else if (skewSalts > 1)
+    else if (skewSalts > 1) {
       // the salted variant consumes its stage-1 frame in TWO union
       // branches (member + merge edges): persist the input so a failed
       // exchange reuse (AQE replan, reuse disabled) cannot re-run the
-      // signature stage twice (ADVICE r12). One-shot entry-point
-      // convention: the cache stays pinned, like assignId's.
-      bucketMinEdgesSalted(banded.persist(), skewSalts)
-    else {
+      // signature stage twice (ADVICE r12). Registered with the
+      // cacheSink so entry points release it once keepFirst has
+      // materialized the edges (ADVICE r13 / VERDICT r13 #3).
+      val pinned = banded.persist()
+      cacheSink.foreach(_ += pinned)
+      bucketMinEdgesSalted(pinned, skewSalts, cacheSink)
+    } else {
       val w = Window.partitionBy("band", "bsig")
       banded.repartition(parallelism(banded), col("band"), col("bsig"))
         .withColumn("__min__", min(col("id")).over(w))
@@ -331,10 +336,14 @@ object MinHashDedup {
     * measured [[MinHashConfig.SkewDepthThreshold]] crossover, routing
     * the caller to [[bucketMinEdgesAgg]]. The frame is persisted first
     * (the probe is an extra scan; without the cache it would re-run
-    * the signature UDFs).
+    * the signature UDFs) and registered with `cacheSink` so the entry
+    * point can release it after edge materialization.
     */
-  private[graft] def probeSkewDeep(banded: DataFrame): Boolean = {
-    val maxDepth = banded.persist()
+  private[graft] def probeSkewDeep(banded: DataFrame,
+      cacheSink: Option[mutable.Buffer[DataFrame]] = None): Boolean = {
+    val pinned = banded.persist()
+    cacheSink.foreach(_ += pinned)
+    val maxDepth = pinned
       .groupBy("band", "bsig").agg(count(lit(1)).as("__d__"))
       .agg(coalesce(max(col("__d__")), lit(0L)))
       .collect()(0).getLong(0)
@@ -375,21 +384,23 @@ object MinHashDedup {
     * default and `MinHashConfig.skewSalts` opts a templated corpus in.
     */
   private[graft] def bucketMinEdgesSalted(banded: DataFrame,
-      salts: Int): DataFrame = {
+      salts: Int,
+      cacheSink: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
     val w1 = Window.partitionBy("band", "bsig", "__salt__")
     val w2 = Window.partitionBy("band", "bsig")
     // PERSISTED: member and merge edges are two filters of this frame,
     // and exchange reuse alone proved unreliable — the r13 sweep
     // measured the unpersisted form re-running the whole stage-1
     // shuffle+window (salted 46 s vs plain 16 s at 4M-deep buckets;
-    // with the cache the stage runs once). Pinned per the one-shot
-    // entry-point convention.
+    // with the cache the stage runs once). Registered with the
+    // cacheSink for post-materialization release (ADVICE r13).
     val staged = banded
       .withColumn("__salt__", pmod(hash(col("id")), lit(salts)))
       .repartition(parallelism(banded),
         col("band"), col("bsig"), col("__salt__"))
       .withColumn("__pmin__", min(col("id")).over(w1))
       .persist()
+    cacheSink.foreach(_ += staged)
     val memberEdges = staged.where(col("id") =!= col("__pmin__"))
       .select(col("id").as("__x__"), col("__pmin__").as("__y__"))
     val mergeEdges = staged.where(col("id") === col("__pmin__"))
@@ -532,11 +543,14 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    val out = componentRoots(withId,
-      candidateEdges(withId, column, cfg, bandedSink), maxDriverEdges)
-      .groupBy("root").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-      .localCheckpoint(true)
+    val out = withCacheRelease { sink =>
+      componentRoots(withId,
+        candidateEdges(withId, column, cfg, bandedSink, Some(sink)),
+        maxDriverEdges)
+        .groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .localCheckpoint(true)
+    }
     withId.unpersist()
     out
   }
@@ -567,7 +581,9 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): (DataFrame, DataFrame) = {
     val withId = assignId(df, orderCol)
-    val edges = candidateEdges(withId, column, cfg, bandedSink)
+    withCacheRelease { cacheSink =>
+    val edges = candidateEdges(withId, column, cfg, bandedSink,
+        Some(cacheSink))
       .toDF("__x__", "__y__").persist()
     val headOpt = boundedEdgeHead(edges, maxDriverEdges)
     val ids = withId.select(col(IdCol).as("id"))
@@ -611,6 +627,7 @@ object MinHashDedup {
     }
     edges.unpersist()
     out
+    }
   }
 
   /** PUBLIC (id, root) cluster-membership frame — every row maps to its
@@ -629,8 +646,11 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    componentRoots(withId,
-      candidateEdges(withId, column, cfg, bandedSink), maxDriverEdges)
+    withCacheRelease { sink =>
+      componentRoots(withId,
+        candidateEdges(withId, column, cfg, bandedSink, Some(sink)),
+        maxDriverEdges)
+    }
   }
 
   /** Duplication-aware SOFT dedup: keep each cluster's first row and
@@ -656,8 +676,11 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    val weights = componentRoots(withId,
-        candidateEdges(withId, column, cfg, bandedSink), maxDriverEdges)
+    val weights = withCacheRelease { sink =>
+      componentRoots(withId,
+        candidateEdges(withId, column, cfg, bandedSink, Some(sink)),
+        maxDriverEdges)
+    }
       .groupBy("root").agg(count(lit(1)).as("weight"))
       .withColumnRenamed("root", IdCol)
     // inner join on id == root: a row survives iff it is its cluster's
@@ -686,8 +709,11 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    keepFirst(withId, candidateEdges(withId, column, cfg, bandedSink),
-      maxDriverEdges)
+    withCacheRelease { sink =>
+      keepFirst(withId,
+        candidateEdges(withId, column, cfg, bandedSink, Some(sink)),
+        maxDriverEdges)
+    }
   }
 
   /** The candidate edge list feeding the clustering (identical-class star
@@ -705,10 +731,29 @@ object MinHashDedup {
     * side-channel). See QueriesExtra2.minhashCtes.
     */
   private[graft] def candidateEdges(withId: DataFrame, column: String,
-      cfg: MinHashConfig, bandedSink: Option[String] = None): DataFrame = {
+      cfg: MinHashConfig, bandedSink: Option[String] = None,
+      cacheSink: Option[mutable.Buffer[DataFrame]] = None): DataFrame = {
     val (identEdges, banded) = classEdgesAndBanded(withId, column, cfg,
       bandedSink)
-    bucketMinEdges(banded, cfg.skewSalts).union(identEdges)
+    bucketMinEdges(banded, cfg.skewSalts, cacheSink).union(identEdges)
+  }
+
+  /** One-shot entry-point cache hygiene (VERDICT r13 #3 / ADVICE r13):
+    * run `body` with a fresh cacheSink, then release every frame the
+    * skew machinery pinned (auto-probe banded frame, salted staged
+    * frame). Safe immediately after the clustering tail returns: both
+    * [[keepFirst]] and [[componentRoots]] fully materialize the edge
+    * frame before returning (driver collect, or the distributed
+    * min-label loop whose converged roots frame is persisted and
+    * counted), so the released caches are never re-read in the normal
+    * path — exactly the guarantee their own `edges.unpersist()` already
+    * relies on. A long-lived session calling dedup repeatedly no longer
+    * accumulates one pinned |corpus|×bands cache per call.
+    */
+  private def withCacheRelease[A](body: mutable.Buffer[DataFrame] => A): A = {
+    val sink = mutable.Buffer.empty[DataFrame]
+    try body(sink)
+    finally sink.foreach(_.unpersist())
   }
 
   /** The shared front half of every minhash-family pass: the identical/
@@ -962,18 +1007,25 @@ object MinHashDedup {
     // otherwise persist — |increment|×bands rows, the frame a nightly run
     // would append to the store afterwards anyway)
     val banded = if (bandedSink.isDefined) banded0 else banded0.persist()
-    val incEdges = bucketMinEdges(banded, cfg.skewSalts).union(identEdges)
-    val crossEdges = banded
-      .join(store.withColumnRenamed("id", "__sid__"), Seq("band", "bsig"))
-      .select(col("id").as("__x__"), col("__sid__").as("__y__"))
-      .distinct()
     // EAGER, unlike the one-shot entry points (ADVICE r10): this API's
     // whole premise is a long-lived nightly JVM calling it per batch, so
     // leaking a cached withId/banded per call accumulates corpus copies
     // (the clusterSizeStats hazard). The survivors are |increment|-
-    // bounded — localCheckpoint them, then release both caches.
-    val out = keepFirst(withId, incEdges.union(crossEdges), maxDriverEdges)
-      .localCheckpoint(true)
+    // bounded — localCheckpoint them, then release EVERY cache,
+    // including the ones the skew machinery pins (ADVICE r13: with
+    // AutoSalts + a bandedSink, probeSkewDeep persisted the read-back
+    // frame and the old bandedSink.isEmpty guard skipped its release;
+    // with skewSalts > 1 the salted staged frame leaked the same way).
+    val out = withCacheRelease { sink =>
+      val incEdges = bucketMinEdges(banded, cfg.skewSalts, Some(sink))
+        .union(identEdges)
+      val crossEdges = banded
+        .join(store.withColumnRenamed("id", "__sid__"), Seq("band", "bsig"))
+        .select(col("id").as("__x__"), col("__sid__").as("__y__"))
+        .distinct()
+      keepFirst(withId, incEdges.union(crossEdges), maxDriverEdges)
+        .localCheckpoint(true)
+    }
     if (bandedSink.isEmpty) banded.unpersist()
     withId.unpersist()
     out

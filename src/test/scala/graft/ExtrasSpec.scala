@@ -52,6 +52,20 @@ class ExtrasSpec extends AnyFunSuite {
     assert(col.dedup === Some(graft.dedup.MinHashConfig(5, 256, 0.7, 5)))
   }
 
+  test("skew_salts YAML knob reaches MinHashConfig (VERDICT r13 #4)") {
+    def dedupOf(argLine: String) = graft.pipeline.PipelineConfig.dedupFrom(
+      graft.pipeline.MiniYaml.parse(
+        s"""deduplication:
+           |  do_deduplication: true
+           |  args:
+           |    threshold: 0.7$argLine
+           |""".stripMargin)).get
+    assert(dedupOf("").skewSalts === 0, "absent key keeps the plain window")
+    assert(dedupOf("\n    skew_salts: auto").skewSalts ===
+      graft.dedup.MinHashConfig.AutoSalts)
+    assert(dedupOf("\n    skew_salts: 32").skewSalts === 32)
+  }
+
   test("side-channel claims only after a successful write (ADVICE r7)") {
     import graft.dedup.SideChannel
     val good = s"/tmp/graft_sidechannel_spec_${System.nanoTime()}"

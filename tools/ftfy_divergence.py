@@ -8,7 +8,7 @@ vendored in the reference checkout) — run this WHERE FTFY IS AVAILABLE:
     python tools/ftfy_divergence.py <verify_out_dir> <sf_dir>
 
 It reads the engine's own c1_fix_utf8 output (written by graft.Verify:
-<verify_out_dir>/c1_fix_utf8.parquet, columns doc_id + fixed) together
+<verify_out_dir>/c1_fix_utf8.parquet, columns doc_id + cleaned) together
 with the source documents table, runs ftfy.fix_text over the raw texts,
 and reports the exact disagreement rate plus every differing row.
 
