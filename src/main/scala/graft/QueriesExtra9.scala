@@ -131,6 +131,125 @@ object QueriesExtra9 {
         "WHERE r.root IS NULL OR r.root = d.id ORDER BY doc_id"
     })
 
+  // ---- retention / takedown E2E ----
+
+  /** A whole retained content class removed by takedown: constant (no
+    * parity split), long enough to shingle at n=3, quote-free so it
+    * embeds in a DuckDB string literal verbatim.
+    */
+  private val GoneText = "this entire retained content class was removed " +
+    "by a takedown request and every single copy of it must vanish from " +
+    "the published deduplication store after the journal compaction runs"
+
+  /** Retained corpus for the retention E2E: ≡3 mod 19 docs carry the
+    * two-parity seed text (class minima 3 — odd/variant-1 — and 60 —
+    * even/variant-0, since 22 is excluded by the % 11 corpus filter);
+    * ≡5 mod 23 docs (that are not seeds — the when-chain order) carry
+    * the constant [[GoneText]] class.
+    */
+  private def retRefFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Queries.table(s, dir, "documents")
+    docs.where(col(d) % 11 =!= 0).select(col(d),
+      when(col(d) % 19 === 3,
+        concat(lit(LongBase + " variant "), (col(d) % 2).cast("string")))
+        .when(col(d) % 23 === 5, lit(GoneText))
+        .otherwise(col("text")).as("text"))
+  }
+
+  private val retIncTextSpark = when(col(d) % 19 === 3,
+      concat(lit(LongBase + " variant "), (col(d) % 2).cast("string")))
+    .when(col(d) % 23 === 5, lit(GoneText))
+    .otherwise(col("text"))
+
+  private val retIncTextSql =
+    s"CASE WHEN doc_id % 19 = 3 THEN '$LongBase variant ' || (doc_id % 2) " +
+      s"WHEN doc_id % 23 = 5 THEN '$GoneText' ELSE text END"
+
+  /** The retention/takedown E2E (VERDICT r13 #2 / r14 #1): full banded
+    * journal of the retained corpus → takedown delete (including BOTH
+    * seed-class bucket-min ids 3 and 60, and the ENTIRE GoneText class)
+    * → journal compaction → incremental dedup of a new batch against the
+    * compacted store. Every retention semantic demonstrably fires:
+    *  - bucket-min PROMOTION: deleting minima 3/60 re-derives the seed
+    *    buckets' min as the next surviving member (41 odd / 98 even), so
+    *    the increment's exact seed copies (22, 231, 440 at sf0.01; more
+    *    at sf0.1) still COLLIDE and die — a takedown of one copy never
+    *    whitelists content other retained rows still carry. A compaction
+    *    that stranded or dropped deleted-min buckets would let them
+    *    survive → hash mismatch.
+    *  - bucket EMPTYING: the GoneText class is deleted whole, its
+    *    buckets vanish from the compacted store, and the increment's
+    *    GoneText copies (143, 396, …) survive the store join — removed
+    *    content is re-ingestable — then collapse within the increment
+    *    to the min doc_id (the keep-first stage fires on them).
+    * The oracle replays the ENTIRE decision in DuckDB from two exported
+    * frames: the journal (delete filter + groupBy-min compaction = the
+    * store, re-derived in SQL) and the increment's banded signatures
+    * (bucket-min edges + identical-class edges + store collisions +
+    * transitive closure + the root-below-offset death rule — the
+    * incr_near_dedup chain). Reference anchor: the persisted
+    * hashtable/union-find state a takedown invalidates,
+    * minhash_deduplication.py:264-280.
+    */
+  val incrRetention: QueryDef = QueryDef("incr_retention_e2e",
+    (s, dir) => {
+      val key = QueriesExtra2.scaleKey(dir)
+      val journal = graft.dedup.SideChannel.through(
+        MinHashDedup.bandedJournal(retRefFrame(s, dir), "text", IncrCfg,
+          orderCol = Some(d)),
+        QueriesExtra2.sinkOnce(
+          QueriesExtra2.bandedPath("retjournal", key)))
+      val docs = Queries.table(s, dir, "documents")
+      val delIds = docs.where(col(d).isin(3, 60) ||
+        (col(d) % 23 === 5 && col(d) % 19 =!= 3)).select(col(d))
+      val store = MinHashDedup.compactJournal(
+        MinHashDedup.deleteFromJournal(journal, delIds))
+      val inc = docs.where(col(d) % 11 === 0)
+        .select(col(d), retIncTextSpark.as("text"))
+      MinHashDedup.deduplicateAgainstStore(inc, store, "text", IncrCfg,
+        orderCol = Some(d),
+        bandedSink = QueriesExtra2.sinkOnce(
+          QueriesExtra2.bandedPath("retinc", key)))
+        .select(col(d))
+        .orderBy(d)
+    },
+    Some {
+      val jGlob = QueriesExtra2
+        .bandedPath("retjournal", QueriesExtra2.OracleScaleKey) +
+        "/*.parquet"
+      val incGlob = QueriesExtra2
+        .bandedPath("retinc", QueriesExtra2.OracleScaleKey) + "/*.parquet"
+      "WITH RECURSIVE " +
+        s"dsrc AS (SELECT doc_id + $Off AS id, $retIncTextSql AS t " +
+        "FROM documents WHERE doc_id % 11 = 0), " +
+        // takedown replayed on the raw journal, NOT on engine output:
+        // the delete filter and the bucket-min compaction both re-derive
+        // in SQL, so a broken deleteFromJournal/compactJournal diverges
+        s"jr AS (SELECT band, bsig, id FROM parquet_scan('$jGlob') " +
+        "WHERE NOT (id IN (3, 60) OR (id % 23 = 5 AND id % 19 <> 3))), " +
+        "st AS (SELECT band, bsig, min(id) AS sid FROM jr " +
+        "GROUP BY band, bsig), " +
+        s"bnd AS (SELECT id, band, bsig FROM parquet_scan('$incGlob')), " +
+        "lshm AS (SELECT id, min(id) OVER (PARTITION BY band, bsig) " +
+        "AS mn FROM bnd), " +
+        "lshe AS (SELECT DISTINCT id AS a, mn AS b FROM lshm " +
+        "WHERE id <> mn), " +
+        "tokc AS (SELECT id, len(regexp_split_to_array(coalesce(t, ''), " +
+        "'[^A-Za-z_0-9]')) < 3 AS sh, coalesce(t, '') AS tt FROM dsrc), " +
+        "cmk AS (SELECT id, min(id) OVER (PARTITION BY sh, CASE WHEN sh " +
+        "THEN '' ELSE tt END) AS kmin FROM tokc), " +
+        "ide AS (SELECT id AS a, kmin AS b FROM cmk WHERE id <> kmin), " +
+        "crs AS (SELECT DISTINCT b.id AS a, st.sid AS b FROM bnd b " +
+        "JOIN st USING (band, bsig)), " +
+        "e0 AS (SELECT a, b FROM lshe UNION SELECT a, b FROM ide " +
+        "UNION SELECT a, b FROM crs), " +
+        QueriesExtra2.closureFromE0 + " " +
+        s"SELECT d.id - $Off AS doc_id FROM dsrc d " +
+        "LEFT JOIN root r ON d.id = r.id " +
+        "WHERE r.root IS NULL OR r.root = d.id ORDER BY doc_id"
+    })
+
   // ---- crawl-ingestion E2E composition ----
 
   private val BoilerHtml = "<html><head><title>Shared Boiler</title>" +
@@ -381,6 +500,6 @@ object QueriesExtra9 {
       "SELECT row_number() OVER (ORDER BY pq_d2_micro, vec_id) AS rank, " +
       "vec_id, pq_d2_micro FROM s ORDER BY rank LIMIT 10"))
 
-  val all: Seq[QueryDef] = Seq(incrNearDedup, crawlIngest,
+  val all: Seq[QueryDef] = Seq(incrNearDedup, incrRetention, crawlIngest,
     dedupEditDistUnicode, annIvfPq)
 }

@@ -53,18 +53,30 @@ object EditDistanceDedup {
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None): DataFrame = {
     val withId = MinHashDedup.assignId(df, orderCol)
-    MinHashDedup.keepFirst(withId,
-      verifiedEdges(withId, column, n, threshold, cfg), maxDriverEdges)
+    // cache hygiene parity with MinHashDedup.deduplicate (ADVICE r14):
+    // with skew_salts auto/salted the bucket-min stage pins the banded /
+    // staged frame; keepFirst materializes the verified edges before
+    // returning, so releasing here is safe by the same argument
+    val out = MinHashDedup.withCacheRelease { sink =>
+      MinHashDedup.keepFirst(withId,
+        verifiedEdges(withId, column, n, threshold, cfg,
+          cacheSink = Some(sink)), maxDriverEdges)
+    }
+    MinHashDedup.releasePinIf(withId, orderCol)
+    out
   }
 
   /** Levenshtein-verified candidate pairs — the edge list feeding the
     * clustering. `bandedSink` exports the exploded (id, band, bsig)
     * frame so the oracle re-derives bucket-min candidates AND the
-    * Levenshtein verify itself in SQL (QueriesExtra7).
+    * Levenshtein verify itself in SQL (QueriesExtra7). `cacheSink`
+    * collects the frames the skew remedies pin, for entry-point release.
     */
   private[graft] def verifiedEdges(withId: DataFrame, column: String,
       n: Int, threshold: Double, cfg: MinHashConfig,
-      bandedSink: Option[String] = None): DataFrame = {
+      bandedSink: Option[String] = None,
+      cacheSink: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     val spark = withId.sparkSession
     val text = coalesce(col(column), lit(""))
     val sig = MinHashDedup.signatureColumn(cfg.copy(ngramSize = n,
@@ -81,7 +93,7 @@ object EditDistanceDedup {
         posexplode(sig(text)).as(Seq("band", "bsig")))
     // cfg.skewSalts reaches the bucket-min stage (VERDICT r12 #3)
     val candidates = MinHashDedup.bucketMinEdges(
-      SideChannel.through(banded, bandedSink), cfg.skewSalts)
+      SideChannel.through(banded, bandedSink), cfg.skewSalts, cacheSink)
     candidates
       .join(withId.select(col(MinHashDedup.IdCol).as("__x__"),
         col(column).as("__ta__")), Seq("__x__"))

@@ -43,8 +43,10 @@ object EmbeddingDedup {
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None): DataFrame = {
     val withId = MinHashDedup.assignId(df, orderCol)
-    MinHashDedup.keepFirst(withId,
+    val out = MinHashDedup.keepFirst(withId,
       verifiedEdges(withId, embCol, blockCol, threshold), maxDriverEdges)
+    MinHashDedup.releasePinIf(withId, orderCol) // VERDICT r14 #5
+    out
   }
 
   /** Above-threshold within-block cosine pairs — the verified edge list

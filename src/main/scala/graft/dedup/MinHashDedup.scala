@@ -581,7 +581,7 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): (DataFrame, DataFrame) = {
     val withId = assignId(df, orderCol)
-    withCacheRelease { cacheSink =>
+    val res = withCacheRelease { cacheSink =>
     val edges = candidateEdges(withId, column, cfg, bandedSink,
         Some(cacheSink))
       .toDF("__x__", "__y__").persist()
@@ -628,6 +628,8 @@ object MinHashDedup {
     edges.unpersist()
     out
     }
+    releasePinIf(withId, orderCol) // stats are checkpointed; kept is lazy
+    res
   }
 
   /** PUBLIC (id, root) cluster-membership frame — every row maps to its
@@ -646,11 +648,13 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    withCacheRelease { sink =>
+    val out = withCacheRelease { sink =>
       componentRoots(withId,
         candidateEdges(withId, column, cfg, bandedSink, Some(sink)),
         maxDriverEdges)
     }
+    releasePinIf(withId, orderCol)
+    out
   }
 
   /** Duplication-aware SOFT dedup: keep each cluster's first row and
@@ -685,7 +689,9 @@ object MinHashDedup {
       .withColumnRenamed("root", IdCol)
     // inner join on id == root: a row survives iff it is its cluster's
     // representative (singletons root to themselves)
-    withId.join(weights, Seq(IdCol)).drop(IdCol)
+    val out = withId.join(weights, Seq(IdCol)).drop(IdCol)
+    releasePinIf(withId, orderCol)
+    out
   }
 
   /** Near-dedup `df` on `column`, keeping each cluster's first row
@@ -697,7 +703,11 @@ object MinHashDedup {
     * defining the keep-first order instead of physical row order. With
     * it, the kept set and representatives are deterministic under ANY
     * partitioning — callers that would otherwise need a global sort just
-    * to pin row order (the flagship) can skip the sort entirely.
+    * to pin row order (the flagship) can skip the sort entirely. It must
+    * be RECOMPUTE-STABLE (a real column, not a synthetic
+    * monotonically_increasing_id): with a named order the corpus cache
+    * is released as soon as clustering materializes
+    * ([[releasePinIf]]), and the lazy output re-derives ids from source.
     *
     * `maxDriverEdges`: above this, clustering switches from the driver
     * UnionFind (reference-faithful) to distributed min-label propagation —
@@ -709,12 +719,32 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    withCacheRelease { sink =>
+    val out = withCacheRelease { sink =>
       keepFirst(withId,
         candidateEdges(withId, column, cfg, bandedSink, Some(sink)),
         maxDriverEdges)
     }
+    releasePinIf(withId, orderCol)
+    out
   }
+
+  /** Release the `assignId` corpus pin AFTER clustering materialized
+    * (keepFirst/componentRoots collect edges or converge+count roots
+    * before returning — nothing re-reads the cache except the LAZY
+    * output frame): with a DATA-DERIVED `orderCol` the ids recompute
+    * deterministically, so that output safely re-reads the source
+    * instead of each call pinning one corpus-sized cache for the JVM
+    * lifetime — the r14 soak showed a long-lived driver accumulating
+    * exactly one `LocalTableScan/FileScan + id` cache per dedup call
+    * (VERDICT r14 #5). `orderCol = None` keeps the pin:
+    * monotonically_increasing_id is NOT recompute-stable, and re-rolling
+    * ids under an already-broadcast root map would keep the wrong rows
+    * (same reason [[deduplicateAgainst]] keeps its pin — its order
+    * column is synthetic even though it is named).
+    */
+  private[dedup] def releasePinIf(withId: DataFrame,
+      orderCol: Option[String]): Unit =
+    if (orderCol.isDefined) withId.unpersist()
 
   /** The candidate edge list feeding the clustering (identical-class star
     * edges + LSH band collisions — candidates, not verified pairs: the
@@ -748,9 +778,12 @@ object MinHashDedup {
     * counted), so the released caches are never re-read in the normal
     * path — exactly the guarantee their own `edges.unpersist()` already
     * relies on. A long-lived session calling dedup repeatedly no longer
-    * accumulates one pinned |corpus|×bands cache per call.
+    * accumulates one pinned |corpus|×bands cache per call. Shared by the
+    * minhash-candidate siblings ([[EditDistanceDedup.deduplicate]],
+    * [[NgramJaccard.deduplicate]]) whose verify-join tails feed the same
+    * materializing [[keepFirst]] (ADVICE r14).
     */
-  private def withCacheRelease[A](body: mutable.Buffer[DataFrame] => A): A = {
+  private[dedup] def withCacheRelease[A](body: mutable.Buffer[DataFrame] => A): A = {
     val sink = mutable.Buffer.empty[DataFrame]
     try body(sink)
     finally sink.foreach(_.unpersist())
@@ -834,8 +867,16 @@ object MinHashDedup {
       .withColumn(OrderCol, monotonically_increasing_id())
       .unionByName(newDf.withColumn(MarkCol, lit(true))
         .withColumn(OrderCol, monotonically_increasing_id() + lit(1L << 62)))
-    deduplicate(tagged, column, cfg, maxDriverEdges,
-      orderCol = Some(OrderCol))
+    // inline of [[deduplicate]] MINUS the orderCol pin release: OrderCol
+    // is monotonically_increasing_id underneath — not recompute-stable —
+    // so the assignId pin must outlive the lazy output (releasePinIf's
+    // named-column heuristic would wrongly free it here)
+    val withId = assignId(tagged, Some(OrderCol))
+    withCacheRelease { sink =>
+      keepFirst(withId,
+        candidateEdges(withId, column, cfg, None, Some(sink)),
+        maxDriverEdges)
+    }
       .where(col(MarkCol)).drop(MarkCol, OrderCol)
   }
 

@@ -102,8 +102,17 @@ object NgramJaccard {
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None): DataFrame = {
     val withId = MinHashDedup.assignId(df, orderCol)
-    MinHashDedup.keepFirst(withId,
-      verifiedEdges(withId, column, n, threshold, cfg), maxDriverEdges)
+    // cache hygiene parity with MinHashDedup.deduplicate (ADVICE r14):
+    // with skew_salts auto/salted the bucket-min stage pins the banded /
+    // staged frame; keepFirst materializes the verified edges before
+    // returning, so releasing here is safe by the same argument
+    val out = MinHashDedup.withCacheRelease { sink =>
+      MinHashDedup.keepFirst(withId,
+        verifiedEdges(withId, column, n, threshold, cfg,
+          cacheSink = Some(sink)), maxDriverEdges)
+    }
+    MinHashDedup.releasePinIf(withId, orderCol)
+    out
   }
 
   /** Exact-Jaccard-verified candidate pairs — the edge list feeding the
@@ -118,7 +127,9 @@ object NgramJaccard {
     */
   private[graft] def verifiedEdges(withId: DataFrame, column: String,
       n: Int, threshold: Double, cfg: MinHashConfig,
-      bandedSink: Option[String] = None): DataFrame = {
+      bandedSink: Option[String] = None,
+      cacheSink: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     val spark = withId.sparkSession
     val text = coalesce(col(column), lit(""))
     val sig = MinHashDedup.signatureColumn(cfg.copy(ngramSize = n,
@@ -144,7 +155,7 @@ object NgramJaccard {
     // jaccard candidate path hits the same templated-corpus hot buckets
     // as plain minhash, and previously had no knob)
     val candidates = MinHashDedup.bucketMinEdges(
-      SideChannel.through(banded, bandedSink), cfg.skewSalts)
+      SideChannel.through(banded, bandedSink), cfg.skewSalts, cacheSink)
     // exact verification: only candidate pairs pull their texts back in
     // (broadcast-able candidate side at bench scale, shuffle join on id
     // at cluster scale); single-pass JVM kernel — see [[jaccardDocs]]

@@ -53,8 +53,10 @@ object SemDedup {
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None): DataFrame = {
     val withId = MinHashDedup.assignId(df, orderCol)
-    MinHashDedup.keepFirst(withId,
+    val out = MinHashDedup.keepFirst(withId,
       verifiedEdges(withId, embCol, k, threshold, iters, trainFraction),
       maxDriverEdges)
+    MinHashDedup.releasePinIf(withId, orderCol) // VERDICT r14 #5
+    out
   }
 }

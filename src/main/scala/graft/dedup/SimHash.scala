@@ -70,8 +70,16 @@ object SimHash {
       maxDriverEdges: Long = 10_000_000L,
       orderCol: Option[String] = None): DataFrame = {
     val withId = MinHashDedup.assignId(df, orderCol)
-    MinHashDedup.keepFirst(withId,
-      verifiedEdges(withId, column, maxHamming), maxDriverEdges)
+    // cache hygiene (VERDICT r14 #5): the bounded guard persists each
+    // recursion frontier; release them once keepFirst materialized the
+    // edges, and drop the assignId pin when the order is data-derived
+    val out = MinHashDedup.withCacheRelease { sink =>
+      MinHashDedup.keepFirst(withId,
+        verifiedEdges(withId, column, maxHamming,
+          cacheSink = Some(sink)), maxDriverEdges)
+    }
+    MinHashDedup.releasePinIf(withId, orderCol)
+    out
   }
 
   /** The verified edge list feeding the clustering: hamming-0 star edges
@@ -87,11 +95,13 @@ object SimHash {
     * (QueriesExtra2.simhashKeepFirstSql).
     */
   private[graft] def verifiedEdges(withId: DataFrame, column: String,
-      maxHamming: Int, sigSink: Option[String] = None): DataFrame =
+      maxHamming: Int, sigSink: Option[String] = None,
+      cacheSink: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame =
     verifiedEdgesFromSigs(SideChannel.through(
       withId.select(col(MinHashDedup.IdCol).as("id"),
         signature(col(column)).as("sig")),
-      sigSink), maxHamming)
+      sigSink), maxHamming, cacheSink = cacheSink)
 
   /** Hot-bucket depth cap for the pigeonhole self-join (VERDICT r12
     * #2): a (band, chunk) bucket deeper than this is SPLIT by
@@ -241,19 +251,31 @@ object SimHash {
       // join) — without the cache the signature stage upstream re-runs
       val cached = frontier.select("bkey", "id", "sig", "rem").persist()
       cacheSink.foreach(_ += cached)
-      val maxDepth = cached.groupBy("bkey").agg(count(lit(1)).as("__d__"))
-        .agg(coalesce(max(col("__d__")), lit(0L)))
+      // ONE depth aggregation per level (VERDICT r14 #4): the probe max
+      // and the deep branch's join-back read the SAME materialized
+      // per-bucket count frame (≤ one row per bucket — tiny next to the
+      // frontier), instead of running groupBy(bkey).count twice on
+      // exactly the corpora the guard exists for. localCheckpoint, not
+      // persist: the recursion's per-level lineage nests InMemoryRelations
+      // (each of which re-prints its whole child plan), and an EXTRA
+      // cached layer per level pushed plan-string generation exponential
+      // — eager checkpoint truncates depths to an RDD scan, so the level
+      // plan carries ONE cached branch, fewer than the r13 double-agg
+      // form. Blocks are tiny and GC-reaped (the deduplicateAgainstStore
+      // convention); max then costs a second job over local blocks only.
+      val depths = cached.groupBy("bkey").agg(count(lit(1)).as("__d__"))
+        .localCheckpoint(true)
+      val maxDepth = depths.agg(coalesce(max(col("__d__")), lit(0L)))
         .collect()(0).getLong(0)
       if (maxDepth <= bucketCap || sw < 1) {
         // flat frontier (the common case — guard costs one map-side agg
-        // and nothing else), or cannot split further: members then agree
-        // on all but rw < k+1 bits and sigs are distinct ⇒ depth
-        // ≤ 2^rw ≤ 2^k, safe to join whatever remains
+        // and nothing else; NO depth tagging reaches the output plan),
+        // or cannot split further: members then agree on all but
+        // rw < k+1 bits and sigs are distinct ⇒ depth ≤ 2^rw ≤ 2^k,
+        // safe to join whatever remains
         parts += verify(cached)
         done = true
       } else {
-        val depths = cached.groupBy("bkey")
-          .agg(count(lit(1)).as("__d__"))
         val tagged = cached.join(depths, Seq("bkey"))
         parts += verify(tagged.where(col("__d__") <= bucketCap)
           .drop("__d__"))
@@ -295,8 +317,14 @@ object SimHash {
       withId.select(col(MinHashDedup.IdCol).as("id"),
         sigOf(col(column)).as("sig")),
       sigSink)
-    MinHashDedup.keepFirst(withId,
-      verifiedEdgesFromSigs(sigs, maxHamming), maxDriverEdges)
+    // cache hygiene (VERDICT r14 #5): see [[deduplicate]]
+    val out = MinHashDedup.withCacheRelease { sink =>
+      MinHashDedup.keepFirst(withId,
+        verifiedEdgesFromSigs(sigs, maxHamming, cacheSink = Some(sink)),
+        maxDriverEdges)
+    }
+    MinHashDedup.releasePinIf(withId, orderCol)
+    out
   }
 
   // ------------------------------------------------------------------

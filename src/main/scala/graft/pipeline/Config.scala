@@ -166,8 +166,16 @@ object PipelineConfig {
         // (the reference read path ignores the key entirely, so
         // reference configs are unaffected)
         val skew = args.get("skew_salts").map(_.toString.trim) match {
-          case Some("auto") => graft.dedup.MinHashConfig.AutoSalts
-          case Some(s) => s.toInt
+          case Some(s) if s.equalsIgnoreCase("auto") =>
+            graft.dedup.MinHashConfig.AutoSalts
+          case Some(s) =>
+            // a config typo must name the key, not surface as a raw
+            // NumberFormatException from deep inside parsing (ADVICE r14)
+            try s.toInt
+            catch {
+              case _: NumberFormatException => sys.error(
+                s"dedup.skew_salts must be 'auto' or an integer, got: $s")
+            }
           case None => 0
         }
         Some(graft.dedup.MinHashConfig(

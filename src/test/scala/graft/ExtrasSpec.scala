@@ -63,7 +63,18 @@ class ExtrasSpec extends AnyFunSuite {
     assert(dedupOf("").skewSalts === 0, "absent key keeps the plain window")
     assert(dedupOf("\n    skew_salts: auto").skewSalts ===
       graft.dedup.MinHashConfig.AutoSalts)
+    assert(dedupOf("\n    skew_salts: Auto").skewSalts ===
+      graft.dedup.MinHashConfig.AutoSalts, "case-insensitive (ADVICE r14)")
     assert(dedupOf("\n    skew_salts: 32").skewSalts === 32)
+    // a typo'd value must name the key, not throw a raw
+    // NumberFormatException from inside parsing (ADVICE r14)
+    val e = intercept[RuntimeException] {
+      dedupOf("\n    skew_salts: 16.0")
+    }
+    assert(e.getMessage.contains("skew_salts"), e.getMessage)
+    assert(intercept[RuntimeException] {
+      dedupOf("\n    skew_salts: true")
+    }.getMessage.contains("skew_salts"))
   }
 
   test("side-channel claims only after a successful write (ADVICE r7)") {
