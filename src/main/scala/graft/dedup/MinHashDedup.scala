@@ -628,7 +628,14 @@ object MinHashDedup {
     edges.unpersist()
     out
     }
-    releasePinIf(withId, orderCol) // stats are checkpointed; kept is lazy
+    // NO releasePinIf here, deliberately: this is a TWO-consumer API —
+    // stats materialize eagerly inside the call (reading the corpus
+    // cache), the kept frame lazily afterwards. Releasing between the
+    // two makes the second consumer re-run the whole upstream (the
+    // flagship's cleaner trunk: measured +1.4 s on
+    // flagship_chat_pipeline at sf0.1, r15). Single-consumer entry
+    // points ([[deduplicate]] et al.) release — their one output
+    // materialization pays the same recompute a cache write would.
     res
   }
 

@@ -53,9 +53,14 @@ def main():
     if "--skip-spark" not in sys.argv:
         run_spark()
     con = duckdb.connect()
+    import os as _os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"parquet_scan('{SF_DIR}/{t}.parquet')")
+        # driver testdata is one file per table; ScaleGen-derived corpora
+        # (e.g. /tmp/graft_sf1) are Spark directory-per-table — glob those
+        p = f"{SF_DIR}/{t}.parquet"
+        if _os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}')")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
     # Side-channel oracles (dedup signature frames, IVF cells/probe,
     # compress-len, ARPA-as-data) pin their /tmp parquet paths to the
