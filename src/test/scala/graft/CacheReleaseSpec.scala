@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.{EditDistanceDedup, MinHashConfig, MinHashDedup,
-  NgramJaccard}
+  NgramJaccard, SimHash}
 
 /** The cache-release proof promised as r13 #6's done-criterion (VERDICT
   * r14 what's-wrong #3 / next-round #5): a long-lived driver — the store
@@ -73,15 +73,15 @@ class CacheReleaseSpec extends AnyFunSuite {
   }
 
   test("50 dedup calls (minhash salted/auto, store increments, " +
-      "edit-distance, ngram-jaccard) leave getPersistentRDDs bounded " +
-      "(VERDICT r14 #5 / ADVICE r14)") {
+      "edit-distance, ngram-jaccard, simhash) leave getPersistentRDDs " +
+      "bounded (VERDICT r14 #5 / ADVICE r14)") {
     // a persisted store frame, built once — the nightly session shape
     val store = MinHashDedup.compactJournal(
       MinHashDedup.bandedJournal(corpus(-1), "text", Cfg,
         orderCol = Some("doc_id"))).persist()
     assert(store.count() > 0)
 
-    def call(i: Int): Long = (i % 5) match {
+    def call(i: Int): Long = (i % 6) match {
       case 0 => // forced salted: pins the staged stage-1 frame
         MinHashDedup.deduplicate(corpus(i), "text",
           Cfg.copy(skewSalts = 4), orderCol = Some("doc_id")).count()
@@ -96,9 +96,12 @@ class CacheReleaseSpec extends AnyFunSuite {
         EditDistanceDedup.deduplicate(corpus(i), "text", n = 3,
           threshold = 0.6, cfg = Cfg.copy(skewSalts = 4),
           orderCol = Some("doc_id")).count()
-      case _ => // ADVICE r14: ngram-jaccard entry point now releases too
+      case 4 => // ADVICE r14: ngram-jaccard entry point now releases too
         NgramJaccard.deduplicate(corpus(i), "text", n = 3,
           threshold = 0.5, cfg = Cfg.copy(skewSalts = 4),
+          orderCol = Some("doc_id")).count()
+      case _ => // hamming family: bounded-guard frontier caches release
+        SimHash.deduplicate(corpus(i), "text", maxHamming = 3,
           orderCol = Some("doc_id")).count()
     }
 
