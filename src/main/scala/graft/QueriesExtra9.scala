@@ -250,6 +250,82 @@ object QueriesExtra9 {
         "WHERE r.root IS NULL OR r.root = d.id ORDER BY doc_id"
     })
 
+  /** The hamming-family twin of [[incrRetention]] (same corpus
+    * construction, same takedown set, the OTHER journal family): simhash
+    * `sigJournal` of the retained corpus → delete incl. both seed-class
+    * bucket-min ids and the whole GoneText class → `compactSigJournal`
+    * → `deduplicateAgainstSigStore`. Promotion and emptying fire by the
+    * identical argument (identical seed texts ⇒ identical 64-bit
+    * signatures ⇒ one journal sig class per parity with min 3/60). The
+    * oracle needs NO text reconstruction — the whole decision derives
+    * from two exported (id, sig) frames: the journal (delete filter +
+    * groupBy-min compaction in SQL) and the increment signatures
+    * (identical-sig collapse, pigeonhole band pairs, store cross edges
+    * at hamming ≤ 3, closure, root-below-offset death — the
+    * `incr_img_dedup` chain). Anchor: `SimHash.scala:382-400`.
+    */
+  val incrSigRetention: QueryDef = QueryDef("incr_sig_retention_e2e",
+    (s, dir) => {
+      import graft.dedup.SimHash
+      val key = QueriesExtra2.scaleKey(dir)
+      val journal = graft.dedup.SideChannel.through(
+        SimHash.sigJournal(retRefFrame(s, dir), "text",
+          SimHash.signature, Some(d)),
+        QueriesExtra2.sinkOnce(
+          QueriesExtra2.sigPath("retsigjournal", key)))
+      val docs = Queries.table(s, dir, "documents")
+      val delIds = docs.where(col(d).isin(3, 60) ||
+        (col(d) % 23 === 5 && col(d) % 19 =!= 3)).select(col(d))
+      val store = SimHash.compactSigJournal(
+        SimHash.deleteFromSigJournal(journal, delIds))
+      val inc = docs.where(col(d) % 11 === 0)
+        .select(col(d), retIncTextSpark.as("text"))
+      SimHash.deduplicateAgainstSigStore(inc, store, "text",
+        SimHash.signature, maxHamming = 3, orderCol = Some(d),
+        sigSink = QueriesExtra2.sinkOnce(
+          QueriesExtra2.sigPath("retsiginc", key)))
+        .select(col(d))
+        .orderBy(d)
+    },
+    Some {
+      val jGlob = QueriesExtra2
+        .sigPath("retsigjournal", QueriesExtra2.OracleScaleKey) +
+        "/*.parquet"
+      val incGlob = QueriesExtra2
+        .sigPath("retsiginc", QueriesExtra2.OracleScaleKey) + "/*.parquet"
+      "WITH RECURSIVE " +
+        s"jr AS (SELECT id, sig FROM parquet_scan('$jGlob') " +
+        "WHERE NOT (id IN (3, 60) OR (id % 23 = 5 AND id % 19 <> 3))), " +
+        "st AS (SELECT sig, min(id) AS sid FROM jr GROUP BY sig), " +
+        s"incs AS (SELECT id, sig FROM parquet_scan('$incGlob')), " +
+        "inc AS (SELECT id, sig FROM incs WHERE sig IS NOT NULL), " +
+        "cmu AS (SELECT id, sig, min(id) OVER (PARTITION BY sig) AS smin " +
+        "FROM inc), " +
+        "ide AS (SELECT id AS a, smin AS b FROM cmu WHERE id <> smin), " +
+        "reps AS (SELECT id, sig FROM cmu WHERE id = smin), " +
+        "bdr AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS " +
+        "chunk FROM reps, LATERAL (SELECT unnest(generate_series(0, 3)) " +
+        "AS band) g), " +
+        "bda AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS " +
+        "chunk FROM inc, LATERAL (SELECT unnest(generate_series(0, 3)) " +
+        "AS band) g), " +
+        "bds AS (SELECT sid, sig, band, (sig >> (band * 16)) & 65535 AS " +
+        "chunk FROM st, LATERAL (SELECT unnest(generate_series(0, 3)) " +
+        "AS band) g), " +
+        "pr AS (SELECT y.id AS a, x.id AS b FROM bdr x JOIN bdr y ON " +
+        "x.band = y.band AND x.chunk = y.chunk AND x.id < y.id " +
+        "WHERE bit_count(xor(x.sig, y.sig)) <= 3), " +
+        "crs AS (SELECT DISTINCT a.id AS a, s.sid AS b FROM bda a " +
+        "JOIN bds s ON a.band = s.band AND a.chunk = s.chunk " +
+        "WHERE bit_count(xor(a.sig, s.sig)) <= 3), " +
+        "e0 AS (SELECT a, b FROM pr UNION SELECT a, b FROM ide " +
+        "UNION SELECT a, b FROM crs), " +
+        QueriesExtra2.closureFromE0 + " " +
+        s"SELECT d.id - $Off AS doc_id FROM incs d " +
+        "LEFT JOIN root r ON d.id = r.id " +
+        "WHERE r.root IS NULL OR r.root = d.id ORDER BY doc_id"
+    })
+
   // ---- crawl-ingestion E2E composition ----
 
   private val BoilerHtml = "<html><head><title>Shared Boiler</title>" +
@@ -500,6 +576,6 @@ object QueriesExtra9 {
       "SELECT row_number() OVER (ORDER BY pq_d2_micro, vec_id) AS rank, " +
       "vec_id, pq_d2_micro FROM s ORDER BY rank LIMIT 10"))
 
-  val all: Seq[QueryDef] = Seq(incrNearDedup, incrRetention, crawlIngest,
-    dedupEditDistUnicode, annIvfPq)
+  val all: Seq[QueryDef] = Seq(incrNearDedup, incrRetention,
+    incrSigRetention, crawlIngest, dedupEditDistUnicode, annIvfPq)
 }
