@@ -143,4 +143,52 @@ class DedupRetentionSpec extends AnyFunSuite {
       rows(SimHash.sigStore(ref, "text", orderCol = Some("id"))
         .select("sig", "id")))
   }
+
+  test("PROPERTY: delete-then-compact == store of the physically " +
+      "filtered corpus, for RANDOM delete sets (both journal families)") {
+    // generalizes the fixed scenarios above: for any delete set D,
+    //   compactJournal(deleteFromJournal(J, D)) must equal
+    //   bandedStore(ref − D) frame-for-frame (and the sig twins) —
+    // bucket-min promotion, whole-class deletion, and degenerate
+    // deletes are all corollaries of this one equivalence
+    def bRows(s: DataFrame): Set[(Int, Seq[Byte], Long)] =
+      s.collect().map(r => (r.getInt(0),
+        r.getAs[Array[Byte]](1).toSeq, r.getLong(2))).toSet
+    def sRows(s: DataFrame): Set[(Long, Long)] =
+      s.select("sig", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (seed <- Seq(7, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      // templated classes (near-dup variants), exact dups, short docs,
+      // and unique rows — every journal population shape at once
+      val rows = (0L until 40L).map { i =>
+        val t = rnd.nextInt(5) match {
+          case 0 => base + s" variant ${rnd.nextInt(3)}"
+          case 1 => other + s" copy ${rnd.nextInt(3)}"
+          case 2 => "hi" // short class
+          case _ => s"unique row $i with tokens ${rnd.nextInt(1000)} " +
+            "spread across enough words to shingle at n three"
+        }
+        i -> t
+      }
+      val ref = df(rows)
+      val dels = (0L until 40L).filter(_ => rnd.nextDouble() < 0.3)
+      val retained = ref.where(!col("id").isin(dels: _*))
+      val mCompact = MinHashDedup.compactJournal(
+        MinHashDedup.deleteFromJournal(
+          MinHashDedup.bandedJournal(ref, "text", cfg, Some("id")),
+          idFrame(dels)))
+      val mStore = MinHashDedup.bandedStore(retained, "text", cfg,
+        Some("id"))
+      assert(bRows(mCompact) === bRows(mStore), s"minhash seed=$seed " +
+        s"dels=${dels.mkString(",")}")
+      val sCompact = SimHash.compactSigJournal(
+        SimHash.deleteFromSigJournal(
+          SimHash.sigJournal(ref, "text", orderCol = Some("id")),
+          idFrame(dels)))
+      val sStore = SimHash.sigStore(retained, "text",
+        orderCol = Some("id"))
+      assert(sRows(sCompact) === sRows(sStore), s"simhash seed=$seed")
+    }
+  }
 }
