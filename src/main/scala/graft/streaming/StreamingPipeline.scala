@@ -146,6 +146,29 @@ object StreamingPipeline {
     protected def storeOf(keptGlobal: DataFrame): DataFrame
     /** Family-specific associative store merge. */
     protected def merge(a: DataFrame, b: DataFrame): DataFrame
+    /** Family-specific FULL retention journal of a (global-id, payload)
+      * frame — every row, not just bucket/sig minima (the store is
+      * lossy for takedowns: see the retention block in
+      * [[graft.dedup.MinHashDedup]]).
+      */
+    protected def journalOf(keptGlobal: DataFrame): DataFrame
+
+    /** Retention-journal rows of a [[dedupBatch]] result at the CURRENT
+      * offset — the takedown story for a CONTINUOUS pipeline: append
+      * these next to the survivor sink each batch (between dedup and
+      * [[fold]], like the survivor append), and a takedown becomes
+      * stop → `deleteFromJournal` + `compactJournal` over
+      * refJournal ∪ appended batches → resume over the compacted store
+      * at [[StreamingPipeline.resumeOffset]]. Call BEFORE [[fold]]:
+      * fold advances the offset these global ids are minted from.
+      * Crash semantics match the survivor append's at-least-once
+      * window: a replayed batch appends byte-identical journal rows,
+      * which compaction's groupBy-min absorbs.
+      */
+    def journalBatch(kept: DataFrame): DataFrame = synchronized {
+      journalOf(kept.withColumn("__gid__",
+        col(orderCol).cast("long") + lit(offset)))
+    }
 
     /** Dedup one micro-batch against everything retained so far —
       * WITHOUT folding. Pair every call with [[fold]] on its result.
@@ -238,6 +261,8 @@ object StreamingPipeline {
       MinHashDedup.bandedStore(keptGlobal, column, cfg, Some("__gid__"))
     protected def merge(a: DataFrame, b: DataFrame): DataFrame =
       MinHashDedup.mergeStores(a, b)
+    protected def journalOf(keptGlobal: DataFrame): DataFrame =
+      MinHashDedup.bandedJournal(keptGlobal, column, cfg, Some("__gid__"))
   }
 
   /** [[StoreNearDedup]]'s twin for the hamming family's signature store
@@ -262,6 +287,8 @@ object StreamingPipeline {
       SimHash.sigStore(keptGlobal, column, sigOf, Some("__gid__"))
     protected def merge(a: DataFrame, b: DataFrame): DataFrame =
       SimHash.mergeSigStores(a, b)
+    protected def journalOf(keptGlobal: DataFrame): DataFrame =
+      SimHash.sigJournal(keptGlobal, column, sigOf, Some("__gid__"))
   }
 
   /** The starting offset for a stream RESUMING over a persisted store
@@ -293,11 +320,18 @@ object StreamingPipeline {
     */
   def foreachBatchStoreNearDedup(stream: DataFrame,
       dedup: AbstractStoreNearDedup, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      journalPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val kept = dedup.dedupBatch(b.toDF())
         kept.write.mode("append").parquet(outPath)
+        // takedown-capable pipelines also journal each batch's
+        // survivors (BEFORE fold — fold advances the offset); a crash
+        // replay re-appends identical rows, absorbed by compaction
+        journalPath.foreach(p =>
+          dedup.journalBatch(kept).write.mode("append").parquet(p))
         dedup.fold(kept)
         ()
       }
@@ -307,8 +341,11 @@ object StreamingPipeline {
   /** Alias kept for the hamming family — same driver, same contract. */
   def foreachBatchSigStoreNearDedup(stream: DataFrame,
       dedup: SigStoreNearDedup, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    foreachBatchStoreNearDedup(stream, dedup, outPath, checkpoint)
+      checkpoint: String,
+      journalPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchStoreNearDedup(stream, dedup, outPath, checkpoint,
+      journalPath)
 
   /** Read the events table as a (bounded) stream — lets every batch test
     * drive the streaming path synchronously with `processAllAvailable`.
