@@ -115,6 +115,15 @@ object MinHash {
     out
   }
 
+  /** Test-only instrumentation: per-JVM count of [[bandSignatures]]
+    * invocations (one per row signatured). local-mode tests pin "the
+    * signature kernel runs once per row per batch" through the
+    * streaming journal wiring with it; on a real cluster the count is
+    * per-executor and carries no cross-JVM meaning. One uncontended
+    * atomic add next to per-shingle sha1 work — noise.
+    */
+  private[graft] val sigCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Full minhash signature then banded bytes: B bands of R big-endian
     * uint64s (minhash_deduplication.py:109-116).
     */
@@ -122,6 +131,7 @@ object MinHash {
       content: String,
       numPerm: Int, ngramSize: Int, minNgramSize: Int,
       bands: Int, rows: Int): Array[Array[Byte]] = {
+    sigCalls.incrementAndGet()
     val hv = new Array[Long](numPerm)
     java.util.Arrays.fill(hv, MaxHash)
     tokens(if (content == null) "" else content, ngramSize, minNgramSize)

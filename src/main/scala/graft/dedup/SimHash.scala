@@ -544,8 +544,15 @@ object SimHash {
     val withId = MinHashDedup.assignId(tagged, Some(ord))
     val sigs = withId.select(col(MinHashDedup.IdCol).as("id"),
       sigOf(col(column)).as("sig"))
-    MinHashDedup.keepFirst(withId,
-        verifiedEdgesFromSigs(sigs, maxHamming), maxDriverEdges)
-      .where(col(mark)).drop(mark, ord)
+    // ADVICE r15: the bounded-guard recursion pins per-level frontier
+    // frames; release them once keepFirst has materialized the edges
+    // (the withId pin itself stays — `ord` is synthetic, so the lazy
+    // output must re-read the cache, the releasePinIf exception)
+    MinHashDedup.withCacheRelease { sink =>
+      MinHashDedup.keepFirst(withId,
+          verifiedEdgesFromSigs(sigs, maxHamming, cacheSink = Some(sink)),
+          maxDriverEdges)
+        .where(col(mark)).drop(mark, ord)
+    }
   }
 }

@@ -72,6 +72,25 @@ class CacheReleaseSpec extends AnyFunSuite {
     n
   }
 
+  /** Settle to a stable floor instead of a fixed target (ADVICE r15:
+    * the baseline step used atMost = 0, which the intentionally
+    * persisted store makes unreachable — it burned the full deadline
+    * on ~40 gc cycles). Stops once two consecutive readings stop
+    * decreasing. */
+  private def settledFloor(deadlineMs: Long = 20000): Int = {
+    val t0 = System.currentTimeMillis()
+    var prev = persistedCount
+    var stable = 0
+    while (stable < 2 && System.currentTimeMillis() - t0 < deadlineMs) {
+      System.gc()
+      Thread.sleep(500)
+      val n = persistedCount
+      if (n >= prev) stable += 1 else stable = 0
+      prev = n
+    }
+    prev
+  }
+
   test("50 dedup calls (minhash salted/auto, store increments, " +
       "edit-distance, ngram-jaccard, simhash) leave getPersistentRDDs " +
       "bounded (VERDICT r14 #5 / ADVICE r14)") {
@@ -106,7 +125,7 @@ class CacheReleaseSpec extends AnyFunSuite {
     }
 
     (0 until 6).foreach(call) // warmup: steady-state pins settle
-    val baseline = settledCount(atMost = 0) // just settle, record floor
+    val baseline = settledFloor() // just settle, record floor
     (6 until 50).foreach(call)
     // 44 varied-plan calls after baseline: a per-call leak adds ≥ 1
     // entry per call (≈ +44); bounded means a small constant of

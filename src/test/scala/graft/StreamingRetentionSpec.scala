@@ -84,15 +84,34 @@ class StreamingRetentionSpec extends AnyFunSuite {
     val q = StreamingPipeline.foreachBatchStoreNearDedup(
       mem.toDF.toDF("doc_id", "text"), dedup1, outPath, ckpt,
       journalPath = Some(jPath))
+    val sigCallsBefore = graft.dedup.MinHash.sigCalls.get()
     try {
       mem.addData(batch1)
       q.processAllAvailable()
     } finally q.stop()
+    // VERDICT r15 #1 (de-tripled journaling batch): with journalPath on,
+    // the batch pays the signature kernel ONCE per row — |batch| rows
+    // signatured by the dedup pass + |kept| by the journal append whose
+    // persisted frame the store fold compacts. The old wiring's storeOf
+    // re-signatured the kept rows a second time (+|kept| more).
+    assert(graft.dedup.MinHash.sigCalls.get() - sigCallsBefore ===
+      batch1.size + 1L,
+      "journaling batch must share one signature pass between the " +
+        "journal append and the store fold")
     assert(ids(spark.read.parquet(outPath)) === Set(100L))
     val streamJournal = spark.read.parquet(jPath)
     // the journal carries the survivor under its GLOBAL id
     assert(streamJournal.select("id").distinct().collect()
       .map(_.getLong(0)).toSet === Set((1L << 62) + 100L))
+    // store ≡ compact(journal) THROUGH the real wiring (VERDICT r15 #2
+    // done-criterion): the carried store after the journaling fold is
+    // exactly the compaction of everything journaled so far
+    def storeSet(s: DataFrame): Set[(Int, Seq[Byte], Long)] =
+      s.collect().map(r => (r.getInt(0),
+        r.getAs[Array[Byte]](1).toSeq, r.getLong(2))).toSet
+    assert(storeSet(dedup1.currentStore) === storeSet(
+      MinHashDedup.compactJournal(
+        refJournal.unionByName(streamJournal))))
 
     // ---- takedown: bucket-min 1, whole class 3, streamed survivor ----
     val dels = Seq(1L, 3L, (1L << 62) + 100L)
@@ -146,6 +165,13 @@ class StreamingRetentionSpec extends AnyFunSuite {
     assert(ids(kept1) === Set(100L))
     assert(j1.select("id").collect().map(_.getLong(0)).toSet ===
       Set((1L << 62) + 100L))
+    // ADVICE r15: journalBatch stamps ids at the offset the batch was
+    // MINTED at, not the live (post-fold) offset — calling it after
+    // fold used to silently shift gids by BatchIdStep and strand any
+    // takedown of a streamed survivor
+    assert(dedup1.journalBatch(kept1).select("id").collect()
+      .map(_.getLong(0)).toSet === Set((1L << 62) + 100L),
+      "journalBatch after fold must mint the same global ids as before")
 
     val dels = Seq(1L, 3L, (1L << 62) + 100L)
     import spark.implicits._
