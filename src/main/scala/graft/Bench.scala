@@ -33,6 +33,31 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** The established load rule: artifacts taken at 1-min loadavg above
+    * this are invalid (the box is contended; r8/r14/r15 all burned judge
+    * time re-running such rounds).
+    */
+  private[graft] val LoadValidMax = 2.0
+
+  /** VERDICT r15 #6 — act on the self-certification instead of just
+    * recording it: if the pre-run load is above [[LoadValidMax]], sleep
+    * once and re-read; if STILL above, the artifact self-marks
+    * `"load_invalid": true` so a driver-round number taken on a loaded
+    * box can never again masquerade as a regression. Returns
+    * (loadToReport, loadInvalid). A negative reading (no /proc/loadavg)
+    * is "unknown", not invalid.
+    */
+  private[graft] def loadGate(load: () => Double,
+      sleep: () => Unit): (Double, Boolean) = {
+    val first = load()
+    if (first < 0 || first <= LoadValidMax) (first, false)
+    else {
+      sleep()
+      val second = load()
+      (second, second > LoadValidMax)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,7 +76,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val loadBefore = loadavg1m
+    // sleep-and-retry once if the box is loaded, then self-mark the
+    // artifact invalid rather than publishing a silently-contended number
+    val (loadBefore, loadInvalid) = loadGate(() => loadavg1m,
+      () => Thread.sleep(60000))
+    if (loadInvalid) System.err.println(
+      f"[bench] WARNING loadavg $loadBefore%.2f > $LoadValidMax after " +
+        "retry - artifact will carry load_invalid=true")
     // warmup, untimed (JMH-style: steady-state is what a long-running
     // pipeline sees): ONE full pass over the whole timed set. This both
     // exercises every codegen/JIT shape before the clock starts AND
@@ -118,7 +149,7 @@ object Bench {
     // total_sec/n duplicated at the END of the line: the driver's tail
     // capture truncated the leading "value" field in BENCH_r05, so the
     // headline total must survive truncation from either side.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","reps":$repsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"warmup_sec":$warmupSec,"total_sec":$total,"n":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","reps":$repsJson,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_invalid":$loadInvalid,"warmup_sec":$warmupSec,"total_sec":$total,"n":${results.size}}""")
     // VERDICT r9 #3: in BOTH r8 and r9 the driver's capture truncated the
     // cost-descending best-values map out of the artifact — the (long)
     // reps map consumed the visible tail. A SECOND, compact line follows
@@ -130,7 +161,7 @@ object Bench {
       .mkString("{", ",", "}")
     // distinct metric name (ADVICE r10): a consumer filtering on
     // "total" must see exactly ONE headline record per run
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"warmup_sec":$warmupSec,"top20":$top20,"total_sec":$total}""")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"load_invalid":$loadInvalid,"warmup_sec":$warmupSec,"top20":$top20,"total_sec":$total}""")
     spark.stop()
   }
 }
