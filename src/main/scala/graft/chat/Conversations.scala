@@ -269,12 +269,14 @@ object ChatPipeline {
       respCfg.cleaners, respCfg.filters, respCfg.dedup,
       dedupOrderCol = Some("__mid__"),
       dedupBandedSink = dedupBandedSink,
-      dedupAuditStats = respCfg.dedupAudit).run()
+      dedupAuditStats = respCfg.dedupAudit,
+      dedupJournalPath = respCfg.dedupJournalPath).run()
     new Preprocessor(afterResponse, "instruction",
       cleaners = Seq.empty, // main.py:54-56: cleaners never run on instructions
       filters = instrCfg.filters, dedup = instrCfg.dedup,
       dedupOrderCol = Some("__mid__"),
-      dedupAuditStats = instrCfg.dedupAudit).run()
+      dedupAuditStats = instrCfg.dedupAudit,
+      dedupJournalPath = instrCfg.dedupJournalPath).run()
   }
 
   def flagship(spark: SparkSession, dir: String,

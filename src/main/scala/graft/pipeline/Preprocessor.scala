@@ -23,7 +23,8 @@ final class Preprocessor(
     verbose: Boolean = false,
     dedupOrderCol: Option[String] = None,
     dedupBandedSink: Option[String] = None,
-    dedupAuditStats: Boolean = false) {
+    dedupAuditStats: Boolean = false,
+    dedupJournalPath: Option[String] = None) {
 
   def run(): DataFrame = {
     val cleaned = Preprocessor.clean(df, columnName, cleaners)
@@ -38,7 +39,7 @@ final class Preprocessor(
       }
     }
     val filtered = Preprocessor.applyFilters(cleaned, columnName, filters)
-    dedup match {
+    val deduped = dedup match {
       case Some(cfg) if dedupAuditStats =>
         // audited dedup (VERDICT r8 #5): kept rows AND the cluster-size
         // histogram from ONE clustering pass — the histogram is tiny
@@ -56,6 +57,31 @@ final class Preprocessor(
         graft.dedup.MinHashDedup.deduplicate(filtered, columnName, cfg,
           orderCol = dedupOrderCol, bandedSink = dedupBandedSink)
       case None => filtered
+    }
+    dedupJournalPath match {
+      case Some(p) =>
+        // config-reachable retention (VERDICT r15 #4): publish the FULL
+        // banded journal of the retained corpus next to the kept rows —
+        // the |kept|×bands artifact `Retention.run` later deletes from
+        // and compacts. Requires a DATA-DERIVED order column: journal
+        // ids must re-derive to the keep-first ids on any later read
+        // (monotonically_increasing_id is not recompute-stable).
+        val cfg = dedup.getOrElse(sys.error(
+          "deduplication.journal_path requires do_deduplication: true — " +
+            "the journal is the dedup pass's retention artifact"))
+        require(dedupOrderCol.isDefined,
+          "deduplication.journal_path requires a data-derived dedup " +
+            "order column (journal ids must be recompute-stable)")
+        // checkpoint the kept rows once: the journal write and the
+        // caller's downstream both read materialized blocks instead of
+        // re-running the clean/filter/dedup trunk twice (the S4
+        // persist-at-dedup-boundary design)
+        val kept = deduped.localCheckpoint(true)
+        graft.dedup.MinHashDedup
+          .bandedJournal(kept, columnName, cfg, dedupOrderCol)
+          .write.mode("overwrite").parquet(p)
+        kept
+      case None => deduped
     }
   }
 }

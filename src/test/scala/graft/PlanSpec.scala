@@ -227,6 +227,38 @@ class PlanSpec extends AnyFunSuite {
       p.take(400))
   }
 
+  test("retention repeat-run: journal scan -> delete anti-join -> " +
+      "compact agg, one bounded exchange, never corpus re-signaturing") {
+    // VERDICT r15 #5: incr_retention_e2e's steady state reads the
+    // PUBLISHED journal (the nightly artifact) — build the query once to
+    // claim/publish the side-channel, then pin the store-derivation plan
+    // a repeat run (and a production takedown) actually executes
+    plan("incr_retention_e2e")
+    val jPath = QueriesExtra2.bandedPath("retjournal",
+      QueriesExtra2.scaleKey(sf))
+    val docs = Queries.table(spark, sf, "documents")
+    val delIds = docs.where(col("doc_id").isin(3, 60) ||
+      (col("doc_id") % 23 === 5 && col("doc_id") % 19 =!= 3))
+      .select("doc_id")
+    val store = graft.dedup.MinHashDedup.compactJournal(
+      graft.dedup.MinHashDedup.deleteFromJournal(
+        spark.read.parquet(jPath), delIds))
+    val p = store.queryExecution.executedPlan.toString
+    // the takedown delete is an anti-join (broadcast-able delete list),
+    // never a sort-merge over the journal
+    assert(p.contains("LeftAnti"), p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(400))
+    // exactly ONE hash exchange: the groupBy-min compaction (the delete
+    // list broadcasts; it is not a hashpartitioning exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(600))
+    // a regression back to re-signaturing the ref corpus would
+    // reintroduce the banded journal's posexplode(sig) Generate here
+    assert(!p.contains("posexplode") && !p.contains("Generate"),
+      p.take(600))
+  }
+
   test("crawl ingest composes narrow stages + one dedup window") {
     val p = plan("crawl_ingest_e2e")
     assert(!p.contains("CartesianProduct") &&
