@@ -119,6 +119,25 @@ object IncrBench {
       // keeping the store flat and the assertion vacuous), while the
       // corpus's internal dup structure is preserved within each wave
       val vowelMaps = Seq("12345", "23451", "34512", "45123")
+      // r16 stretch (VERDICT r15 #8): SPARK_GRAFT_INCR_JOURNAL=1 also
+      // prices the RETENTION artifact per night — the journal append of
+      // each wave's survivors (the |kept|×bands rows a takedown-capable
+      // pipeline persists next to the store) and, after the last night,
+      // one takedown (delete a 1%-ish id slice + compactJournal) over
+      // the accumulated journal — the journal-compaction scaling cliff
+      // probe. Off by default so the headline cycle numbers stay
+      // comparable across rounds.
+      val journalOn = sys.env.get("SPARK_GRAFT_INCR_JOURNAL").contains("1")
+      val jPath = s"/tmp/graft_incrbench_journal_${System.nanoTime()}"
+      var journalSecs = List.empty[Double]
+      if (journalOn) {
+        // night 0: the initial retained corpus's journal (the store1
+        // build's retention twin)
+        val t = System.nanoTime()
+        MinHashDedup.bandedJournal(ref1, "text", cfg, Some("doc_id"))
+          .write.mode("append").parquet(jPath)
+        journalSecs ::= (System.nanoTime() - t) / 1e9
+      }
       val nights = (1 to 4).map { k =>
         val wave = ref1.select(
           (col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
@@ -133,6 +152,12 @@ object IncrBench {
         val dedupSec = (System.nanoTime() - t0) / 1e9
         val keptGlobal = kept.select(
           (col("doc_id") + lit(offset)).as("doc_id"), col("text"))
+        if (journalOn) {
+          val t = System.nanoTime()
+          MinHashDedup.bandedJournal(keptGlobal, "text", cfg,
+            Some("doc_id")).write.mode("append").parquet(jPath)
+          journalSecs ::= (System.nanoTime() - t) / 1e9
+        }
         val t1 = System.nanoTime()
         store = MinHashDedup.mergeStores(store,
           MinHashDedup.bandedStore(keptGlobal, "text", cfg, Some("doc_id")))
@@ -149,6 +174,22 @@ object IncrBench {
         s"nightly dedup cost not flat: ${dd.mkString(", ")}")
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
       println(s"""{"metric":"incr_nightly_cycle","sf":"$sfDir","nights":4,"wave_rows":${ref1.count()},"dedup_sec":${arr(dd)},"fold_sec":${arr(nights.map(_._2))},"kept_rows":${nights.map(_._3).mkString("[", ",", "]")},"store_rows":${nights.map(_._4).mkString("[", ",", "]")}}""")
+      if (journalOn) {
+        // the takedown itself: delete ~1% of retained ids from the
+        // accumulated journal and recompact to the post-takedown store —
+        // the cost a production retention request pays, priced at the
+        // grown-store scale
+        val journal = spark.read.parquet(jPath)
+        val jRows = journal.count()
+        val dels = journal.select(col("id")).where(col("id") % 97 === 0)
+          .distinct()
+        val t0 = System.nanoTime()
+        val compacted = MinHashDedup.compactJournal(
+          MinHashDedup.deleteFromJournal(journal, dels))
+        val compactedRows = compacted.count()
+        val takedownSec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"metric":"incr_journal_cycle","sf":"$sfDir","journal_rows":$jRows,"journal_append_sec":${arr(journalSecs.reverse)},"takedown_delete_compact_sec":$takedownSec,"compacted_store_rows":$compactedRows}""")
+      }
     }
     spark.stop()
   }

@@ -182,17 +182,23 @@ object QueriesExtra2 {
 
   /** Event-time tumbling-window aggregation — the batch twin of
     * StreamingPipeline.windowedEventCounts (same plan, bounded input).
+    * The value sum is emitted integer-scaled (the p12 precedent): a raw
+    * double `sum` is partial-sum-order dependent and diverged by 1 ulp
+    * at sf1 group sizes (r16 full-suite sf1 sweep) — `floor(value*1e6)`
+    * is computed identically by both engines and its Long sum is exact.
     */
   val evWindowed: QueryDef = QueryDef("ev_windowed_agg",
     (s, dir) => Queries.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6).cast("long")).as("total_value_e6"))
       .select(col("window.start").cast("long").as("window_start_epoch"),
-        col("event_type"), col("n"), col("total_value"))
+        col("event_type"), col("n"), col("total_value_e6"))
       .orderBy("window_start_epoch", "event_type"),
     Some("SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS " +
-      "window_start_epoch, event_type, count(*) AS n, sum(value) AS " +
-      "total_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
+      "window_start_epoch, event_type, count(*) AS n, " +
+      "CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS " +
+      "total_value_e6 FROM events GROUP BY 1, 2 ORDER BY 1, 2"))
 
   /** Exact word-trigram Jaccard between consecutive documents — the
     * verification stage of two-stage near-dedup, bit-mirrored in SQL.
