@@ -40,9 +40,15 @@ object MiniYaml {
     case v if v.startsWith("'") && v.endsWith("'") && v.length >= 2 =>
       v.substring(1, v.length - 1)
     case v => try { v.toInt } catch {
-      case _: NumberFormatException => try { v.toDouble } catch {
-        case _: NumberFormatException => v
-      }
+      case _: NumberFormatException =>
+        // Long BEFORE Double: takedown ids are 2^62-scale streamed gids
+        // (r16 spec find — the Int→Double fallback silently rounded a
+        // 19-digit delete id to the nearest representable double)
+        try { v.toLong } catch {
+          case _: NumberFormatException => try { v.toDouble } catch {
+            case _: NumberFormatException => v
+          }
+        }
     }
   }
 

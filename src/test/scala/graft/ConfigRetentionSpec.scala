@@ -133,6 +133,61 @@ class ConfigRetentionSpec extends AnyFunSuite {
     assert(survivors === Set(100L))
   }
 
+  test("the retention: block consumes a STREAMING journal: ref journal " +
+      "+ stream appends in one directory -> YAML takedown -> resume") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stamp = System.nanoTime()
+    val jPath = s"/tmp/graft_cfg_sjournal_$stamp"
+    val sPath = s"/tmp/graft_cfg_sstore_$stamp"
+
+    // night 0: the retained corpus's journal seeds the SAME directory the
+    // stream appends into (the production layout — one retention artifact)
+    val ref = corpus.where($"doc_id" =!= 9L) // rows 1, 2, 5
+    MinHashDedup.bandedJournal(ref, "text", cfg, Some("doc_id"))
+      .write.mode("append").parquet(jPath)
+    val store0 = MinHashDedup.compactJournal(spark.read.parquet(jPath))
+
+    // the continuous pipeline: one journaling micro-batch
+    val dedup = new graft.streaming.StreamingPipeline.StoreNearDedup(
+      store0, "text", cfg, "doc_id")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val outPath = s"/tmp/graft_cfg_sout_$stamp"
+    val q = graft.streaming.StreamingPipeline.foreachBatchStoreNearDedup(
+      mem.toDF.toDF("doc_id", "text"), dedup, outPath,
+      s"/tmp/graft_cfg_sckpt_$stamp", journalPath = Some(jPath))
+    val freshText = "a streamed survivor document about watermark " +
+      "semantics and incremental retention journals in one directory"
+    try {
+      mem.addData(Seq(100L -> freshText, 101L -> (base + " variant one")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val gid100 = (1L << 62) + 100L
+
+    // YAML takedown over the CO-MINGLED journal: the class min 1 AND the
+    // streamed survivor (by its global id)
+    val rc = Retention.fromConfig(MiniYaml.parse(
+      s"""retention:
+         |  journal_path: $jPath
+         |  delete_ids:
+         |    - 1
+         |    - $gid100
+         |  compact_store_path: $sPath
+         |""".stripMargin)).get
+    val store = Retention.run(spark, rc)
+
+    // resumed increment: promotion (row 2 remains -> its copy dies),
+    // streamed-survivor takedown (freshText re-ingestable)
+    val resumeOff = graft.streaming.StreamingPipeline.resumeOffset(store)
+    val batch = Seq(200L -> (base + " variant zero"), 201L -> freshText)
+      .toDF("doc_id", "text")
+    val kept = MinHashDedup.deduplicateAgainstStore(batch, store, "text",
+      cfg, orderCol = Some("doc_id"), newIdOffset = resumeOff)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(201L))
+  }
+
   test("journal_path without dedup, or without a data-derived order, " +
       "fails fast") {
     val noDedup = intercept[RuntimeException] {

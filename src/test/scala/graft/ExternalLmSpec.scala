@@ -38,6 +38,34 @@ class ExternalLmSpec extends AnyFunSuite {
     assert(t.segmentLine(s"a$clef") === Seq("▁a", clef))
   }
 
+  test("segmentation invariant (seeded fuzz): pieces concatenate back " +
+      "to the ▁-marked line exactly — greedy never drops, duplicates, " +
+      "or reorders codepoints, for any table") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef ▁x▁"  // include the boundary char itself as
+    // hostile input: a literal ▁ in text must still round-trip
+    (1 to 200).foreach { _ =>
+      val line = Seq.fill(rnd.nextInt(40))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+        .replace('▁', 'g') // segmentLine's contract is a normalized line
+      val pieces = Seq.fill(rnd.nextInt(30) + 1) {
+        val len = rnd.nextInt(5) + 1
+        val p = Seq.fill(len)("abcdefg▁".charAt(rnd.nextInt(8))).mkString
+        p -> -1.0
+      }
+      val t = table(pieces: _*)
+      val segs = t.segmentLine(line)
+      val expected = if (line.isEmpty) "" else "▁" + line.replace(' ', '▁')
+      assert(segs.mkString === expected,
+        s"line='$line' pieces=${pieces.map(_._1)} segs=$segs")
+      // every emitted piece is either in the table or a single codepoint
+      segs.foreach { p =>
+        assert(t.contains(p) || p.codePointCount(0, p.length) == 1,
+          s"piece '$p' neither in table nor single-codepoint")
+      }
+    }
+  }
+
   test("piece table file round-trip: parse == fromFile, maxPieceLen " +
       "tracks the longest piece") {
     val lines = Seq("▁hello\t-3.5", "lo\t-2.0", "x\t-4.25")

@@ -630,7 +630,15 @@ class ExtrasSpec extends AnyFunSuite {
 
   test("streaming windowed agg matches its batch twin") {
     val dir = "/root/testdata/sf0.001"
-    val batch = QueriesExtra2.evWindowed.run(spark, dir)
+    // the batch twin built with windowedEventCounts' EXACT agg shape
+    // (double sum) — the suite query ev_windowed_agg now emits an
+    // integer-scaled sum for cross-engine oracle hashing (r16) and is
+    // no longer shape-identical to the streaming operator
+    val batch = Queries.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").cast("long").as("window_start_epoch"),
+        col("event_type"), col("n"), col("total_value"))
       .collect().map(_.toSeq).toSet
     val stream = graft.streaming.StreamingPipeline.windowedEventCounts(
       Queries.normalizeEventTs(
