@@ -132,14 +132,16 @@ object ArpaScorer extends TextScorer {
   * numbers is the user's own.
   */
 final class ExternalLmScorer(val model: ArpaModel,
-    val pieces: Option[SentencePieceTable]) extends TextScorer {
+    val pieces: Option[SentencePieceTable],
+    val viterbi: Boolean = false) extends TextScorer {
   def score(doc: String): Double = {
     val norm = CcNetNormalizer.normalize(if (doc == null) "" else doc)
     var logSum = 0.0
     var length = 0L
     norm.split('\n').foreach { line =>
       val toks: Seq[String] = pieces match {
-        case Some(t) => t.segmentLine(line)
+        case Some(t) =>
+          if (viterbi) t.segmentViterbi(line) else t.segmentLine(line)
         case None =>
           line.split("\\s+").iterator.filter(_.nonEmpty).toSeq
       }
@@ -156,9 +158,10 @@ object ExternalLm {
     * (optionally) a `piece\tscore` SentencePiece vocab export.
     */
   def fromFiles(arpaPath: String,
-      piecesPath: Option[String] = None): ExternalLmScorer =
+      piecesPath: Option[String] = None,
+      viterbi: Boolean = false): ExternalLmScorer =
     new ExternalLmScorer(ArpaModel.fromFile(arpaPath),
-      piecesPath.map(SentencePieceTable.fromFile))
+      piecesPath.map(SentencePieceTable.fromFile), viterbi)
 
   /** Per-JVM memoized [[fromFiles]] — the form UDF closures use: they
     * capture only the path strings and each executor JVM parses the
@@ -166,11 +169,11 @@ object ExternalLm {
     * on a real cluster; at local[*] the driver's /tmp is shared).
     */
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Option[String]), ExternalLmScorer]()
-  def cached(arpaPath: String,
-      piecesPath: Option[String]): ExternalLmScorer =
-    memo.computeIfAbsent((arpaPath, piecesPath),
-      { case (a, p) => fromFiles(a, p) })
+    (String, Option[String], Boolean), ExternalLmScorer]()
+  def cached(arpaPath: String, piecesPath: Option[String],
+      viterbi: Boolean = false): ExternalLmScorer =
+    memo.computeIfAbsent((arpaPath, piecesPath, viterbi),
+      { case (a, p, v) => fromFiles(a, p, v) })
 }
 
 object Perplexity {
@@ -194,13 +197,61 @@ object Perplexity {
     * [[ExternalLm.cached]] — a 10 MB ARPA never rides task closures.
     */
   def filterWith(arpaPath: String, piecesPath: Option[String],
-      minPpl: Double, maxPpl: Double): TextFilter = {
+      minPpl: Double, maxPpl: Double,
+      viterbi: Boolean = false): TextFilter = {
     val u = udf { (s: String) =>
-      ExternalLm.cached(arpaPath, piecesPath)
+      ExternalLm.cached(arpaPath, piecesPath, viterbi)
         .score(if (s == null) "" else s)
     }
     TextFilter("check_perplexity",
       score = c => u(c),
       keep = c => u(c).between(minPpl, maxPpl))
+  }
+
+  /** The 1000-executor form of [[filterWith]]: [[filterWith]] resolves
+    * driver-local paths, which only works when every executor shares the
+    * driver's filesystem (local[*], NFS). `shipAndFilter` instead
+    * registers the model files with `SparkContext.addFile` — Spark
+    * distributes them to every executor's scratch dir once per app — and
+    * the UDF resolves them via `SparkFiles.get` wherever it runs. The
+    * parsed model is still per-JVM memoized ([[ExternalLm.cached]] keyed
+    * on the resolved path).
+    */
+  def shipAndFilter(spark: org.apache.spark.sql.SparkSession,
+      arpaPath: String, piecesPath: Option[String],
+      minPpl: Double, maxPpl: Double): TextFilter = {
+    spark.sparkContext.addFile(arpaPath)
+    piecesPath.foreach(spark.sparkContext.addFile)
+    val arpaName = new java.io.File(arpaPath).getName
+    val piecesName = piecesPath.map(p => new java.io.File(p).getName)
+    val u = udf { (s: String) =>
+      ExternalLm.cached(Perplexity.resolveShipped(arpaName),
+        piecesName.map(Perplexity.resolveShipped))
+        .score(if (s == null) "" else s)
+    }
+    TextFilter("check_perplexity",
+      score = c => u(c),
+      keep = c => u(c).between(minPpl, maxPpl))
+  }
+
+  /** Resolve a `SparkContext.addFile`-shipped file from inside a task.
+    * Spark 4's SQL execution contexts carry session-isolated artifact
+    * roots, so `SparkFiles.get` may point one session-UUID directory
+    * BELOW where the fetch actually landed — probe the returned path,
+    * then the file-server root and its parent, and take the first that
+    * exists.
+    */
+  private[scoring] def resolveShipped(name: String): String = {
+    val got = new java.io.File(org.apache.spark.SparkFiles.get(name))
+    if (got.exists()) return got.getPath
+    val root = new java.io.File(
+      org.apache.spark.SparkFiles.getRootDirectory())
+    val candidates = Seq(new java.io.File(root, name)) ++
+      Option(root.getParentFile).map(new java.io.File(_, name)) ++
+      Option(got.getParentFile).flatMap(p => Option(p.getParentFile))
+        .map(new java.io.File(_, name))
+    candidates.find(_.exists()).map(_.getPath).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"shipped file $name not found near ${got.getPath}"))
   }
 }

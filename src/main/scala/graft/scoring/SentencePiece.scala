@@ -47,6 +47,68 @@ final class SentencePieceTable(
     }
   }
 
+  /** Unigram-Viterbi segmentation — the mode real SentencePiece unigram
+    * models decode with: maximize the SUM OF PIECE SCORES over all
+    * segmentations (DP over codepoint positions; an unmatched codepoint
+    * costs [[SentencePieceTable.UnkScore]], far below any trained piece,
+    * so known pieces always win where one exists). Ties break toward
+    * the longer final piece, so unambiguous tables segment identically
+    * to [[segmentLine]]. The correctness ORACLE pins the greedy mode
+    * (f2_external_lm); Viterbi is the fidelity mode for users whose
+    * KenLM model was trained over true unigram-SP pieces — pick it with
+    * `lm_segment: viterbi` in the check_perplexity config.
+    */
+  def segmentViterbi(line: String): Seq[String] = {
+    if (line == null || line.isEmpty) return Seq.empty
+    val marked = SentencePieceTable.Boundary +
+      line.replace(' ', SentencePieceTable.Boundary)
+    val cps = marked.codePoints().toArray
+    val n = cps.length
+    val best = new Array[Double](n + 1)
+    val bLen = new Array[Int](n + 1)
+    var pos = 1
+    while (pos <= n) {
+      // single-codepoint fallback always available (a table-listed char
+      // contributes its real score; an unknown one the unk penalty)
+      val single = new String(cps, pos - 1, 1)
+      best(pos) = best(pos - 1) +
+        score(single).getOrElse(SentencePieceTable.UnkScore)
+      bLen(pos) = 1
+      var len = 2
+      val maxL = math.min(maxPieceLen, pos)
+      while (len <= maxL) {
+        val cand = new String(cps, pos - len, len)
+        score(cand) match {
+          case Some(sc) =>
+            val v = best(pos - len) + sc
+            if (v > best(pos) || (v == best(pos) && len > bLen(pos))) {
+              best(pos) = v
+              bLen(pos) = len
+            }
+          case None =>
+        }
+        len += 1
+      }
+      pos += 1
+    }
+    var p = n
+    var acc = List.empty[String]
+    while (p > 0) {
+      val l = bLen(p)
+      acc = new String(cps, p - l, l) :: acc
+      p -= l
+    }
+    acc
+  }
+
+  /** Total segmentation score under this table's unigram model (the
+    * quantity [[segmentViterbi]] maximizes) — exposed for the
+    * optimality property spec.
+    */
+  private[graft] def segScore(pieces: Seq[String]): Double =
+    pieces.iterator
+      .map(p => score(p).getOrElse(SentencePieceTable.UnkScore)).sum
+
   /** Greedy longest-match segmentation of one (already-normalized)
     * line. Empty line → no pieces, mirroring
     * `sp.encode_as_pieces("") == []`.
@@ -80,6 +142,12 @@ object SentencePieceTable {
     * marker.
     */
   val Boundary = '▁'
+
+  /** Viterbi score of a codepoint no piece covers — far below any
+    * trained piece score (spm vocab scores are log-probs, rarely under
+    * −20), mirroring SentencePiece's unk-piece floor.
+    */
+  val UnkScore = -100.0
 
   /** Parse `piece\tscore` lines (the `spm_export_vocab` text format).
     * Blank lines skipped; a missing score column loads as 0.0 (some

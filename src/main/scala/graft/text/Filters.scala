@@ -197,7 +197,15 @@ object Filters {
           case Some(lm) => graft.scoring.Perplexity.filterWith(
             lm, args.get("pieces_path").map(_.toString),
             d("min_perplexity_threshold", 300),
-            d("max_perplexity_threshold", 3000))
+            d("max_perplexity_threshold", 3000),
+            // lm_segment: greedy (default, the oracle-pinned mode) or
+            // viterbi (unigram-SP-faithful, score-maximizing)
+            viterbi = s("lm_segment", "greedy") match {
+              case "greedy" => false
+              case "viterbi" => true
+              case other => sys.error(
+                s"lm_segment must be greedy or viterbi, got: $other")
+            })
           case None => graft.scoring.Perplexity.filter(
             d("min_perplexity_threshold", 300),
             d("max_perplexity_threshold", 3000))

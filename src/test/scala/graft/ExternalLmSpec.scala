@@ -66,6 +66,75 @@ class ExternalLmSpec extends AnyFunSuite {
     }
   }
 
+  test("viterbi segmentation: maximizes piece-score sum where greedy's " +
+      "maximal munch is suboptimal; identical on unambiguous tables") {
+    // greedy takes ▁ab then falls back on single chars; viterbi pays a
+    // slightly worse first piece to cover everything with real pieces
+    val t = table("▁ab" -> -1.0, "▁a" -> -4.0, "bcd" -> -1.5,
+      "c" -> -9.0, "d" -> -9.0)
+    assert(t.segmentLine("abcd") === Seq("▁ab", "c", "d"))
+    assert(t.segmentViterbi("abcd") === Seq("▁a", "bcd"))
+    assert(t.segScore(t.segmentViterbi("abcd")) >
+      t.segScore(t.segmentLine("abcd")))
+    // unambiguous table: the two modes agree (longer-piece tie-break)
+    val u = table("▁the" -> -1.0, "▁he" -> -2.0, "re" -> -2.5)
+    assert(u.segmentViterbi("the here") === u.segmentLine("the here"))
+    assert(u.segmentViterbi("") === Seq.empty)
+  }
+
+  test("viterbi optimality + concatenation invariant (seeded fuzz): " +
+      "score(viterbi) >= score(greedy), pieces rebuild the marked line") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val line = Seq.fill(rnd.nextInt(30))(
+        "abcde ".charAt(rnd.nextInt(6))).mkString
+      val pieces = Seq.fill(rnd.nextInt(25) + 1) {
+        val len = rnd.nextInt(4) + 1
+        Seq.fill(len)("abcde▁".charAt(rnd.nextInt(6))).mkString ->
+          -(rnd.nextInt(200) / 10.0 + 0.1)
+      }
+      val t = table(pieces: _*)
+      val v = t.segmentViterbi(line)
+      val g = t.segmentLine(line)
+      val expected = if (line.isEmpty) "" else "▁" + line.replace(' ', '▁')
+      assert(v.mkString === expected, s"line='$line' v=$v")
+      assert(t.segScore(v) >= t.segScore(g),
+        s"line='$line' viterbi=$v (${t.segScore(v)}) " +
+          s"greedy=$g (${t.segScore(g)})")
+    }
+  }
+
+  test("check_perplexity lm_segment: viterbi routes the mode; a typo " +
+      "names the key") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_extlm_vit")
+    def dump(res: String, name: String): String = {
+      val in = getClass.getClassLoader.getResourceAsStream(res)
+      val p = tmp.resolve(name)
+      java.nio.file.Files.copy(in, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.close()
+      p.toString
+    }
+    val lm = dump("graft/graft-en-sp.arpa", "model.arpa")
+    val pieces = dump("graft/graft-en.pieces", "pieces.vocab")
+    // builds without error in both modes
+    graft.text.Filters.fromConfig("check_perplexity",
+      Map("lm_path" -> lm, "pieces_path" -> pieces,
+        "lm_segment" -> "viterbi"))
+    graft.text.Filters.fromConfig("check_perplexity",
+      Map("lm_path" -> lm, "pieces_path" -> pieces))
+    val bad = intercept[RuntimeException] {
+      graft.text.Filters.fromConfig("check_perplexity",
+        Map("lm_path" -> lm, "lm_segment" -> "virterbi"))
+    }
+    assert(bad.getMessage.contains("lm_segment"))
+    // the two modes are distinct scorers over the shipped pair
+    val gScorer = ExternalLm.fromFiles(lm, Some(pieces))
+    val vScorer = ExternalLm.fromFiles(lm, Some(pieces), viterbi = true)
+    val doc = "this is a simple test sentence with common words"
+    assert(gScorer.score(doc) > 0 && vScorer.score(doc) > 0)
+  }
+
   test("piece table file round-trip: parse == fromFile, maxPieceLen " +
       "tracks the longest piece") {
     val lines = Seq("▁hello\t-3.5", "lo\t-2.0", "x\t-4.25")
@@ -171,5 +240,17 @@ class ExternalLmSpec extends AnyFunSuite {
       direct.score("this is a simple test sentence with common words"),
       direct.score("zq xv jk qqq wxy zzz plgh"))
     assert(scored.toSeq === expected)
+
+    // the 1000-executor form: SparkContext.addFile ships the pair and
+    // the UDF resolves via SparkFiles wherever it runs — scores must be
+    // identical to the driver-local-path form
+    val shipped = graft.scoring.Perplexity.shipAndFilter(spark, lm,
+      Some(pieces), 1, 50)
+    val docs2 = Seq("this is a simple test sentence with common words")
+      .toDF("text")
+    val shippedScore = docs2
+      .select(shipped.score(org.apache.spark.sql.functions.col("text"))
+        .as("s")).collect()(0).getDouble(0)
+    assert(shippedScore === expected.head)
   }
 }
