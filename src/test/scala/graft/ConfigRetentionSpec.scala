@@ -133,6 +133,46 @@ class ConfigRetentionSpec extends AnyFunSuite {
     assert(survivors === Set(100L))
   }
 
+  test("delete_ids_path (parquet takedown list) and " +
+      "compacted_journal_path both honor the block") {
+    import spark.implicits._
+    val stamp = System.nanoTime()
+    val jPath = s"/tmp/graft_cfg_pjournal_$stamp"
+    val idsPath = s"/tmp/graft_cfg_pids_$stamp"
+    val sPath = s"/tmp/graft_cfg_pstore_$stamp"
+    val j2Path = s"/tmp/graft_cfg_pjournal2_$stamp"
+
+    MinHashDedup.bandedJournal(corpus, "text", cfg, Some("doc_id"))
+      .write.mode("overwrite").parquet(jPath)
+    // the takedown request arrives as a parquet id list (any column name)
+    Seq(1L).toDF("takedown_doc").write.mode("overwrite").parquet(idsPath)
+
+    val rc = Retention.fromConfig(MiniYaml.parse(
+      s"""retention:
+         |  journal_path: $jPath
+         |  delete_ids_path: $idsPath
+         |  delete_ids:
+         |    - 9
+         |  compact_store_path: $sPath
+         |  compacted_journal_path: $j2Path
+         |""".stripMargin)).get
+    val store = Retention.run(spark, rc)
+
+    // the surviving journal: ids 1 (path) and 9 (inline) both gone
+    val j2 = spark.read.parquet(j2Path)
+    assert(j2.select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(2L, 5L))
+    // and the store is exactly its compaction
+    def rows(s: org.apache.spark.sql.DataFrame): Set[(Int, Seq[Byte], Long)] =
+      s.collect().map(r => (r.getAs[Int]("band"),
+        r.getAs[Array[Byte]]("bsig").toSeq, r.getAs[Long]("id"))).toSet
+    assert(rows(store) === rows(MinHashDedup.compactJournal(j2)))
+    // in-place journal rewrite is refused, not silently corrupted
+    val clash = rc.copy(compactedJournalPath = Some(rc.journalPath))
+    val err = intercept[IllegalArgumentException](Retention.run(spark, clash))
+    assert(err.getMessage.contains("must differ"))
+  }
+
   test("the retention: block consumes a STREAMING journal: ref journal " +
       "+ stream appends in one directory -> YAML takedown -> resume") {
     import spark.implicits._
