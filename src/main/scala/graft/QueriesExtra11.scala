@@ -79,9 +79,17 @@ object QueriesExtra11 {
   }
 
   private val scoreUdf = udf { (t: String) =>
-    // the memo is populated during query construction on the driver;
-    // local-mode executors share it (see ensureExternalLm's doc)
-    extLmScorer.score(if (t == null) "" else t)
+    // fast path: the driver populated the memo during query construction
+    // and local-mode executors share the JVM; a separate-JVM executor
+    // (non-local master) re-resolves through the path-keyed per-JVM
+    // cache instead of NPE-ing on the driver-only var — it still needs
+    // the files present (SparkFiles.addFile them; ensureExternalLm's doc)
+    val s = extLmScorer
+    val scorer =
+      if (s != null) s
+      else graft.scoring.ExternalLm.cached(s"$ExtLmDir/model.arpa",
+        Some(s"$ExtLmDir/pieces.vocab"))
+    scorer.score(if (t == null) "" else t)
   }
 
   val f2External: QueryDef = QueryDef("f2_external_lm",

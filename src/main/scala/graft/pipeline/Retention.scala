@@ -79,13 +79,26 @@ object Retention {
     */
   def run(spark: SparkSession, rc: RetentionConfig): DataFrame = {
     import spark.implicits._
+    // every output path must differ from the input journal AND from each
+    // other — Spark cannot overwrite a path it is reading, and a store
+    // silently clobbering the surviving journal is a half-done takedown
+    require(rc.compactStorePath != rc.journalPath,
+      "retention.compact_store_path must differ from journal_path " +
+        "(Spark cannot overwrite a parquet path it is reading)")
     require(!rc.compactedJournalPath.contains(rc.journalPath),
       "retention.compacted_journal_path must differ from journal_path " +
         "(Spark cannot overwrite a parquet path it is reading)")
+    require(!rc.compactedJournalPath.contains(rc.compactStorePath),
+      "retention.compacted_journal_path must differ from " +
+        "compact_store_path (the store write would clobber the journal)")
     val journal = spark.read.parquet(rc.journalPath)
     val fromPath = rc.deleteIdsPath.map { p =>
       val raw = spark.read.parquet(p)
-      raw.select(raw.columns.head).toDF("id")
+      // cast explicitly: journal ids are 2^62-scale Longs, and a STRING
+      // id column (a JSON/CSV-exported takedown request) would otherwise
+      // make Spark coerce BOTH join sides to DOUBLE — at that magnitude
+      // ulp is 1024, so unrelated near-by ids would silently delete
+      raw.select(col(raw.columns.head).cast("long")).toDF("id")
     }
     val inline =
       if (rc.deleteIds.nonEmpty) Some(rc.deleteIds.toDF("id")) else None

@@ -144,6 +144,12 @@ object StreamingPipeline {
     // shifted by BatchIdStep (ADVICE r15: the journal would misalign
     // with the store and a takedown of a streamed survivor would miss)
     private var mintedAt: Long = initialOffset
+    // whether mintedAt's batch has already been folded: an UNPAIRED
+    // second fold (seeding a store by folding several pre-deduped
+    // frames, with no dedupBatch between) re-mints at the advanced
+    // offset instead of colliding with the previous frame's gids —
+    // preserving the pre-r16 fold-chaining semantics
+    private var folded: Boolean = false
 
     /** Family-specific increment dedup (must be EAGER). */
     protected def dedupAgainst(batch: DataFrame, store: DataFrame,
@@ -192,6 +198,7 @@ object StreamingPipeline {
       */
     def dedupBatch(batch: DataFrame): DataFrame = synchronized {
       mintedAt = offset
+      folded = false
       dedupAgainst(batch, store0, mintedAt)
     }
 
@@ -201,6 +208,7 @@ object StreamingPipeline {
       * reference across folds.
       */
     def fold(kept: DataFrame): Unit = synchronized {
+      if (folded) mintedAt = offset // unpaired fold: fresh id space
       foldStore(storeOf(globalIds(kept)))
     }
 
@@ -222,6 +230,7 @@ object StreamingPipeline {
       store0 = merge(old, batchStore).localCheckpoint(true)
       releaseCheckpoint(old)
       offset = mintedAt + BatchIdStep
+      folded = true
     }
 
     /** dedup + fold in one call — the BATCH-pipeline convenience (and

@@ -206,9 +206,17 @@ object Filters {
               case other => sys.error(
                 s"lm_segment must be greedy or viterbi, got: $other")
             })
-          case None => graft.scoring.Perplexity.filter(
-            d("min_perplexity_threshold", 300),
-            d("max_perplexity_threshold", 3000))
+          case None =>
+            // pieces_path / lm_segment without lm_path would silently
+            // score with the compiled-in word model — a completely
+            // different model than the user configured thresholds for
+            Seq("pieces_path", "lm_segment").find(args.contains)
+              .foreach(k => sys.error(
+                s"check_perplexity arg $k requires lm_path " +
+                  "(the external model the thresholds were tuned on)"))
+            graft.scoring.Perplexity.filter(
+              d("min_perplexity_threshold", 300),
+              d("max_perplexity_threshold", 3000))
         }
       case other => throw new IllegalArgumentException(s"unknown filter $other")
     }

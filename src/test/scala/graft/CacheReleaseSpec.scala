@@ -80,6 +80,7 @@ class CacheReleaseSpec extends AnyFunSuite {
   private def settledFloor(deadlineMs: Long = 20000): Int = {
     val t0 = System.currentTimeMillis()
     var prev = persistedCount
+    var floor = prev
     var stable = 0
     while (stable < 2 && System.currentTimeMillis() - t0 < deadlineMs) {
       System.gc()
@@ -87,8 +88,11 @@ class CacheReleaseSpec extends AnyFunSuite {
       val n = persistedCount
       if (n >= prev) stable += 1 else stable = 0
       prev = n
+      // baseline = the MINIMUM seen: a transient re-pin during the
+      // settle must not inflate the floor the leak bound measures from
+      floor = math.min(floor, n)
     }
-    prev
+    floor
   }
 
   test("50 dedup calls (minhash salted/auto, store increments, " +

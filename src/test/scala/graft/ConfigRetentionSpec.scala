@@ -167,10 +167,17 @@ class ConfigRetentionSpec extends AnyFunSuite {
       s.collect().map(r => (r.getAs[Int]("band"),
         r.getAs[Array[Byte]]("bsig").toSeq, r.getAs[Long]("id"))).toSet
     assert(rows(store) === rows(MinHashDedup.compactJournal(j2)))
-    // in-place journal rewrite is refused, not silently corrupted
-    val clash = rc.copy(compactedJournalPath = Some(rc.journalPath))
-    val err = intercept[IllegalArgumentException](Retention.run(spark, clash))
-    assert(err.getMessage.contains("must differ"))
+    // in-place rewrites are refused, not silently corrupted — all three
+    // collision shapes (r16 review)
+    val clash1 = rc.copy(compactedJournalPath = Some(rc.journalPath))
+    assert(intercept[IllegalArgumentException](Retention.run(spark, clash1))
+      .getMessage.contains("must differ"))
+    val clash2 = rc.copy(compactStorePath = rc.journalPath)
+    assert(intercept[IllegalArgumentException](Retention.run(spark, clash2))
+      .getMessage.contains("must differ"))
+    val clash3 = rc.copy(compactedJournalPath = Some(rc.compactStorePath))
+    assert(intercept[IllegalArgumentException](Retention.run(spark, clash3))
+      .getMessage.contains("must differ"))
   }
 
   test("the retention: block consumes a STREAMING journal: ref journal " +

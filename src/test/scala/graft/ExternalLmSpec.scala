@@ -128,6 +128,13 @@ class ExternalLmSpec extends AnyFunSuite {
         Map("lm_path" -> lm, "lm_segment" -> "virterbi"))
     }
     assert(bad.getMessage.contains("lm_segment"))
+    // external-model args without lm_path must fail, not silently score
+    // with the compiled-in word model (r16 review)
+    val orphan = intercept[RuntimeException] {
+      graft.text.Filters.fromConfig("check_perplexity",
+        Map("pieces_path" -> pieces))
+    }
+    assert(orphan.getMessage.contains("requires lm_path"))
     // the two modes are distinct scorers over the shipped pair
     val gScorer = ExternalLm.fromFiles(lm, Some(pieces))
     val vScorer = ExternalLm.fromFiles(lm, Some(pieces), viterbi = true)

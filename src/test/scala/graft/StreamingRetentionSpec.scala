@@ -150,6 +150,25 @@ class StreamingRetentionSpec extends AnyFunSuite {
     assert(kept2 === recompute)
   }
 
+  test("unpaired fold chaining mints fresh id space per fold " +
+      "(r16 review: the mintedAt stash must not freeze across folds)") {
+    val store0 = MinHashDedup.compactJournal(
+      MinHashDedup.bandedJournal(df(refRows), "text", cfg, Some("doc_id")))
+    val dedup = new StreamingPipeline.StoreNearDedup(store0, "text", cfg,
+      "doc_id")
+    // seeding a store by folding pre-deduped frames, no dedupBatch
+    // between: the second frame must land in the NEXT BatchIdStep slot,
+    // not collide with the first frame's gids
+    dedup.fold(df(Seq(50L -> fresh)))
+    dedup.fold(df(Seq(50L -> ("totally different second seeded corpus " +
+      "about executors caches and broadcast variables"))))
+    val ids = dedup.currentStore.select("id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.contains((1L << 62) + 50L))
+    assert(ids.contains((1L << 62) + (1L << 40) + 50L),
+      s"second fold must mint at the advanced offset; store ids: $ids")
+  }
+
   test("sig-store twin: journalBatch + takedown across a restart " +
       "(manual drive; wiring shared with the minhash test)") {
     val refJournal = SimHash.sigJournal(df(refRows), "text",

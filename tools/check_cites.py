@@ -38,7 +38,13 @@ def resolve(path):
     hits = sorted(
         set(glob.glob(os.path.join(REPO, "src/**", base), recursive=True))
         | set(glob.glob(os.path.join(REPO, "tools", base))))
-    return hits[0] if len(hits) == 1 else None
+    if len(hits) == 1:
+        return hits[0]
+    # ambiguous basenames must fail loudly, not masquerade as missing
+    # (and never silently validate against the wrong same-named file)
+    if len(hits) > 1:
+        return ("AMBIGUOUS", hits)
+    return None
 
 
 def symbol_before(line, cite_start):
@@ -64,6 +70,11 @@ def check_file(md_path):
             src = resolve(path)
             if src is None:
                 failures.append(f"{where}: file not found")
+                continue
+            if isinstance(src, tuple):
+                failures.append(
+                    f"{where}: basename ambiguous — cite a fuller path "
+                    f"(candidates: {', '.join(src[1])})")
                 continue
             with open(src, encoding="utf-8") as sf:
                 src_lines = sf.readlines()
