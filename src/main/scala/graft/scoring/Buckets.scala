@@ -51,8 +51,14 @@ object Buckets {
     df.stat.approxQuantile(scoreCol,
       (1 until n).map(_.toDouble / n).toArray, relativeError).toSeq
 
-  /** The cc_net composition: per-document LM perplexity (ArpaScorer by
-    * default) → head/middle/tail.
+  /** The cc_net composition: per-document LM perplexity (the shipped
+    * ArpaScorer by default) → head/middle/tail.
+    *
+    * `scorer` is pluggable (r16): pass
+    * `Perplexity.filterWith(lmPath, piecesPath, 0, 1e9).score` to bucket
+    * with a USER-SUPPLIED KenLM-style ARPA + SentencePiece pair — the
+    * composition cc_net itself publishes (Wenzek et al. train cutoffs
+    * with exactly such a model).
     *
     * The approximate path runs TWO passes over the scores (quantile
     * estimate, then the bucketing scan), so the scored frame is persisted
@@ -63,9 +69,10 @@ object Buckets {
     * column, and feed [[cutoffBuckets]] precomputed cutoffs.
     */
   def ccnetBuckets(df: DataFrame, textCol: String, idCol: String,
-      exact: Boolean = false): DataFrame = {
-    val ppl = graft.scoring.Perplexity.filter().score(col(textCol))
-    val scored = df.withColumn("__ppl__", ppl)
+      exact: Boolean = false,
+      scorer: Column => Column =
+        c => graft.scoring.Perplexity.filter().score(c)): DataFrame = {
+    val scored = df.withColumn("__ppl__", scorer(col(textCol)))
     val out =
       if (exact) rankBuckets(scored, col("__ppl__"), col(idCol))
       else {

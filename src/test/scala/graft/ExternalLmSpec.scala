@@ -259,5 +259,16 @@ class ExternalLmSpec extends AnyFunSuite {
       .select(shipped.score(org.apache.spark.sql.functions.col("text"))
         .as("s")).collect()(0).getDouble(0)
     assert(shippedScore === expected.head)
+
+    // the cc_net bucketing composition accepts the external scorer too:
+    // every row lands in a bucket, and single-doc-per-tercile determinism
+    // holds for the exact path
+    val corpus = Seq((1L, "this is a simple test sentence"),
+      (2L, "zq xv jk qqq wxy"), (3L, "common words appear here"))
+      .toDF("doc_id", "text")
+    val buckets = graft.scoring.Buckets.ccnetBuckets(corpus, "text",
+      "doc_id", exact = true, scorer = f.score)
+      .select("bucket").collect().map(_.getString(0)).toSet
+    assert(buckets === Set("head", "middle", "tail"))
   }
 }
