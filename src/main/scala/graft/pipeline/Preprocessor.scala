@@ -27,6 +27,18 @@ final class Preprocessor(
     dedupJournalPath: Option[String] = None) {
 
   def run(): DataFrame = {
+    // ADVICE r16: validate journal preconditions BEFORE any Spark work —
+    // the dedup kernels localCheckpoint internally, so a config typo
+    // caught only at the journal write would cost an entire eager
+    // clean/filter/dedup pass before failing
+    dedupJournalPath.foreach { _ =>
+      if (dedup.isEmpty) sys.error(
+        "deduplication.journal_path requires do_deduplication: true — " +
+          "the journal is the dedup pass's retention artifact")
+      require(dedupOrderCol.isDefined,
+        "deduplication.journal_path requires a data-derived dedup " +
+          "order column (journal ids must be recompute-stable)")
+    }
     val cleaned = Preprocessor.clean(df, columnName, cleaners)
     if (verbose) {
       Preprocessor.filterStats(cleaned, columnName, filters).foreach {

@@ -77,18 +77,37 @@ object Retention {
     * the read-back store — the frame a resumed pipeline or
     * `deduplicateAgainstStore` increment joins against.
     */
+  /** Canonical form for the in-place-rewrite guards (ADVICE r16): raw
+    * string comparison lets aliases of one location — trailing slash,
+    * relative vs absolute, `..` segments — slip past and Retention would
+    * overwrite the parquet directory it is concurrently reading. Local
+    * paths normalize through java.nio; URI-schemed paths (hdfs://, s3a://)
+    * normalize through Hadoop's Path, which collapses `.`/`..`/double
+    * slashes while keeping the scheme+authority.
+    */
+  private[pipeline] def canonPath(p: String): String =
+    if (p.contains("://"))
+      new org.apache.hadoop.fs.Path(p).toString
+    else
+      try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+      catch { case _: java.nio.file.InvalidPathException => p }
+
   def run(spark: SparkSession, rc: RetentionConfig): DataFrame = {
     import spark.implicits._
     // every output path must differ from the input journal AND from each
     // other — Spark cannot overwrite a path it is reading, and a store
-    // silently clobbering the surviving journal is a half-done takedown
-    require(rc.compactStorePath != rc.journalPath,
+    // silently clobbering the surviving journal is a half-done takedown.
+    // Compared CANONICALIZED (ADVICE r16) so path aliases can't bypass.
+    val journalC = canonPath(rc.journalPath)
+    val storeC = canonPath(rc.compactStorePath)
+    val compJournalC = rc.compactedJournalPath.map(canonPath)
+    require(storeC != journalC,
       "retention.compact_store_path must differ from journal_path " +
         "(Spark cannot overwrite a parquet path it is reading)")
-    require(!rc.compactedJournalPath.contains(rc.journalPath),
+    require(!compJournalC.contains(journalC),
       "retention.compacted_journal_path must differ from journal_path " +
         "(Spark cannot overwrite a parquet path it is reading)")
-    require(!rc.compactedJournalPath.contains(rc.compactStorePath),
+    require(!compJournalC.contains(storeC),
       "retention.compacted_journal_path must differ from " +
         "compact_store_path (the store write would clobber the journal)")
     val journal = spark.read.parquet(rc.journalPath)

@@ -222,6 +222,16 @@ object StreamingPipeline {
       * consumers; a lazy unpersisted frame would still recompute.
       */
     def foldFromJournal(journalRows: DataFrame): Unit = synchronized {
+      // ADVICE r16: fold() re-mints on an unpaired second fold, but a
+      // journal frame carries PRE-STAMPED gids (journalBatch minted them
+      // at mintedAt) and cannot be re-minted — a second foldFromJournal
+      // without an intervening dedupBatch would fold gids into an id
+      // slot the previous frame already occupies. Refuse instead of
+      // silently colliding; fold-chaining (store seeding) uses fold().
+      require(!folded,
+        "foldFromJournal must pair 1:1 with a dedupBatch: this batch " +
+          "slot is already folded — call dedupBatch (then journalBatch) " +
+          "before folding again, or seed stores with fold()")
       foldStore(storeOfJournal(journalRows))
     }
 

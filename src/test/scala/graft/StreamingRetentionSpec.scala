@@ -94,7 +94,13 @@ class StreamingRetentionSpec extends AnyFunSuite {
     // signatured by the dedup pass + |kept| by the journal append whose
     // persisted frame the store fold compacts. The old wiring's storeOf
     // re-signatured the kept rows a second time (+|kept| more).
-    assert(graft.dedup.MinHash.sigCalls.get() - sigCallsBefore ===
+    // UPPER bound, not exact equality (ADVICE r16): the per-JVM counter
+    // would inflate under a Spark task retry or cache eviction of the
+    // persisted journal; <= still catches the old double/triple
+    // signaturing regression, which added 2×|kept| extra calls. (Today
+    // sbt's forked test JVM runs suites sequentially over tiny data, so
+    // the bound is in practice exact.)
+    assert(graft.dedup.MinHash.sigCalls.get() - sigCallsBefore <=
       batch1.size + 1L,
       "journaling batch must share one signature pass between the " +
         "journal append and the store fold")
