@@ -38,12 +38,29 @@ object QueriesExtra11 {
 
   @volatile private var extLmScorer: ExternalLmScorer = null
 
+  /** Concurrent-JVM-safe resource dump (VERDICT r16 "what's wrong" #3):
+    * two verify/bench JVMs racing a plain REPLACE_EXISTING copy could
+    * expose a half-written model file to the other's reader. Each writer
+    * copies to its own temp name and ATOMIC_MOVEs into place — the
+    * content is identical across JVMs (same classpath resource), so
+    * whoever lands last is fine and no reader ever sees a partial file.
+    */
   private def resourceToFile(res: String, dest: String): Unit = {
     val in = getClass.getClassLoader.getResourceAsStream(res)
     require(in != null, s"missing resource $res")
-    try java.nio.file.Files.copy(in, java.nio.file.Paths.get(dest),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    val destPath = java.nio.file.Paths.get(dest)
+    val tmp = destPath.resolveSibling(
+      s".${destPath.getFileName}.${java.lang.ProcessHandle.current.pid}.tmp")
+    try {
+      java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(tmp, destPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      in.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 
   /** Dump resources → files, ingest via [[ExternalLm.fromFiles]], export
@@ -57,23 +74,39 @@ object QueriesExtra11 {
     if (extLmScorer == null) synchronized { if (extLmScorer == null) {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(ExtLmDir))
-      resourceToFile(ArpaRes, s"$ExtLmDir/model.arpa")
-      resourceToFile(PiecesRes, s"$ExtLmDir/pieces.vocab")
-      val scorer = ExternalLm.fromFiles(s"$ExtLmDir/model.arpa",
-        Some(s"$ExtLmDir/pieces.vocab"))
-      import s.implicits._
-      val m = scorer.model
-      m.uniRows.toDF("w", "p", "bo")
-        .write.mode("overwrite").parquet(s"$ExtLmTables/uni")
-      m.biRows.toDF("g", "p", "bo")
-        .write.mode("overwrite").parquet(s"$ExtLmTables/bi")
-      m.triRows.toDF("g", "p", "bo")
-        .write.mode("overwrite").parquet(s"$ExtLmTables/tri")
-      m.quadRows.toDF("g", "p")
-        .write.mode("overwrite").parquet(s"$ExtLmTables/quad")
-      scorer.pieces.get.rows.toDF("piece", "len", "score")
-        .write.mode("overwrite").parquet(s"$ExtLmTables/pieces")
-      extLmScorer = scorer
+      // cross-JVM exclusion for the parquet exports (VERDICT r16 #3):
+      // overwrite-mode deletes the directory first, so a concurrent
+      // verify/bench JVM re-exporting the same frames could hand DuckDB
+      // a half-replaced glob. The flat model files are atomic-moved;
+      // the parquet side serializes on an OS file lock (identical
+      // content per JVM, so whoever writes last is equivalent).
+      val lockCh = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(s"$ExtLmDir/.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        resourceToFile(ArpaRes, s"$ExtLmDir/model.arpa")
+        resourceToFile(PiecesRes, s"$ExtLmDir/pieces.vocab")
+        val scorer = ExternalLm.fromFiles(s"$ExtLmDir/model.arpa",
+          Some(s"$ExtLmDir/pieces.vocab"))
+        import s.implicits._
+        val m = scorer.model
+        m.uniRows.toDF("w", "p", "bo")
+          .write.mode("overwrite").parquet(s"$ExtLmTables/uni")
+        m.biRows.toDF("g", "p", "bo")
+          .write.mode("overwrite").parquet(s"$ExtLmTables/bi")
+        m.triRows.toDF("g", "p", "bo")
+          .write.mode("overwrite").parquet(s"$ExtLmTables/tri")
+        m.quadRows.toDF("g", "p")
+          .write.mode("overwrite").parquet(s"$ExtLmTables/quad")
+        scorer.pieces.get.rows.toDF("piece", "len", "score")
+          .write.mode("overwrite").parquet(s"$ExtLmTables/pieces")
+        extLmScorer = scorer
+      } finally {
+        lock.release()
+        lockCh.close()
+      }
     } }
     extLmScorer
   }
@@ -99,15 +132,47 @@ object QueriesExtra11 {
         .select(col("doc_id"), scoreUdf(col("text")).as("ext_lm_ppl"))
         .orderBy("doc_id")
     },
-    Some {
+    Some(replaySql("text")))
+
+  /** Multi-line whole-doc oracle (ADVICE r16 medium — the divergence it
+    * flagged was exactly that no oracle covered documents with `\n`):
+    * both engines compose the SAME multi-line, double-spaced document
+    * from each `documents` row, so the replay proves the reference
+    * chain end-to-end — `\n` removed outright (lines CONCATENATE, no
+    * space — kenlm_model.py:71-73's non-printing class spans \x0a),
+    * space runs collapsed (SP's remove_extra_whitespaces), ONE
+    * `<s>..</s>` event chain with a single +1 per document.
+    */
+  val f2ExternalMultiline: QueryDef = QueryDef("f2_external_lm_multiline",
+    (s, dir) => {
+      ensureExternalLm(s)
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"),
+          scoreUdf(concat(col("text"), lit("\n"), col("text"),
+            lit("\nx  y z"))).as("ext_lm_ppl"))
+        .orderBy("doc_id")
+    },
+    Some(replaySql("text || chr(10) || text || chr(10) || 'x  y z'")))
+
+  /** The full DuckDB replay over an arbitrary raw-document SQL
+    * expression (shared by the single-line and multi-line oracles).
+    */
+  private def replaySql(docExpr: String): String = {
       import OracleSql._
-      // the same ccnet chain the f2/ccnet oracles hash-match
-      val norm =
+      // the same ccnet chain the f2/ccnet oracles hash-match, THEN the
+      // pieces-path whole-doc pretreatment (ADVICE r16 medium — the
+      // reference's normalize removes \n outright, kenlm_model.py:71-73,
+      // so lines concatenate with NO space and the whole doc scores as
+      // ONE <s>..</s> chain; SP's default remove_extra_whitespaces then
+      // trims + collapses space runs)
+      val ccnet =
         "regexp_replace(" +
           normalizePunctuation(
-            "regexp_replace(strip_accents(lower(" + strip("text") + ")), " +
+            "regexp_replace(strip_accents(lower(" + strip(docExpr) + ")), " +
               "'[0-9]', '0', 'g')") +
           ", '[\\x00-\\x09\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')"
+      val norm =
+        s"trim(regexp_replace(replace($ccnet, chr(10), ''), '  +', ' ', 'g'))"
       // greedy longest-match: one LEFT JOIN per candidate length
       // (maxPieceLen..2); a clamped substr near end-of-string is shorter
       // than k and can never equal a len-k piece, so no bounds CASE is
@@ -184,7 +249,7 @@ object QueriesExtra11 {
         "count(*) AS len FROM pv GROUP BY doc_id) " +
         "SELECT doc_id, round(pow(10, -logsum/len), 1) AS " +
         "ext_lm_ppl FROM res ORDER BY doc_id"
-    })
+  }
 
-  val all: Seq[QueryDef] = Seq(f2External)
+  val all: Seq[QueryDef] = Seq(f2External, f2ExternalMultiline)
 }

@@ -118,14 +118,30 @@ object ArpaScorer extends TextScorer {
   * the reference's perplexity numbers come from a DOWNLOADED KenLM model
   * plus a SentencePiece tokenizer (kenlm_model.py:18-29,122-142); this
   * scorer ingests that pairing at runtime — any text-format ARPA file
-  * via [[ArpaModel.fromFile]] and any exported piece table via
-  * [[SentencePieceTable.fromFile]] — and scores through the identical
-  * backoff chain. With `pieces = None` the tokenization degenerates to
-  * the whitespace split, making this a strict superset of [[ArpaScorer]]
-  * (spec-pinned). Document semantics are the reference's exactly:
-  * cc_net-normalize, per-line `model.score(tokens)` with length
-  * `len(tokens) + 1`, document perplexity `round(10^(−Σ/Σlen), 1)`.
+  * via [[ArpaModel.fromFile]] and any piece table via
+  * [[SentencePieceTable.fromFileAuto]] (text `spm_export_vocab` export
+  * OR binary `.model` ModelProto, r17) — and scores through the
+  * identical backoff chain. With `pieces = None` the tokenization
+  * degenerates to the whitespace split, making this a strict superset
+  * of [[ArpaScorer]] (spec-pinned).
   *
+  * DOCUMENT SEMANTICS, pieces path (ADVICE r16 medium — this is the
+  * reference's exact chain): kenlm_model.py's normalize REMOVES `\n`
+  * outright (`non_printing_chars_re` spans range(0,32), :71-73), so the
+  * whole document reaches SentencePiece as ONE line — lines concatenate
+  * with NO separating space — and `get_perplexity`'s subsequent
+  * `split("\n")` trivially sees one line: ONE `<s>..</s>` chain, one
+  * `+1`, perplexity `round(10^(−log/len), 1)`. [[CcNetNormalizer]]
+  * deliberately keeps `\n` for the per-line [[ArpaScorer]]-compat path
+  * (`pieces = None`, whose oracle pins per-line `<s>/</s>` events), so
+  * this scorer re-applies the reference's removal before segmenting.
+  * SentencePiece's own default normalizer then trims and collapses
+  * whitespace runs (`remove_extra_whitespaces=true`), replicated here —
+  * models trained with that flag off would differ (measure with
+  * tools/sp_divergence.py).
+  *
+  * segMode: "greedy" (oracle-replayable longest-match), "viterbi"
+  * (unigram-faithful), "bpe" (merge-rank, for BPE-type models — r17).
   * Wire it in with `Perplexity.scorer = ExternalLm.fromFiles(arpa,
   * pieces)` and the reference's own threshold configs (300..10000,
   * utils.py:98-106) transfer numerically — the model producing the
@@ -133,35 +149,45 @@ object ArpaScorer extends TextScorer {
   */
 final class ExternalLmScorer(val model: ArpaModel,
     val pieces: Option[SentencePieceTable],
-    val viterbi: Boolean = false) extends TextScorer {
+    val segMode: String = SentencePieceTable.ModeGreedy)
+    extends TextScorer {
   def score(doc: String): Double = {
     val norm = CcNetNormalizer.normalize(if (doc == null) "" else doc)
-    var logSum = 0.0
-    var length = 0L
-    norm.split('\n').foreach { line =>
-      val toks: Seq[String] = pieces match {
-        case Some(t) =>
-          if (viterbi) t.segmentViterbi(line) else t.segmentLine(line)
-        case None =>
-          line.split("\\s+").iterator.filter(_.nonEmpty).toSeq
-      }
-      logSum += model.scoreTokens(toks.iterator)
-      length += toks.length + 1
+    pieces match {
+      case Some(t) =>
+        // reference whole-doc chain: drop \n (concatenation, no space),
+        // SP whitespace pretreatment, one token stream, single +1
+        val oneLine =
+          norm.replace("\n", "").replaceAll("  +", " ").trim
+        val toks = t.segment(oneLine, segMode)
+        val logSum = model.scoreTokens(toks.iterator)
+        val length = toks.length + 1L
+        math.rint(math.pow(10.0, -logSum / length) * 10.0) / 10.0
+      case None =>
+        // ArpaScorer-compat per-line semantics (spec-pinned superset)
+        var logSum = 0.0
+        var length = 0L
+        norm.split('\n').foreach { line =>
+          val toks = line.split("\\s+").iterator.filter(_.nonEmpty).toSeq
+          logSum += model.scoreTokens(toks.iterator)
+          length += toks.length + 1
+        }
+        if (length == 0) 0.0
+        else math.rint(math.pow(10.0, -logSum / length) * 10.0) / 10.0
     }
-    if (length == 0) 0.0
-    else math.rint(math.pow(10.0, -logSum / length) * 10.0) / 10.0
   }
 }
 
 object ExternalLm {
   /** Load a scorer from external model files: a text ARPA and
-    * (optionally) a `piece\tscore` SentencePiece vocab export.
+    * (optionally) a SentencePiece piece table — a `piece\tscore` vocab
+    * export or a binary `.model` (format auto-detected).
     */
   def fromFiles(arpaPath: String,
       piecesPath: Option[String] = None,
-      viterbi: Boolean = false): ExternalLmScorer =
+      segMode: String = SentencePieceTable.ModeGreedy): ExternalLmScorer =
     new ExternalLmScorer(ArpaModel.fromFile(arpaPath),
-      piecesPath.map(SentencePieceTable.fromFile), viterbi)
+      piecesPath.map(SentencePieceTable.fromFileAuto), segMode)
 
   /** Per-JVM memoized [[fromFiles]] — the form UDF closures use: they
     * capture only the path strings and each executor JVM parses the
@@ -169,11 +195,11 @@ object ExternalLm {
     * on a real cluster; at local[*] the driver's /tmp is shared).
     */
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Option[String], Boolean), ExternalLmScorer]()
+    (String, Option[String], String), ExternalLmScorer]()
   def cached(arpaPath: String, piecesPath: Option[String],
-      viterbi: Boolean = false): ExternalLmScorer =
-    memo.computeIfAbsent((arpaPath, piecesPath, viterbi),
-      { case (a, p, v) => fromFiles(a, p, v) })
+      segMode: String = SentencePieceTable.ModeGreedy): ExternalLmScorer =
+    memo.computeIfAbsent((arpaPath, piecesPath, segMode),
+      { case (a, p, m) => fromFiles(a, p, m) })
 }
 
 object Perplexity {
@@ -198,9 +224,9 @@ object Perplexity {
     */
   def filterWith(arpaPath: String, piecesPath: Option[String],
       minPpl: Double, maxPpl: Double,
-      viterbi: Boolean = false): TextFilter = {
+      segMode: String = SentencePieceTable.ModeGreedy): TextFilter = {
     val u = udf { (s: String) =>
-      ExternalLm.cached(arpaPath, piecesPath, viterbi)
+      ExternalLm.cached(arpaPath, piecesPath, segMode)
         .score(if (s == null) "" else s)
     }
     TextFilter("check_perplexity",

@@ -27,7 +27,12 @@ import java.util.{HashMap => JHashMap}
   */
 final class SentencePieceTable(
     pieces: JHashMap[String, java.lang.Double],
-    val maxPieceLen: Int) extends Serializable {
+    val maxPieceLen: Int,
+    /** `trainer_spec.model_type` when loaded from a binary `.model`
+      * (ModelProto, r17): "unigram" | "bpe" | "word" | "char". None for
+      * text vocab exports, which don't carry the algorithm.
+      */
+    val modelType: Option[String] = None) extends Serializable {
 
   def size: Int = pieces.size
 
@@ -109,6 +114,97 @@ final class SentencePieceTable(
     pieces.iterator
       .map(p => score(p).getOrElse(SentencePieceTable.UnkScore)).sum
 
+  /** Segment by mode name — the `lm_segment` config surface:
+    * [[SentencePieceTable.ModeGreedy]] (oracle-replayable longest
+    * match), [[SentencePieceTable.ModeViterbi]] (unigram-faithful),
+    * [[SentencePieceTable.ModeBpe]] (merge-rank, for BPE-type models).
+    */
+  def segment(line: String, mode: String): Seq[String] = mode match {
+    case SentencePieceTable.ModeGreedy => segmentLine(line)
+    case SentencePieceTable.ModeViterbi => segmentViterbi(line)
+    case SentencePieceTable.ModeBpe => segmentBpe(line)
+    case other => throw new IllegalArgumentException(
+      s"lm_segment must be greedy, viterbi or bpe, got: $other")
+  }
+
+  // per-executor BPE word memo: corpora repeat words heavily (Zipf), so
+  // each distinct marked word merge-encodes once per JVM, mirroring
+  // graft.text.Bpe.BpeModel's cache
+  @transient private lazy val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+
+  /** Merge-rank (BPE) segmentation — the algorithm BPE-TYPE
+    * SentencePiece models decode with (r17, VERDICT #2): piece scores in
+    * a BPE `.model` encode merge ranks (score −n for the n-th learned
+    * merge), and the faithful encoding starts from single codepoints and
+    * repeatedly applies the available merge whose RESULT piece has the
+    * best (highest) score — i.e. the lowest rank — until no adjacent
+    * pair concatenates to a vocab piece. Ties (absent in real models,
+    * whose ranks are distinct) break to the leftmost occurrence.
+    *
+    * Like spm with `split_by_whitespace=true` (the default, and the only
+    * mode whose vocab contains no space-spanning pieces), merging runs
+    * per `▁`-marked word, so the loop is O(wordLen²) on short strings
+    * and word results memoize per JVM. Unmergeable symbols come out as
+    * single-codepoint tokens — the LM's `<unk>` mapping absorbs them,
+    * same as the greedy matcher's fallback.
+    */
+  def segmentBpe(line: String): Seq[String] = {
+    if (line == null || line.isEmpty) return Seq.empty
+    val marked = SentencePieceTable.Boundary +
+      line.replace(' ', SentencePieceTable.Boundary)
+    // split into ▁-prefixed words (every ▁ starts a new word)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 1
+    while (i <= marked.length) {
+      if (i == marked.length ||
+          marked.charAt(i) == SentencePieceTable.Boundary) {
+        out ++= bpeWord(marked.substring(start, i))
+        start = i
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def bpeWord(w: String): Vector[String] = {
+    val hit = bpeCache.get(w)
+    if (hit != null) return hit
+    val cps = w.codePoints().toArray
+    var syms = cps.map(cp => new String(Character.toChars(cp))).toVector
+    var done = syms.length <= 1
+    while (!done) {
+      // best-scored available merge; ties to the leftmost occurrence
+      var bestScore = Double.NegativeInfinity
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        score(syms(i) + syms(i + 1)) match {
+          case Some(sc) if sc > bestScore => bestScore = sc; bestIdx = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        val a = syms(bestIdx); val b = syms(bestIdx + 1)
+        // all non-overlapping occurrences of the chosen pair, L→R
+        val nb = Vector.newBuilder[String]
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            nb += a + b; i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        syms = nb.result()
+        done = syms.length <= 1
+      }
+    }
+    bpeCache.putIfAbsent(w, syms)
+    syms
+  }
+
   /** Greedy longest-match segmentation of one (already-normalized)
     * line. Empty line → no pieces, mirroring
     * `sp.encode_as_pieces("") == []`.
@@ -143,6 +239,11 @@ object SentencePieceTable {
     */
   val Boundary = '▁'
 
+  /** `lm_segment` mode names (config surface + [[segment]]). */
+  val ModeGreedy = "greedy"
+  val ModeViterbi = "viterbi"
+  val ModeBpe = "bpe"
+
   /** Viterbi score of a codepoint no piece covers — far below any
     * trained piece score (spm vocab scores are log-probs, rarely under
     * −20), mirroring SentencePiece's unk-piece floor.
@@ -176,6 +277,154 @@ object SentencePieceTable {
   def fromFile(path: String): SentencePieceTable = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try parse(src.getLines()) finally src.close()
+  }
+
+  /** Accept EITHER piece-table format by content sniff (VERDICT r16 #1:
+    * the reference's actual downloaded tokenizer artifact is the binary
+    * `{lang}.sp.model`, kenlm_model.py:200 — a user holding only that
+    * file must not need an spm toolchain to point the engine at it).
+    * A ModelProto always opens with byte 0x0A (field 1, wire type 2 —
+    * the first piece entry) followed by a parseable message; a text
+    * vocab export essentially never does (0x0A is '\n', a leading blank
+    * line, and even then the proto walk rejects it), and on any proto
+    * parse failure we fall back to the text parser.
+    */
+  def fromFileAuto(path: String): SentencePieceTable = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    if (bytes.length > 1 && bytes(0) == 0x0a.toByte) {
+      try return fromModelBytes(bytes)
+      catch { case _: SpModelParseException => } // text file, first byte \n
+    }
+    parse(scala.io.Source.fromBytes(bytes, "UTF-8").getLines())
+  }
+
+  /** Ingest a binary SentencePiece `.model` (the serialized `ModelProto`
+    * of the PUBLIC `sentencepiece_model.proto` — sentencepiece repo).
+    */
+  def fromModelFile(path: String): SentencePieceTable =
+    fromModelBytes(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+
+  private[scoring] final class SpModelParseException(msg: String)
+      extends RuntimeException(msg)
+
+  // --- minimal protobuf wire-format walk (no protobuf dependency) ---
+  // ModelProto (sentencepiece_model.proto):
+  //   repeated SentencePiece pieces = 1;      // length-delimited
+  //   optional TrainerSpec    trainer_spec = 2;
+  //   (normalizer_spec = 3, self_test_data = 4, denormalizer_spec = 5
+  //    — skipped)
+  // ModelProto.SentencePiece:
+  //   optional string piece = 1;  optional float score = 2;
+  //   optional Type  type  = 3;   // NORMAL=1 (default), UNKNOWN=2,
+  //                               // CONTROL=3, USER_DEFINED=4,
+  //                               // UNUSED=5, BYTE=6
+  // TrainerSpec: model_type = 3  // UNIGRAM=1, BPE=2, WORD=3, CHAR=4
+
+  private final class ProtoReader(buf: Array[Byte], var pos: Int,
+      val end: Int) {
+    def hasMore: Boolean = pos < end
+    def fail(msg: String): Nothing =
+      throw new SpModelParseException(s"$msg at byte $pos")
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      var more = true
+      while (more) {
+        if (pos >= end || shift > 63) fail("truncated varint")
+        val b = buf(pos); pos += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+      }
+      v
+    }
+    def tag(): (Int, Int) = {
+      val t = varint()
+      ((t >>> 3).toInt, (t & 7).toInt)
+    }
+    def lenDelimited(): (Int, Int) = { // (start, end) of the payload
+      val len = varint().toInt
+      if (len < 0 || pos + len > end) fail("bad length")
+      val s = pos; pos += len; (s, pos)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => if (pos + 8 > end) fail("truncated fixed64") else pos += 8
+      case 2 => lenDelimited()
+      case 5 => if (pos + 4 > end) fail("truncated fixed32") else pos += 4
+      case w => fail(s"unsupported wire type $w")
+    }
+    def float32(): Float = {
+      if (pos + 4 > end) fail("truncated float")
+      val bits = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
+        ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
+      pos += 4
+      java.lang.Float.intBitsToFloat(bits)
+    }
+  }
+
+  /** Parse a serialized ModelProto. Pieces of type UNKNOWN / CONTROL /
+    * UNUSED are carried in the file but EXCLUDED from the matcher — a
+    * literal `<s>` in user text must not match the control piece (real
+    * SentencePiece never emits control pieces from raw text either).
+    * BYTE pieces (`<0xNN>` strings, the byte-fallback inventory) are
+    * likewise excluded: the matcher's own single-codepoint → `<unk>`
+    * fallback is this engine's unknown-character story.
+    */
+  def fromModelBytes(bytes: Array[Byte]): SentencePieceTable = {
+    val m = new JHashMap[String, java.lang.Double]()
+    var maxLen = 1
+    var modelType: Option[String] = None
+    val r = new ProtoReader(bytes, 0, bytes.length)
+    var sawPiece = false
+    while (r.hasMore) {
+      val (field, wire) = r.tag()
+      (field, wire) match {
+        case (1, 2) => // one SentencePiece message
+          val (s, e) = r.lenDelimited()
+          val pr = new ProtoReader(bytes, s, e)
+          var piece: String = null
+          var score = 0.0
+          var tpe = 1 // NORMAL is the proto default
+          while (pr.hasMore) {
+            val (f, w) = pr.tag()
+            (f, w) match {
+              case (1, 2) =>
+                val (ps, pe) = pr.lenDelimited()
+                piece = new String(bytes, ps, pe - ps,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              case (2, 5) => score = pr.float32().toDouble
+              case (3, 0) => tpe = pr.varint().toInt
+              case (_, w2) => pr.skip(w2)
+            }
+          }
+          sawPiece = true
+          if (piece != null && piece.nonEmpty &&
+              tpe != 2 && tpe != 3 && tpe != 5 && tpe != 6) {
+            m.put(piece, score)
+            maxLen = math.max(maxLen,
+              piece.codePointCount(0, piece.length))
+          }
+        case (2, 2) => // TrainerSpec
+          val (s, e) = r.lenDelimited()
+          val tr = new ProtoReader(bytes, s, e)
+          while (tr.hasMore) {
+            val (f, w) = tr.tag()
+            if (f == 3 && w == 0) modelType = tr.varint().toInt match {
+              case 1 => Some("unigram")
+              case 2 => Some("bpe")
+              case 3 => Some("word")
+              case 4 => Some("char")
+              case _ => None
+            } else tr.skip(w)
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    if (!sawPiece) r.fail("no pieces — not a SentencePiece ModelProto")
+    new SentencePieceTable(m, maxLen, modelType)
   }
 
   def fromResource(path: String): Option[SentencePieceTable] = {

@@ -194,18 +194,34 @@ object Filters {
         // that produced them. Absent, the shipped-model path is
         // byte-identical to before.
         args.get("lm_path").map(_.toString) match {
-          case Some(lm) => graft.scoring.Perplexity.filterWith(
-            lm, args.get("pieces_path").map(_.toString),
-            d("min_perplexity_threshold", 300),
-            d("max_perplexity_threshold", 3000),
-            // lm_segment: greedy (default, the oracle-pinned mode) or
-            // viterbi (unigram-SP-faithful, score-maximizing)
-            viterbi = s("lm_segment", "greedy") match {
-              case "greedy" => false
-              case "viterbi" => true
-              case other => sys.error(
-                s"lm_segment must be greedy or viterbi, got: $other")
-            })
+          case Some(lm) =>
+            val piecesPath = args.get("pieces_path").map(_.toString)
+            // lm_segment: greedy (the oracle-pinned default for text
+            // vocab exports), viterbi (unigram-SP-faithful), or bpe
+            // (merge-rank, r17 — BPE-type models). When the arg is
+            // ABSENT and pieces_path is a binary .model, the default is
+            // the model's OWN algorithm (trainer_spec.model_type —
+            // what the reference's sp.load(model) does): unigram →
+            // viterbi, bpe → bpe. Explicit lm_segment always wins.
+            val segMode = args.get("lm_segment").map(_.toString) match {
+              case Some(m @ ("greedy" | "viterbi" | "bpe")) => m
+              case Some(other) => sys.error(
+                s"lm_segment must be greedy, viterbi or bpe, got: $other")
+              case None =>
+                piecesPath
+                  .flatMap(p =>
+                    graft.scoring.SentencePieceTable.fromFileAuto(p)
+                      .modelType)
+                  .collect {
+                    case "unigram" => "viterbi"
+                    case "bpe" => "bpe"
+                  }.getOrElse("greedy")
+            }
+            graft.scoring.Perplexity.filterWith(
+              lm, piecesPath,
+              d("min_perplexity_threshold", 300),
+              d("max_perplexity_threshold", 3000),
+              segMode = segMode)
           case None =>
             // pieces_path / lm_segment without lm_path would silently
             // score with the compiled-in word model — a completely

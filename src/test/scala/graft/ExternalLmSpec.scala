@@ -137,7 +137,8 @@ class ExternalLmSpec extends AnyFunSuite {
     assert(orphan.getMessage.contains("requires lm_path"))
     // the two modes are distinct scorers over the shipped pair
     val gScorer = ExternalLm.fromFiles(lm, Some(pieces))
-    val vScorer = ExternalLm.fromFiles(lm, Some(pieces), viterbi = true)
+    val vScorer = ExternalLm.fromFiles(lm, Some(pieces),
+      segMode = "viterbi")
     val doc = "this is a simple test sentence with common words"
     assert(gScorer.score(doc) > 0 && vScorer.score(doc) > 0)
   }
@@ -270,5 +271,223 @@ class ExternalLmSpec extends AnyFunSuite {
       "doc_id", exact = true, scorer = f.score)
       .select("bucket").collect().map(_.getString(0)).toSet
     assert(buckets === Set("head", "middle", "tail"))
+
+    // r17: binary .model ingestion end-to-end through the CONFIG path —
+    // serialize the shipped text table into a ModelProto with
+    // trainer_spec.model_type=UNIGRAM, point pieces_path at it with NO
+    // lm_segment, and the default must be the model's own algorithm
+    // (viterbi), scoring identically to the explicit viterbi text-table
+    // filter
+    val shippedTable = graft.scoring.SentencePieceTable.fromFile(pieces)
+    val modelFile = tmp.resolve("pieces.sp.model")
+    java.nio.file.Files.write(modelFile, SpProtoBuilder.model(
+      shippedTable.rows.map { case (p, _, s) => (p, s.toFloat, 1) },
+      modelType = Some(1)))
+    val fBin = graft.text.Filters.fromConfig("check_perplexity",
+      Map("lm_path" -> lm, "pieces_path" -> modelFile.toString,
+        "min_perplexity_threshold" -> 1, "max_perplexity_threshold" -> 50))
+    val binScores = docs
+      .select(fBin.score(org.apache.spark.sql.functions.col("text"))
+        .as("s")).collect().map(_.getDouble(0)).toSeq
+    val vit = ExternalLm.fromFiles(lm, Some(pieces), segMode = "viterbi")
+    assert(binScores === Seq(
+      vit.score("this is a simple test sentence with common words"),
+      vit.score("zq xv jk qqq wxy zzz plgh")),
+      ".model ingestion must default to the proto's own model_type " +
+        "(unigram → viterbi)")
+  }
+
+  // --- r17: binary ModelProto ingestion (VERDICT r16 #1) ---
+
+  /** Hand-rolled protobuf wire-format writer — the test builds a tiny
+    * ModelProto byte-for-byte so the parser is pinned against the PUBLIC
+    * format (sentencepiece_model.proto), not against itself.
+    */
+  object SpProtoBuilder {
+    def varint(v: Long): Array[Byte] = {
+      var x = v
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((x & ~0x7fL) != 0) {
+        out += ((x & 0x7f) | 0x80).toByte; x >>>= 7
+      }
+      out += (x & 0x7f).toByte
+      out.toArray
+    }
+    def lenField(field: Int, payload: Array[Byte]): Array[Byte] =
+      varint((field << 3) | 2) ++ varint(payload.length) ++ payload
+    def strField(field: Int, s: String): Array[Byte] =
+      lenField(field, s.getBytes("UTF-8"))
+    def floatField(field: Int, f: Float): Array[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(f)
+      varint((field << 3) | 5) ++ Array(
+        (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+        ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte)
+    }
+    def enumField(field: Int, v: Int): Array[Byte] =
+      varint((field << 3) | 0) ++ varint(v)
+    /** (piece, score, type); type < 0 omits the field (proto default
+      * NORMAL=1).
+      */
+    def model(pieces: Seq[(String, Float, Int)],
+        modelType: Option[Int]): Array[Byte] = {
+      val pieceMsgs = pieces.flatMap { case (p, sc, t) =>
+        lenField(1, strField(1, p) ++ floatField(2, sc) ++
+          (if (t >= 0) enumField(3, t) else Array.empty[Byte]))
+      }.toArray
+      val trainer = modelType.map { mt =>
+        // field 1 (input, string) included so the parser exercises its
+        // skip path; field 3 is model_type
+        lenField(2, strField(1, "corpus.txt") ++ enumField(3, mt))
+      }.getOrElse(Array.empty[Byte])
+      pieceMsgs ++ trainer
+    }
+  }
+
+  test("ModelProto round-trip: an in-test hand-built .model parses to " +
+      "the text-table twin — scores, maxPieceLen, segmentation, " +
+      "model_type; control/unknown/byte pieces excluded from matching") {
+    val proto = SpProtoBuilder.model(Seq(
+      ("<unk>", 0f, 2),         // UNKNOWN — excluded
+      ("<s>", 0f, 3),           // CONTROL — excluded
+      ("</s>", 0f, 3),          // CONTROL — excluded
+      ("<0x41>", -20f, 6),      // BYTE fallback — excluded
+      ("▁the", -1.0f, -1),      // type field absent → NORMAL default
+      ("▁th", -1.5f, 1),
+      ("▁t", -2.0f, 1),
+      ("he", -2.2f, 1),
+      ("re", -2.5f, 1),
+      ("▁he", -2.1f, 4)),       // USER_DEFINED — included
+      modelType = Some(1))
+    val t = graft.scoring.SentencePieceTable.fromModelBytes(proto)
+    val twin = table("▁the" -> -1.0, "▁th" -> -1.5, "▁t" -> -2.0,
+      "he" -> -2.2, "re" -> -2.5, "▁he" -> -2.1)
+    assert(t.modelType === Some("unigram"))
+    assert(t.size === twin.size)
+    assert(t.maxPieceLen === twin.maxPieceLen)
+    assert(!t.contains("<s>") && !t.contains("<unk>") &&
+      !t.contains("<0x41>"),
+      "control/unknown/byte pieces must not match raw text")
+    assert(t.score("▁the") === Some(-1.0))
+    assert(t.segmentLine("the here") === twin.segmentLine("the here"))
+    assert(t.segmentViterbi("the here") === twin.segmentViterbi("the here"))
+    // a literal "<s>" in user text segments as codepoints, not as the
+    // control piece
+    assert(!t.segmentLine("<s>").contains("<s>") ||
+      t.segmentLine("<s>").forall(p => p.codePointCount(0, p.length) == 1))
+  }
+
+  test("fromFileAuto sniffs format: proto bytes → binary parse, text " +
+      "vocab → text parse, text starting with a blank line still text") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sp_sniff")
+    val proto = SpProtoBuilder.model(
+      Seq(("▁ab", -1.0f, 1), ("cd", -2.0f, 1)), modelType = Some(2))
+    val pModel = tmp.resolve("t.sp.model")
+    java.nio.file.Files.write(pModel, proto)
+    val bin = graft.scoring.SentencePieceTable.fromFileAuto(pModel.toString)
+    assert(bin.modelType === Some("bpe"))
+    assert(bin.contains("▁ab") && bin.contains("cd"))
+
+    val pText = tmp.resolve("t.vocab")
+    java.nio.file.Files.write(pText, "▁ab\t-1.0\ncd\t-2.0\n".getBytes("UTF-8"))
+    val txt = graft.scoring.SentencePieceTable.fromFileAuto(pText.toString)
+    assert(txt.modelType === None)
+    assert(txt.score("▁ab") === Some(-1.0))
+
+    // hostile: a text export with a leading blank line starts with the
+    // proto magic byte 0x0A — the failed proto walk must fall back
+    val pBlank = tmp.resolve("blank.vocab")
+    java.nio.file.Files.write(pBlank, "\n▁ab\t-1.0\n".getBytes("UTF-8"))
+    val blank = graft.scoring.SentencePieceTable.fromFileAuto(pBlank.toString)
+    assert(blank.score("▁ab") === Some(-1.0))
+  }
+
+  // --- r17: BPE merge-rank segmentation (VERDICT r16 #2) ---
+
+  test("BPE segmentation golden (hand-derived, Sennrich-style): merges " +
+      "apply lowest-rank-first and differ from greedy longest-match") {
+    // scores are negated merge ranks: lo(-1), low(-2), er(-3), ▁low(-4);
+    // ▁lowe(-0.5) is reachable by greedy's longest match but NOT by BPE
+    // (no merge chain builds it)
+    val t = table("▁lowe" -> -0.5, "lo" -> -1.0, "low" -> -2.0,
+      "er" -> -3.0, "▁low" -> -4.0)
+    // hand-derivation for "lower" → marked ▁lower:
+    //   ▁ l o w e r  --lo-->  ▁ lo w e r  --low-->  ▁ low e r
+    //   --er-->  ▁ low er  --▁low-->  ▁low er   (no further merges)
+    assert(t.segmentBpe("lower") === Seq("▁low", "er"))
+    // greedy grabs the longest piece instead and falls back on 'r'
+    assert(t.segmentLine("lower") === Seq("▁lowe", "r"))
+  }
+
+  test("BPE merges all non-overlapping occurrences L→R and never " +
+      "crosses word boundaries; concatenation invariant holds") {
+    val t = table("aa" -> -1.0, "▁x" -> -2.0)
+    // ▁ a a a: merge aa at the leftmost position only once (the third a
+    // has no partner), ▁ stays unmerged (▁a not in vocab)
+    assert(t.segmentBpe("aaa") === Seq("▁", "aa", "a"))
+    // two words: pieces never span the ▁ boundary between them
+    assert(t.segmentBpe("x x") === Seq("▁x", "▁x"))
+    // concatenation invariant (same contract as greedy/viterbi)
+    val rnd = new scala.util.Random(3)
+    (1 to 100).foreach { _ =>
+      val line = Seq.fill(rnd.nextInt(25))(
+        "abcde ".charAt(rnd.nextInt(6))).mkString
+      val pieces = Seq.fill(rnd.nextInt(20) + 1) {
+        val len = rnd.nextInt(4) + 1
+        Seq.fill(len)("abcde▁".charAt(rnd.nextInt(6))).mkString ->
+          -(rnd.nextInt(200) / 10.0 + 0.1)
+      }
+      val tt = table(pieces: _*)
+      val b = tt.segmentBpe(line)
+      val expected = if (line.isEmpty) "" else "▁" + line.replace(' ', '▁')
+      assert(b.mkString === expected, s"line='$line' bpe=$b")
+    }
+  }
+
+  test("lm_segment: bpe routes through config and segment(mode) " +
+      "dispatches all three modes") {
+    val t = table("▁ab" -> -1.0, "ab" -> -2.0)
+    assert(t.segment("ab", "greedy") === t.segmentLine("ab"))
+    assert(t.segment("ab", "viterbi") === t.segmentViterbi("ab"))
+    assert(t.segment("ab", "bpe") === t.segmentBpe("ab"))
+    val bad = intercept[IllegalArgumentException] {
+      t.segment("ab", "bppe")
+    }
+    assert(bad.getMessage.contains("lm_segment"))
+  }
+
+  // --- r17: whole-doc pieces-path semantics (ADVICE r16 medium) ---
+
+  test("pieces path scores the WHOLE doc as one chain: \\n removed " +
+      "(lines concatenate, no space), whitespace collapsed, single +1 " +
+      "— the reference's exact get_perplexity shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_extlm_ml")
+    def dump(res: String, name: String): String = {
+      val in = getClass.getClassLoader.getResourceAsStream(res)
+      val p = tmp.resolve(name)
+      java.nio.file.Files.copy(in, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      in.close()
+      p.toString
+    }
+    val scorer = ExternalLm.fromFiles(
+      dump("graft/graft-en-sp.arpa", "model.arpa"),
+      Some(dump("graft/graft-en.pieces", "pieces.vocab")))
+    // kenlm_model.py:71-73: \n is in non_printing_chars_re — normalize
+    // DELETES it, so "bar\nbaz" becomes the single word "barbaz"
+    assert(scorer.score("foo bar\nbaz qux") ===
+      scorer.score("foo barbaz qux"))
+    // SP default remove_extra_whitespaces: space runs collapse
+    assert(scorer.score("foo  bar") === scorer.score("foo bar"))
+    // single +1 over the whole stream: replay the chain by hand
+    val doc = "this is\na test"
+    val norm = graft.scoring.CcNetNormalizer.normalize(doc)
+    val oneLine = norm.replace("\n", "").replaceAll("  +", " ").trim
+    val toks = scorer.pieces.get.segment(oneLine, scorer.segMode)
+    val expected = math.rint(math.pow(10.0,
+      -scorer.model.scoreTokens(toks.iterator) / (toks.length + 1L))
+      * 10.0) / 10.0
+    assert(scorer.score(doc) === expected)
+    // the per-line ArpaScorer-compat contract is UNCHANGED for
+    // pieces=None (the degenerate-superset spec above pins it)
   }
 }
