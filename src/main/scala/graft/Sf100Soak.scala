@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{DedupMetrics, MinHashConfig, MinHashDedup}
+
+/** sf100 soak (VERDICT r16 #8 — the last decade the sandbox can hold):
+  * ~5M documents / ~150M orders, one more decade above the r16 sf10 run.
+  * Generates the two tables the targets read (documents for the dedup
+  * family, orders for the flagship's synthetic conversations), then
+  * times
+  *   1. the FLAGSHIP chat pipeline end-to-end,
+  *   2. one full `dedup_minhash`-shaped clustering pass (default
+  *      routing — reporting which clustering branch DedupMetrics says
+  *      actually ran, and that bounded guards routed, at 1000× the
+  *      bench corpus),
+  *   3. one store-increment night (nightly store build reported
+  *      separately, then the |delta|-bound increment).
+  *
+  * Generation is the SCALABLE shape — a crossJoin with
+  * `spark.range(factor)` (one broadcast nested loop over a 1000-row
+  * range, no 1000-branch union plan like ScaleGen's `copies`, whose
+  * analysis cost grows with the factor): per-copy key offsets keep join
+  * consistency, per-copy text suffixes make near- (never exact-)
+  * duplicates, so every row genuinely reaches banding and cluster sizes
+  * grow with the factor — dedup's worst-scaling dimension.
+  *
+  * Usage: runMain graft.Sf100Soak [srcDir] [destDir] [factor]
+  * Set SPARK_GRAFT_SF100_REUSE=1 to skip generation when destDir is
+  * already populated. Prints one JSON line with all wall times.
+  */
+object Sf100Soak {
+
+  private val DocStride = 1_000_000L
+  private val KeyStride = 10_000_000L
+  private val CustStride = 1_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dest = if (args.length > 1) args(1) else "/tmp/graft_sf100"
+    val factor = if (args.length > 2) args(2).toInt else 1000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val reuse = sys.env.get("SPARK_GRAFT_SF100_REUSE").contains("1") &&
+      new java.io.File(s"$dest/documents.parquet").exists()
+    val genSec = if (reuse) 0.0 else {
+      val (_, g) = timed {
+        val copies = spark.range(factor).toDF("copy")
+        spark.read.parquet(s"$src/documents.parquet")
+          .crossJoin(copies)
+          .withColumn("doc_id", col("doc_id") + col("copy") * DocStride)
+          .withColumn("text", when(col("copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" variant"), col("copy"))))
+          .drop("copy")
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+        spark.read.parquet(s"$src/orders.parquet")
+          .crossJoin(copies)
+          .withColumn("o_orderkey", col("o_orderkey") +
+            col("copy") * KeyStride)
+          .withColumn("o_custkey", col("o_custkey") +
+            col("copy") * CustStride)
+          .drop("copy")
+          .repartition(64)
+          .write.mode("overwrite").parquet(s"$dest/orders.parquet")
+      }
+      g
+    }
+    val docs = spark.read.parquet(s"$dest/documents.parquet")
+    val nDocs = docs.count()
+    val nOrders = spark.read.parquet(s"$dest/orders.parquet").count()
+    System.err.println(
+      f"[sf100] generated docs=$nDocs orders=$nOrders in $genSec%.1fs " +
+        s"(reuse=$reuse)")
+
+    // 1. flagship — the full chat pipeline over 1000× the bench orders
+    val (flagRows, flagSec) = timed {
+      graft.chat.ChatPipeline.flagship(spark, dest).count()
+    }
+    System.err.println(f"[sf100] flagship rows=$flagRows in $flagSec%.1fs")
+    spark.catalog.clearCache()
+    graft.dedup.MinHash.clearPermCache()
+    System.gc()
+
+    // 2. dedup_minhash shape (the bench query's config) at 5M docs with
+    //    DEFAULT routing — record which clustering branch actually ran
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val distBefore = DedupMetrics.distributedPath.get
+    val (dedupKept, dedupSec) = timed {
+      MinHashDedup.deduplicate(
+        docs.select(col("doc_id"), col("text")), "text", cfg,
+        orderCol = Some("doc_id")).count()
+    }
+    val distFired = DedupMetrics.distributedPath.get > distBefore
+    System.err.println(f"[sf100] dedup_minhash kept=$dedupKept in " +
+      f"$dedupSec%.1fs distributedBranch=$distFired " +
+      s"(${DedupMetrics.snapshot})")
+    spark.catalog.clearCache()
+    graft.dedup.MinHash.clearPermCache()
+    System.gc()
+
+    // 3. store-increment night: retained corpus = ≢0 mod 11 slice,
+    //    increment = the ≡0 slice (the IncrBench split, one decade up)
+    val inc = docs.where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text"))
+    val ref = docs.where(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val (store, buildSec) = timed {
+      MinHashDedup.exportBandedStore(ref, "text",
+        "/tmp/graft_sf100_store", cfg, orderCol = Some("doc_id"))
+    }
+    spark.catalog.clearCache()
+    graft.dedup.MinHash.clearPermCache()
+    System.gc()
+    val (incKept, incSec) = timed {
+      MinHashDedup.deduplicateAgainstStore(inc, store, "text", cfg,
+        orderCol = Some("doc_id")).count()
+    }
+    System.err.println(f"[sf100] store build $buildSec%.1fs, " +
+      f"increment kept=$incKept in $incSec%.1fs")
+
+    println(f"""{"metric":"sf100_soak","docs":$nDocs,"orders":$nOrders,""" +
+      f""""factor":$factor,"gen_sec":$genSec%.1f,""" +
+      f""""flagship_rows":$flagRows,"flagship_sec":$flagSec%.1f,""" +
+      f""""dedup_kept":$dedupKept,"dedup_sec":$dedupSec%.1f,""" +
+      f""""distributed_branch":$distFired,""" +
+      f""""store_build_sec":$buildSec%.1f,""" +
+      f""""incr_kept":$incKept,"incr_sec":$incSec%.1f""" + "}")
+    spark.stop()
+  }
+}
