@@ -37,6 +37,7 @@ object QueriesExtra11 {
   private val PiecesRes = "graft/graft-en.pieces"
 
   @volatile private var extLmScorer: ExternalLmScorer = null
+  @volatile private var extLmBinScorer: ExternalLmScorer = null
 
   /** Concurrent-JVM-safe resource dump (VERDICT r16 "what's wrong" #3):
     * two verify/bench JVMs racing a plain REPLACE_EXISTING copy could
@@ -90,6 +91,23 @@ object QueriesExtra11 {
         resourceToFile(PiecesRes, s"$ExtLmDir/pieces.vocab")
         val scorer = ExternalLm.fromFiles(s"$ExtLmDir/model.arpa",
           Some(s"$ExtLmDir/pieces.vocab"))
+        // r17: compile the text ARPA to graft's binary `.glm` (same
+        // atomic-move discipline as the flat files) and build a SECOND
+        // scorer whose LM half loads through the PackedLm path — the
+        // f2_external_lm_bin oracle proves the compiled representation
+        // answers the full document chain hash-identically.
+        locally {
+          val glm = java.nio.file.Paths.get(s"$ExtLmDir/model.glm")
+          val tmpGlm = glm.resolveSibling(
+            s".model.glm.${java.lang.ProcessHandle.current.pid}.tmp")
+          graft.scoring.PackedLm.compileFile(s"$ExtLmDir/model.arpa",
+            tmpGlm.toString)
+          java.nio.file.Files.move(tmpGlm, glm,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        extLmBinScorer = ExternalLm.fromFiles(s"$ExtLmDir/model.glm",
+          Some(s"$ExtLmDir/pieces.vocab"))
         import s.implicits._
         val m = scorer.model
         m.uniRows.toDF("w", "p", "bo")
@@ -125,6 +143,15 @@ object QueriesExtra11 {
     scorer.score(if (t == null) "" else t)
   }
 
+  private val scoreBinUdf = udf { (t: String) =>
+    val s = extLmBinScorer
+    val scorer =
+      if (s != null) s
+      else graft.scoring.ExternalLm.cached(s"$ExtLmDir/model.glm",
+        Some(s"$ExtLmDir/pieces.vocab"))
+    scorer.score(if (t == null) "" else t)
+  }
+
   val f2External: QueryDef = QueryDef("f2_external_lm",
     (s, dir) => {
       ensureExternalLm(s)
@@ -153,6 +180,25 @@ object QueriesExtra11 {
         .orderBy("doc_id")
     },
     Some(replaySql("text || chr(10) || text || chr(10) || 'x  y z'")))
+
+  /** r17: the same documents scored through the COMPILED `.glm` LM
+    * (the `build_binary` analogue — PackedLm.scala's header): the text
+    * ARPA is compiled to graft's binary format, loaded back through the
+    * sniffing `ExternalLm.fromFiles` path (exactly what `lm_path:
+    * model.glm` in a YAML config does), and every document must land on
+    * the identical 1-dp perplexity — the oracle is the SAME independent
+    * DuckDB replay as f2_external_lm, so a hash match certifies the
+    * packed id-chained lookup chain end-to-end on real data, not just
+    * in-JVM parity (PackedLmSpec covers that bit-exactly).
+    */
+  val f2ExternalBin: QueryDef = QueryDef("f2_external_lm_bin",
+    (s, dir) => {
+      ensureExternalLm(s)
+      Queries.table(s, dir, "documents")
+        .select(col("doc_id"), scoreBinUdf(col("text")).as("ext_lm_ppl"))
+        .orderBy("doc_id")
+    },
+    Some(replaySql("text")))
 
   /** The full DuckDB replay over an arbitrary raw-document SQL
     * expression (shared by the single-line and multi-line oracles).
@@ -251,5 +297,6 @@ object QueriesExtra11 {
         "ext_lm_ppl FROM res ORDER BY doc_id"
   }
 
-  val all: Seq[QueryDef] = Seq(f2External, f2ExternalMultiline)
+  val all: Seq[QueryDef] = Seq(f2External, f2ExternalMultiline,
+    f2ExternalBin)
 }

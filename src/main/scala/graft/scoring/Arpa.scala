@@ -30,7 +30,7 @@ final class ArpaModel(
     biBackoffLog: JHashMap[String, java.lang.Double],
     triLog: JHashMap[String, java.lang.Double],
     triBackoffLog: JHashMap[String, java.lang.Double],
-    quadLog: JHashMap[String, java.lang.Double]) extends Serializable {
+    quadLog: JHashMap[String, java.lang.Double]) extends LmModel {
 
   val Unk = "<unk>"
   val Bos = "<s>"
@@ -193,7 +193,10 @@ object ArpaModel {
     * reference scores with a downloaded KenLM model,
     * kenlm_model.py:18-29 — until r16 nothing could load a model that
     * wasn't compiled into the jar). Standard text ARPA only; a
-    * kenlm-binary `.arpa.bin` must be dumped back to text first.
+    * kenlm-binary `.arpa.bin` must be dumped back to text first. For
+    * fast repeated loads compile the text once to graft's own `.glm`
+    * ([[CompileLm]]) and point `lm_path` at that instead —
+    * [[ExternalLm.loadModel]] sniffs the format.
     */
   def fromFile(path: String): ArpaModel = {
     val src = scala.io.Source.fromFile(path, "UTF-8")

@@ -1,0 +1,523 @@
+package graft.scoring
+
+import java.util.{Arrays => JArrays, HashMap => JHashMap}
+
+/** Common query surface of the two ARPA-backed LM representations —
+  * [[ArpaModel]] (string-keyed hash maps, built straight from text) and
+  * [[PackedLm]] (id-chained sorted arrays compiled to/from the binary
+  * `.glm` format). Both run the identical KenLM-style backoff chain and
+  * are proven BIT-equal on every query (PackedLmSpec fuzz + the
+  * `f2_external_lm_bin` oracle).
+  */
+trait LmModel extends Serializable {
+  def vocabSize: Int
+  def bigramCount: Int
+  def trigramCount: Int
+  def quadgramCount: Int
+
+  /** KenLM `model.score(line)`: total log10 probability of the
+    * whitespace-tokenized line, `<s>` context, `</s>` included.
+    */
+  def score(line: String): Double
+
+  /** [[score]] over an explicit token sequence — the seam the
+    * external-LM path uses to feed SentencePiece-segmented pieces
+    * through the backoff chain.
+    */
+  def scoreTokens(tokens: Iterator[String]): Double
+
+  /** Table dumps (gram → prob, gram → optional backoff) for exporting
+    * the model AS DATA — the correctness oracles materialize these to
+    * parquet and replay the backoff arithmetic in SQL.
+    */
+  private[graft] def uniRows: Seq[(String, Double, Option[Double])]
+  private[graft] def biRows: Seq[(String, Double, Option[Double])]
+  private[graft] def triRows: Seq[(String, Double, Option[Double])]
+  private[graft] def quadRows: Seq[(String, Double)]
+}
+
+/** Compiled n-gram LM: the graft-native analogue of KenLM's
+  * `build_binary` step (the reference runs its models as compiled
+  * binaries, chat_data_pipeline/kenlm_model.py:186-194 — because
+  * re-parsing a multi-GB text ARPA on EVERY executor JVM is the real
+  * cost at cluster scale). This is graft's OWN format (`.glm`), not a
+  * KenLM-binary reader: the KenLM mmap layout has no ground-truth
+  * artifact in this sandbox to verify bit-level fidelity against, so
+  * per the oracle-or-retract discipline `lm_path` keeps requiring the
+  * text ARPA as the interchange form — but a user compiles it ONCE with
+  * [[CompileLm]] and every executor afterwards loads the `.glm` in
+  * milliseconds instead of parsing text for seconds (numbers in
+  * PERF.md).
+  *
+  * Layout (all heap arrays, loaded with three bulk ByteBuffer reads per
+  * order):
+  *   - `words(id)` — real unigrams first (sorted), then "structural"
+  *     words that appear only inside higher-order grams (prob = NaN
+  *     sentinel = not a vocab word; OOV-maps to `<unk>` exactly like
+  *     [[ArpaModel]]'s containsKey test).
+  *   - order k entries keyed by `prefixEntryIdx << 32 | wordId`, sorted,
+  *     binary-searched — the classic trie chaining, so a 4-gram lookup
+  *     is ≤3 binary searches and ZERO allocation (the hash-map model
+  *     allocates a concatenated string key per probe). Structural
+  *     prefix entries (NaN prob, 0.0 backoff) are inserted where a
+  *     pruned ARPA lists an n-gram without its (n−1)-gram prefix; the
+  *     NaN prob makes them invisible to probability lookups while still
+  *     chaining, which is exactly the text model's semantics (missing
+  *     map key → back off with weight 0).
+  *
+  * Memory: 8 B key + 8 B prob (+8 B backoff) per gram vs ≳100 B per
+  * JHashMap entry with a materialized string key — ~5× smaller resident
+  * model per executor. Probs/backoffs stay Double (not Float) so every
+  * query is bit-identical to the text path and the 1-dp document
+  * perplexity can never round differently.
+  */
+final class PackedLm private[scoring] (
+    private[scoring] val words: Array[String],
+    private[scoring] val uniProb: Array[Double],
+    private[scoring] val uniBo: Array[Double],
+    private[scoring] val biKey: Array[Long],
+    private[scoring] val biProb: Array[Double],
+    private[scoring] val biBo: Array[Double],
+    private[scoring] val triKey: Array[Long],
+    private[scoring] val triProb: Array[Double],
+    private[scoring] val triBo: Array[Double],
+    private[scoring] val quadKey: Array[Long],
+    private[scoring] val quadProb: Array[Double]) extends LmModel {
+  import PackedLm.{NoCtx, key}
+
+  val Unk = "<unk>"
+  val Bos = "<s>"
+  val Eos = "</s>"
+
+  @transient private lazy val vocabIdx: JHashMap[String, Integer] = {
+    val m = new JHashMap[String, Integer](words.length * 2)
+    var i = 0
+    while (i < words.length) { m.put(words(i), i); i += 1 }
+    m
+  }
+  @transient private lazy val unkId: Int = {
+    val i = idOf(Unk)
+    if (i >= 0 && !java.lang.Double.isNaN(uniProb(i))) i else -1
+  }
+
+  private def countReal(p: Array[Double]): Int = {
+    var n = 0; var i = 0
+    while (i < p.length) { if (!java.lang.Double.isNaN(p(i))) n += 1; i += 1 }
+    n
+  }
+  def vocabSize: Int = countReal(uniProb)
+  def bigramCount: Int = countReal(biProb)
+  def trigramCount: Int = countReal(triProb)
+  def quadgramCount: Int = quadProb.length
+  /** Physical entry counts including structural chain-only fillers. */
+  private[graft] def packedCounts: (Int, Int, Int, Int) =
+    (words.length, biKey.length, triKey.length, quadKey.length)
+
+  private def idOf(w: String): Int = {
+    val v = vocabIdx.get(w)
+    if (v == null) -1 else v.intValue
+  }
+
+  /** Vocab-map a token: real unigram keeps its id, anything else (absent
+    * OR structural) becomes `<unk>` — [[ArpaModel]]'s `containsKey`
+    * check exactly.
+    */
+  private def mapped(w: String): Int = {
+    val i = idOf(w)
+    if (i >= 0 && !java.lang.Double.isNaN(uniProb(i))) i
+    else if (unkId >= 0) unkId
+    else throw new IllegalStateException(
+      s"OOV token '$w' but the model has no <unk> unigram")
+  }
+
+  // Context ids: >= 0 real entry; -1 "word string not in the model" (all
+  // lookups miss, like a text-path string that hits no map key); NoCtx
+  // (-2) "history shorter than this order" (dispatch to the lower order,
+  // = ArpaModel's null history argument).
+
+  private def lp1(h1: Int, w: Int): Double = {
+    var p = Double.NaN
+    if (h1 >= 0) {
+      val i = JArrays.binarySearch(biKey, key(h1, w))
+      if (i >= 0) p = biProb(i)
+    }
+    if (!java.lang.Double.isNaN(p)) p
+    else (if (h1 >= 0) uniBo(h1) else 0.0) + uniProb(w)
+  }
+
+  private def lp2(h2: Int, h1: Int, w: Int): Double = {
+    if (h2 == NoCtx) return lp1(h1, w)
+    val ctx =
+      if (h2 >= 0 && h1 >= 0) JArrays.binarySearch(biKey, key(h2, h1))
+      else -1
+    var p = Double.NaN
+    if (ctx >= 0) {
+      val i = JArrays.binarySearch(triKey, key(ctx, w))
+      if (i >= 0) p = triProb(i)
+    }
+    if (!java.lang.Double.isNaN(p)) p
+    else (if (ctx >= 0) biBo(ctx) else 0.0) + lp1(h1, w)
+  }
+
+  private def lp3(h3: Int, h2: Int, h1: Int, w: Int): Double = {
+    if (h3 == NoCtx) return lp2(h2, h1, w)
+    val ctxBi =
+      if (h3 >= 0 && h2 >= 0) JArrays.binarySearch(biKey, key(h3, h2))
+      else -1
+    val ctxTri =
+      if (ctxBi >= 0 && h1 >= 0) JArrays.binarySearch(triKey, key(ctxBi, h1))
+      else -1
+    var p = Double.NaN
+    if (ctxTri >= 0) {
+      val i = JArrays.binarySearch(quadKey, key(ctxTri, w))
+      if (i >= 0) p = quadProb(i)
+    }
+    if (!java.lang.Double.isNaN(p)) p
+    else (if (ctxTri >= 0) triBo(ctxTri) else 0.0) + lp2(h2, h1, w)
+  }
+
+  def score(line: String): Double =
+    scoreTokens(line.split("\\s+").iterator.filter(_.nonEmpty))
+
+  def scoreTokens(tokens: Iterator[String]): Double = {
+    var h3 = NoCtx
+    var h2 = NoCtx
+    var h1 = idOf(Bos) // raw <s>: present-but-structural still chains,
+                       // exactly like the text path's raw string key
+    var sum = 0.0
+    while (tokens.hasNext) {
+      val w = mapped(tokens.next())
+      sum += lp3(h3, h2, h1, w)
+      h3 = h2
+      h2 = h1
+      h1 = w
+    }
+    sum + lp3(h3, h2, h1, mapped(Eos))
+  }
+
+  // --- AS-DATA exports (oracle parity with ArpaModel's row dumps) ---
+  // Backoff is reported only when it is a REAL listed weight; structural
+  // 0.0 fillers are indistinguishable from listed 0.0 in arithmetic but
+  // the exports only ever come from models that round-trip a text ARPA,
+  // where listed-0.0 and missing both replay as coalesce(bo, 0).
+
+  private[graft] def uniRows: Seq[(String, Double, Option[Double])] =
+    words.indices.collect {
+      case i if !java.lang.Double.isNaN(uniProb(i)) =>
+        (words(i), uniProb(i),
+          if (uniBo(i) == 0.0) None else Some(uniBo(i)))
+    }
+  private def gramOf(k: Long, prefix: Int => String): String =
+    prefix((k >>> 32).toInt) + " " + words((k & 0xffffffffL).toInt)
+  private def biGram(i: Int): String =
+    gramOf(biKey(i), j => words(j))
+  private def triGram(i: Int): String =
+    gramOf(triKey(i), biGram)
+  private[graft] def biRows: Seq[(String, Double, Option[Double])] =
+    biKey.indices.collect {
+      case i if !java.lang.Double.isNaN(biProb(i)) =>
+        (biGram(i), biProb(i), if (biBo(i) == 0.0) None else Some(biBo(i)))
+    }
+  private[graft] def triRows: Seq[(String, Double, Option[Double])] =
+    triKey.indices.collect {
+      case i if !java.lang.Double.isNaN(triProb(i)) =>
+        (triGram(i), triProb(i),
+          if (triBo(i) == 0.0) None else Some(triBo(i)))
+    }
+  private[graft] def quadRows: Seq[(String, Double)] =
+    quadKey.indices.map { i =>
+      (gramOf(quadKey(i), triGram), quadProb(i))
+    }
+}
+
+object PackedLm {
+  /** File magic; also the sniff key [[ExternalLm.loadModel]] dispatches
+    * on, so `lm_path: model.glm` in a YAML config Just Works.
+    */
+  val Magic = "GRAFTLM1"
+  private[scoring] val NoCtx = -2
+
+  private[scoring] def key(prefix: Int, w: Int): Long =
+    (prefix.toLong << 32) | (w.toLong & 0xffffffffL)
+
+  /** Compile a parsed text model into the packed representation.
+    * Deterministic: the same ARPA always produces byte-identical output
+    * (real vocab sorted, gram rows processed in sorted order), so a
+    * compiled `.glm` can be content-addressed in a model cache.
+    */
+  def fromArpa(m: ArpaModel): PackedLm = {
+    import scala.collection.mutable
+    val idx = new JHashMap[String, Integer]()
+    val wordsBuf = mutable.ArrayBuffer[String]()
+    val upBuf = mutable.ArrayBuffer[Double]()
+    val uboBuf = mutable.ArrayBuffer[Double]()
+    m.uniRows.sortBy(_._1).foreach { case (w, p, bo) =>
+      val got = idx.get(w)
+      if (got == null) {
+        idx.put(w, wordsBuf.length)
+        wordsBuf += w; upBuf += p; uboBuf += bo.getOrElse(0.0)
+      } else { // duplicate listing: last wins, like JHashMap.put
+        upBuf(got.intValue) = p
+        uboBuf(got.intValue) = bo.getOrElse(0.0)
+      }
+    }
+    def ensureWord(w: String): Int = {
+      val got = idx.get(w)
+      if (got != null) got.intValue
+      else {
+        val i = wordsBuf.length
+        idx.put(w, i)
+        wordsBuf += w; upBuf += Double.NaN; uboBuf += 0.0
+        i
+      }
+    }
+
+    // Pass 1 over the higher orders: finalize the word set and the
+    // bigram ENTRY set (real + structural prefixes) before any chained
+    // key can be computed.
+    val biEntries = new JHashMap[Long, Integer]() // packed(w1,w2) -> buf idx
+    val biKw = mutable.ArrayBuffer[Long]()
+    val biPb = mutable.ArrayBuffer[Double]()
+    val biBb = mutable.ArrayBuffer[Double]()
+    def ensureBi(a: Int, b: Int): Int = {
+      val k = key(a, b)
+      val got = biEntries.get(k)
+      if (got != null) got.intValue
+      else {
+        val i = biKw.length
+        biEntries.put(k, i)
+        biKw += k; biPb += Double.NaN; biBb += 0.0
+        i
+      }
+    }
+    val biSorted = m.biRows.sortBy(_._1)
+    val triSorted = m.triRows.sortBy(_._1)
+    val quadSorted = m.quadRows.sortBy(_._1)
+    biSorted.foreach { case (g, p, bo) =>
+      val sp = g.indexOf(' ')
+      val i = ensureBi(ensureWord(g.substring(0, sp)),
+        ensureWord(g.substring(sp + 1)))
+      biPb(i) = p
+      biBb(i) = bo.getOrElse(0.0)
+    }
+    triSorted.foreach { case (g, _, _) =>
+      val ws = g.split(' ')
+      ensureBi(ensureWord(ws(0)), ensureWord(ws(1)))
+      ensureWord(ws(2))
+      ()
+    }
+    quadSorted.foreach { case (g, _) =>
+      val ws = g.split(' ')
+      ensureBi(ensureWord(ws(0)), ensureWord(ws(1)))
+      ensureWord(ws(2)); ensureWord(ws(3))
+      ()
+    }
+
+    // Sort bigram entries by key; remember each key's FINAL index — that
+    // index is the trigram keys' prefix component.
+    val biOrder = biKw.indices.sortBy(biKw)
+    val biKeyArr = biOrder.map(biKw).toArray
+    val biProbArr = biOrder.map(biPb).toArray
+    val biBoArr = biOrder.map(biBb).toArray
+    val biFinal = new JHashMap[Long, Integer]()
+    biKeyArr.indices.foreach(i => biFinal.put(biKeyArr(i), i))
+    def biIdx(a: Int, b: Int): Int = biFinal.get(key(a, b)).intValue
+
+    // Trigrams: real rows + structural prefixes for the quadgrams.
+    val triEntries = new JHashMap[Long, Integer]()
+    val triKw = mutable.ArrayBuffer[Long]()
+    val triPb = mutable.ArrayBuffer[Double]()
+    val triBb = mutable.ArrayBuffer[Double]()
+    def ensureTri(k: Long): Int = {
+      val got = triEntries.get(k)
+      if (got != null) got.intValue
+      else {
+        val i = triKw.length
+        triEntries.put(k, i)
+        triKw += k; triPb += Double.NaN; triBb += 0.0
+        i
+      }
+    }
+    triSorted.foreach { case (g, p, bo) =>
+      val ws = g.split(' ')
+      val i = ensureTri(key(biIdx(idx.get(ws(0)), idx.get(ws(1))),
+        idx.get(ws(2))))
+      triPb(i) = p
+      triBb(i) = bo.getOrElse(0.0)
+    }
+    quadSorted.foreach { case (g, _) =>
+      val ws = g.split(' ')
+      ensureTri(key(biIdx(idx.get(ws(0)), idx.get(ws(1))), idx.get(ws(2))))
+      ()
+    }
+    val triOrder = triKw.indices.sortBy(triKw)
+    val triKeyArr = triOrder.map(triKw).toArray
+    val triProbArr = triOrder.map(triPb).toArray
+    val triBoArr = triOrder.map(triBb).toArray
+    val triFinal = new JHashMap[Long, Integer]()
+    triKeyArr.indices.foreach(i => triFinal.put(triKeyArr(i), i))
+
+    val quadPairs = quadSorted.map { case (g, p) =>
+      val ws = g.split(' ')
+      val tk = key(biIdx(idx.get(ws(0)), idx.get(ws(1))), idx.get(ws(2)))
+      (key(triFinal.get(tk).intValue, idx.get(ws(3))), p)
+    }.sortBy(_._1)
+    // duplicate quad listings: last wins (text map semantics)
+    val quadDedup = mutable.LinkedHashMap[Long, Double]()
+    quadPairs.foreach { case (k, p) => quadDedup(k) = p }
+
+    new PackedLm(wordsBuf.toArray, upBuf.toArray, uboBuf.toArray,
+      biKeyArr, biProbArr, biBoArr, triKeyArr, triProbArr, triBoArr,
+      quadDedup.keysIterator.toArray, quadDedup.valuesIterator.toArray)
+  }
+
+  /** Serialize to the `.glm` binary layout: magic + version + counts +
+    * vocab strings + per-order bulk arrays, big-endian.
+    */
+  def write(m: PackedLm, path: String): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 1 << 20))
+    try {
+      out.writeBytes(Magic)
+      out.writeInt(1)
+      out.writeInt(m.words.length)
+      out.writeInt(m.biKey.length)
+      out.writeInt(m.triKey.length)
+      out.writeInt(m.quadKey.length)
+      m.words.foreach { w =>
+        val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length)
+        out.write(b)
+      }
+      m.uniProb.foreach(out.writeDouble)
+      m.uniBo.foreach(out.writeDouble)
+      m.biKey.foreach(out.writeLong)
+      m.biProb.foreach(out.writeDouble)
+      m.biBo.foreach(out.writeDouble)
+      m.triKey.foreach(out.writeLong)
+      m.triProb.foreach(out.writeDouble)
+      m.triBo.foreach(out.writeDouble)
+      m.quadKey.foreach(out.writeLong)
+      m.quadProb.foreach(out.writeDouble)
+    } finally out.close()
+  }
+
+  /** Load a `.glm`: one file read + bulk ByteBuffer array copies — no
+    * per-line parsing, no number formatting. (Single-buffer load caps a
+    * model file at 2 GB; beyond that, chunked channel maps per order
+    * would be the extension — a 2 GB `.glm` already holds ~80M grams.)
+    */
+  def read(path: String): PackedLm = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](8)
+    buf.get(magic)
+    require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII)
+      == Magic, s"$path is not a $Magic file")
+    val ver = buf.getInt
+    require(ver == 1, s"unsupported $Magic version $ver")
+    val n1 = buf.getInt
+    val n2 = buf.getInt
+    val n3 = buf.getInt
+    val n4 = buf.getInt
+    val words = new Array[String](n1)
+    var i = 0
+    while (i < n1) {
+      val len = buf.getInt
+      val b = new Array[Byte](len)
+      buf.get(b)
+      words(i) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    def doubles(n: Int): Array[Double] = {
+      val a = new Array[Double](n)
+      buf.asDoubleBuffer().get(a)
+      buf.position(buf.position() + n * 8)
+      a
+    }
+    def longs(n: Int): Array[Long] = {
+      val a = new Array[Long](n)
+      buf.asLongBuffer().get(a)
+      buf.position(buf.position() + n * 8)
+      a
+    }
+    new PackedLm(words, doubles(n1), doubles(n1),
+      longs(n2), doubles(n2), doubles(n2),
+      longs(n3), doubles(n3), doubles(n3),
+      longs(n4), doubles(n4))
+  }
+
+  /** Sniff the first 8 bytes for the `.glm` magic. */
+  def isPacked(path: String): Boolean = {
+    val in = new java.io.FileInputStream(path)
+    try {
+      val head = new Array[Byte](8)
+      val n = in.read(head)
+      n == 8 && new String(head,
+        java.nio.charset.StandardCharsets.US_ASCII) == Magic
+    } finally in.close()
+  }
+
+  /** Compile a text ARPA file straight to a `.glm`. */
+  def compileFile(arpaPath: String, outPath: String): PackedLm = {
+    val packed = fromArpa(ArpaModel.fromFile(arpaPath))
+    write(packed, outPath)
+    packed
+  }
+}
+
+/** `build_binary`-style CLI: compile a text ARPA once, load it
+  * everywhere fast. Prints one JSON line with the parse/compile/load
+  * timings so the speedup is a measured artifact, not a claim.
+  *
+  * Usage: `runMain graft.scoring.CompileLm in.arpa out.glm`
+  */
+object CompileLm {
+  private def settledHeap(): Long = {
+    val rt = Runtime.getRuntime
+    var prev = Long.MaxValue
+    var cur = rt.totalMemory - rt.freeMemory
+    var i = 0
+    while (cur < prev && i < 8) { // GC until the reading stops shrinking
+      prev = cur
+      System.gc()
+      Thread.sleep(50)
+      cur = rt.totalMemory - rt.freeMemory
+      i += 1
+    }
+    cur
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: CompileLm <in.arpa> <out.glm>")
+    val t0 = System.nanoTime
+    val text = ArpaModel.fromFile(args(0))
+    val t1 = System.nanoTime
+    val packed = PackedLm.fromArpa(text)
+    PackedLm.write(packed, args(1))
+    val t2 = System.nanoTime
+    val loaded = PackedLm.read(args(1))
+    val t3 = System.nanoTime
+    val n = loaded.packedCounts
+    // rough retained-heap comparison (GC-settled deltas): what one
+    // executor JVM pays to keep each representation resident
+    val base = settledHeap()
+    var keepText: ArpaModel = ArpaModel.fromFile(args(0))
+    val withText = settledHeap()
+    keepText = null
+    var keepPacked: PackedLm = PackedLm.read(args(1))
+    keepPacked.score("warm the lazy vocab index")
+    val afterSwap = settledHeap()
+    val textMb = (withText - base) / 1e6
+    val packedMb = (afterSwap - base) / 1e6
+    require(keepPacked != null) // keep the reference live through the read
+    println(s"""{"arpa_parse_s":${(t1 - t0) / 1e9},""" +
+      s""""compile_write_s":${(t2 - t1) / 1e9},""" +
+      s""""glm_load_s":${(t3 - t2) / 1e9},""" +
+      s""""text_heap_mb_approx":$textMb,""" +
+      s""""packed_heap_mb_approx":$packedMb,""" +
+      s""""vocab":${loaded.vocabSize},"entries":[${n._1},${n._2},""" +
+      s"""${n._3},${n._4}],"out":"${args(1)}"}""")
+  }
+}

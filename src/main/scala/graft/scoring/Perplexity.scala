@@ -147,7 +147,7 @@ object ArpaScorer extends TextScorer {
   * utils.py:98-106) transfer numerically — the model producing the
   * numbers is the user's own.
   */
-final class ExternalLmScorer(val model: ArpaModel,
+final class ExternalLmScorer(val model: LmModel,
     val pieces: Option[SentencePieceTable],
     val segMode: String = SentencePieceTable.ModeGreedy)
     extends TextScorer {
@@ -179,14 +179,25 @@ final class ExternalLmScorer(val model: ArpaModel,
 }
 
 object ExternalLm {
-  /** Load a scorer from external model files: a text ARPA and
-    * (optionally) a SentencePiece piece table — a `piece\tscore` vocab
-    * export or a binary `.model` (format auto-detected).
+  /** Load the LM half by content sniff: graft's compiled `.glm`
+    * ([[PackedLm]] — text ARPA compiled once with [[CompileLm]], loaded
+    * in milliseconds per executor) or a text ARPA. Both representations
+    * answer every query bit-identically (PackedLmSpec fuzz +
+    * `f2_external_lm_bin` oracle), so which one `lm_path` points at is
+    * purely a load-time/memory choice.
+    */
+  def loadModel(path: String): LmModel =
+    if (PackedLm.isPacked(path)) PackedLm.read(path)
+    else ArpaModel.fromFile(path)
+
+  /** Load a scorer from external model files: a text ARPA or compiled
+    * `.glm` (sniffed), and (optionally) a SentencePiece piece table — a
+    * `piece\tscore` vocab export or a binary `.model` (auto-detected).
     */
   def fromFiles(arpaPath: String,
       piecesPath: Option[String] = None,
       segMode: String = SentencePieceTable.ModeGreedy): ExternalLmScorer =
-    new ExternalLmScorer(ArpaModel.fromFile(arpaPath),
+    new ExternalLmScorer(loadModel(arpaPath),
       piecesPath.map(SentencePieceTable.fromFileAuto), segMode)
 
   /** Per-JVM memoized [[fromFiles]] — the form UDF closures use: they

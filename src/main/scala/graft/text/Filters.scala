@@ -192,7 +192,10 @@ object Filters {
         // model — the reference's own threshold configs (300..10000,
         // utils.py:98-106) transfer numerically against the very model
         // that produced them. Absent, the shipped-model path is
-        // byte-identical to before.
+        // byte-identical to before. r17: lm_path also accepts a
+        // compiled `.glm` (CompileLm — sniffed by magic, loads ~10×
+        // faster and ~5× smaller per executor JVM, bit-identical
+        // scores: f2_external_lm_bin oracle + PackedLmSpec).
         args.get("lm_path").map(_.toString) match {
           case Some(lm) =>
             val piecesPath = args.get("pieces_path").map(_.toString)
