@@ -402,50 +402,68 @@ object PackedLm {
     } finally out.close()
   }
 
-  /** Load a `.glm`: one file read + bulk ByteBuffer array copies — no
-    * per-line parsing, no number formatting. (Single-buffer load caps a
-    * model file at 2 GB; beyond that, chunked channel maps per order
-    * would be the extension — a 2 GB `.glm` already holds ~80M grams.)
+  /** Load a `.glm`: region-mapped channel reads + bulk ByteBuffer array
+    * copies — no per-line parsing, no number formatting, no whole-file
+    * heap copy, and no 2 GB file cap (each ARRAY region maps
+    * independently; a single order maxes out at Int.MaxValue entries =
+    * 16 GB of keys, far past any published LM). The mapped regions are
+    * released with the channel; the returned model owns plain heap
+    * arrays, so tasks never touch the file again.
     */
   def read(path: String): PackedLm = {
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path))
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-    val magic = new Array[Byte](8)
-    buf.get(magic)
-    require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII)
-      == Magic, s"$path is not a $Magic file")
-    val ver = buf.getInt
-    require(ver == 1, s"unsupported $Magic version $ver")
-    val n1 = buf.getInt
-    val n2 = buf.getInt
-    val n3 = buf.getInt
-    val n4 = buf.getInt
-    val words = new Array[String](n1)
-    var i = 0
-    while (i < n1) {
-      val len = buf.getInt
-      val b = new Array[Byte](len)
-      buf.get(b)
-      words(i) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      i += 1
-    }
-    def doubles(n: Int): Array[Double] = {
-      val a = new Array[Double](n)
-      buf.asDoubleBuffer().get(a)
-      buf.position(buf.position() + n * 8)
-      a
-    }
-    def longs(n: Int): Array[Long] = {
-      val a = new Array[Long](n)
-      buf.asLongBuffer().get(a)
-      buf.position(buf.position() + n * 8)
-      a
-    }
-    new PackedLm(words, doubles(n1), doubles(n1),
-      longs(n2), doubles(n2), doubles(n2),
-      longs(n3), doubles(n3), doubles(n3),
-      longs(n4), doubles(n4))
+    val p = java.nio.file.Paths.get(path)
+    // header + variable-length vocab: one buffered sequential pass,
+    // counting bytes so the fixed arrays can be region-mapped after it
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(p), 1 << 20))
+    var n1 = 0; var n2 = 0; var n3 = 0; var n4 = 0
+    var words: Array[String] = null
+    var pos = 0L
+    try {
+      val magic = new Array[Byte](8)
+      in.readFully(magic)
+      require(new String(magic, java.nio.charset.StandardCharsets.US_ASCII)
+        == Magic, s"$path is not a $Magic file")
+      val ver = in.readInt()
+      require(ver == 1, s"unsupported $Magic version $ver")
+      n1 = in.readInt(); n2 = in.readInt(); n3 = in.readInt()
+      n4 = in.readInt()
+      pos = 8L + 4 * 5
+      words = new Array[String](n1)
+      var i = 0
+      while (i < n1) {
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        words(i) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        pos += 4L + len
+        i += 1
+      }
+    } finally in.close()
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      def map(len: Long): java.nio.MappedByteBuffer = {
+        val b = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+          pos, len)
+        pos += len
+        b
+      }
+      def doubles(n: Int): Array[Double] = {
+        val a = new Array[Double](n)
+        map(n.toLong * 8).asDoubleBuffer().get(a)
+        a
+      }
+      def longs(n: Int): Array[Long] = {
+        val a = new Array[Long](n)
+        map(n.toLong * 8).asLongBuffer().get(a)
+        a
+      }
+      new PackedLm(words, doubles(n1), doubles(n1),
+        longs(n2), doubles(n2), doubles(n2),
+        longs(n3), doubles(n3), doubles(n3),
+        longs(n4), doubles(n4))
+    } finally ch.close()
   }
 
   /** Sniff the first 8 bytes for the `.glm` magic. */
@@ -490,12 +508,16 @@ object CompileLm {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: CompileLm <in.arpa> <out.glm>")
+    require(args.length >= 2,
+      "usage: CompileLm <in.arpa> <out.glm> [--reuse]")
+    // --reuse: skip the compile step when out.glm already exists (re-
+    // measure loads without re-paying a multi-minute big-model compile)
+    val reuse = args.length > 2 && args(2) == "--reuse" &&
+      new java.io.File(args(1)).exists()
     val t0 = System.nanoTime
     val text = ArpaModel.fromFile(args(0))
     val t1 = System.nanoTime
-    val packed = PackedLm.fromArpa(text)
-    PackedLm.write(packed, args(1))
+    if (!reuse) PackedLm.write(PackedLm.fromArpa(text), args(1))
     val t2 = System.nanoTime
     val loaded = PackedLm.read(args(1))
     val t3 = System.nanoTime
