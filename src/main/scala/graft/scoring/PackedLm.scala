@@ -371,6 +371,251 @@ object PackedLm {
       quadDedup.keysIterator.toArray, quadDedup.valuesIterator.toArray)
   }
 
+  // --- streaming compiler -------------------------------------------
+  // fromArpa is fully general but pays for the intermediate string-keyed
+  // ArpaModel plus gram-string sorts — measured 544 s / ~6 GB transient
+  // at 34M grams (PERF.md), which extrapolates to "impossible" for a
+  // full cc_net en.arpa (~30 GB text, ~300M grams). compileLines parses
+  // the ARPA text STRAIGHT into id-space primitive buffers: no gram
+  // strings retained, long-key sorts instead of string sorts, memory ~
+  // the packed model itself (plus one transient boxed index array per
+  // order). Requires the \1-grams section before the higher orders (all
+  // real ARPA files; fromArpa remains the any-order fallback).
+
+  private final class GrowL {
+    var a = new Array[Long](1024); var n = 0
+    def +=(v: Long): Unit = {
+      if (n == a.length) a = JArrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def trim: Array[Long] = JArrays.copyOf(a, n)
+  }
+  private final class GrowD {
+    var a = new Array[Double](1024); var n = 0
+    def +=(v: Double): Unit = {
+      if (n == a.length) a = JArrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+  }
+  private final class GrowI {
+    var a = new Array[Int](1024); var n = 0
+    def +=(v: Int): Unit = {
+      if (n == a.length) a = JArrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+  }
+
+  /** Sort entry indices stably by key and collapse duplicate keys
+    * keeping the LAST occurrence (text-map put semantics). Returns the
+    * surviving original indices in final key order.
+    */
+  private def sortLastWins(keys: Array[Long]): Array[Int] = {
+    val idx = new Array[Integer](keys.length)
+    var i = 0
+    while (i < keys.length) { idx(i) = i; i += 1 }
+    JArrays.sort(idx, (x: Integer, y: Integer) =>
+      java.lang.Long.compare(keys(x.intValue), keys(y.intValue)))
+    val out = new GrowI
+    i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length &&
+        keys(idx(j + 1).intValue) == keys(idx(i).intValue)) j += 1
+      out += idx(j).intValue // stable sort → last in run = last in file
+      i = j + 1
+    }
+    JArrays.copyOf(out.a, out.n)
+  }
+
+  /** Compile ARPA text lines straight to a packed model (see the
+    * design note above). Semantics match [[fromArpa]]∘[[ArpaModel.parse]]
+    * bit-for-bit on every query (PackedLmSpec fuzz parity); word ids of
+    * structural-only words may differ, so `.glm` bytes are deterministic
+    * per compiler, not across the two compilers.
+    */
+  def compileLines(lines: Iterator[String]): PackedLm = {
+    import scala.collection.mutable
+    val idx = new JHashMap[String, Integer]()
+    val wordsBuf = mutable.ArrayBuffer[String]()
+    val upBuf = new GrowD
+    val uboBuf = new GrowD
+    // raw \1-grams rows, sorted + id-assigned at section close
+    var uniRaw = mutable.ArrayBuffer[(String, Double, Double)]()
+    var uniDone = false
+    def closeUni(): Unit = if (!uniDone) {
+      uniDone = true
+      // stable sort by word; last duplicate wins
+      val sorted = uniRaw.zipWithIndex
+        .sortBy { case ((w, _, _), i) => (w, i) }
+      var k = 0
+      while (k < sorted.length) {
+        val (w, p, bo) = sorted(k)._1
+        if (k + 1 < sorted.length && sorted(k + 1)._1._1 == w) {
+          // superseded duplicate — skip
+        } else {
+          idx.put(w, wordsBuf.length)
+          wordsBuf += w; upBuf += p; uboBuf += bo
+        }
+        k += 1
+      }
+      uniRaw = null
+    }
+    def ensureWord(w: String): Int = {
+      val got = idx.get(w)
+      if (got != null) got.intValue
+      else {
+        val i = wordsBuf.length
+        idx.put(w, i)
+        wordsBuf += w; upBuf += Double.NaN; uboBuf += 0.0
+        i
+      }
+    }
+    val biKeyRaw = new GrowL; val biP = new GrowD; val biBo = new GrowD
+    val triPre = new GrowL; val triW = new GrowI
+    val triP = new GrowD; val triBo = new GrowD
+    val quadPre = new GrowL; val quadW3 = new GrowI
+    val quadW4 = new GrowI; val quadP = new GrowD
+    var section = 0
+    lines.foreach { raw =>
+      val line = raw.trim
+      if (line == "\\1-grams:") {
+        require(!uniDone, "compileLines needs \\1-grams before higher " +
+          "orders and only once — use ArpaModel.fromFile + fromArpa " +
+          "for exotic section orders")
+        section = 1
+      }
+      else if (line == "\\2-grams:") { closeUni(); section = 2 }
+      else if (line == "\\3-grams:") { closeUni(); section = 3 }
+      else if (line == "\\4-grams:") { closeUni(); section = 4 }
+      else if (line == "\\end\\") { closeUni(); section = 0 }
+      else if (line.nonEmpty && section > 0) {
+        val t1 = line.indexOf('\t')
+        if (t1 >= 0) {
+          val t2 = line.indexOf('\t', t1 + 1)
+          val p = line.substring(0, t1).toDouble
+          val g = if (t2 >= 0) line.substring(t1 + 1, t2)
+                  else line.substring(t1 + 1)
+          val bo = if (t2 >= 0) line.substring(t2 + 1).toDouble else 0.0
+          section match {
+            case 1 => uniRaw += ((g, p, bo))
+            case 2 =>
+              val s1 = g.indexOf(' ')
+              biKeyRaw += key(ensureWord(g.substring(0, s1)),
+                ensureWord(g.substring(s1 + 1)))
+              biP += p; biBo += bo
+            case 3 =>
+              val s1 = g.indexOf(' ')
+              val s2 = g.indexOf(' ', s1 + 1)
+              triPre += key(ensureWord(g.substring(0, s1)),
+                ensureWord(g.substring(s1 + 1, s2)))
+              triW += ensureWord(g.substring(s2 + 1))
+              triP += p; triBo += bo
+            case 4 =>
+              val s1 = g.indexOf(' ')
+              val s2 = g.indexOf(' ', s1 + 1)
+              val s3 = g.indexOf(' ', s2 + 1)
+              quadPre += key(ensureWord(g.substring(0, s1)),
+                ensureWord(g.substring(s1 + 1, s2)))
+              quadW3 += ensureWord(g.substring(s2 + 1, s3))
+              quadW4 += ensureWord(g.substring(s3 + 1))
+              quadP += p
+            case _ =>
+          }
+        }
+      }
+    }
+    closeUni()
+
+    // ---- finalize bigrams: reals + structural prefixes of tri/quad
+    def structuralMisses(realSorted: Array[Long],
+        candidates: Iterator[Long]): Array[Long] = {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new GrowL
+      candidates.foreach { k =>
+        if (JArrays.binarySearch(realSorted, k) < 0 &&
+          seen.add(java.lang.Long.valueOf(k))) out += k
+      }
+      out.trim
+    }
+    val biRealKeys = biKeyRaw.trim
+    val biRealSorted = biRealKeys.clone(); JArrays.sort(biRealSorted)
+    val biStruct = structuralMisses(biRealSorted,
+      (0 until triPre.n).iterator.map(triPre.a) ++
+        (0 until quadPre.n).iterator.map(quadPre.a))
+    val biAllKeys = new Array[Long](biRealKeys.length + biStruct.length)
+    System.arraycopy(biRealKeys, 0, biAllKeys, 0, biRealKeys.length)
+    System.arraycopy(biStruct, 0, biAllKeys, biRealKeys.length,
+      biStruct.length)
+    val biSurvive = sortLastWins(biAllKeys)
+    val biKeyArr = new Array[Long](biSurvive.length)
+    val biProbArr = new Array[Double](biSurvive.length)
+    val biBoArr = new Array[Double](biSurvive.length)
+    var i = 0
+    while (i < biSurvive.length) {
+      val src = biSurvive(i)
+      biKeyArr(i) = biAllKeys(src)
+      if (src < biRealKeys.length) {
+        biProbArr(i) = biP.a(src); biBoArr(i) = biBo.a(src)
+      } else { biProbArr(i) = Double.NaN; biBoArr(i) = 0.0 }
+      i += 1
+    }
+    def biIdxOf(prefix: Long): Int = JArrays.binarySearch(biKeyArr, prefix)
+
+    // ---- trigrams: rekey prefixes to final bigram indices
+    val triRealKeys = new Array[Long](triPre.n)
+    i = 0
+    while (i < triPre.n) {
+      triRealKeys(i) = key(biIdxOf(triPre.a(i)), triW.a(i))
+      i += 1
+    }
+    val triRealSorted = triRealKeys.clone(); JArrays.sort(triRealSorted)
+    val triStruct = structuralMisses(triRealSorted,
+      (0 until quadPre.n).iterator.map(j =>
+        key(biIdxOf(quadPre.a(j)), quadW3.a(j))))
+    val triAllKeys = new Array[Long](triRealKeys.length + triStruct.length)
+    System.arraycopy(triRealKeys, 0, triAllKeys, 0, triRealKeys.length)
+    System.arraycopy(triStruct, 0, triAllKeys, triRealKeys.length,
+      triStruct.length)
+    val triSurvive = sortLastWins(triAllKeys)
+    val triKeyArr = new Array[Long](triSurvive.length)
+    val triProbArr = new Array[Double](triSurvive.length)
+    val triBoArr = new Array[Double](triSurvive.length)
+    i = 0
+    while (i < triSurvive.length) {
+      val src = triSurvive(i)
+      triKeyArr(i) = triAllKeys(src)
+      if (src < triRealKeys.length) {
+        triProbArr(i) = triP.a(src); triBoArr(i) = triBo.a(src)
+      } else { triProbArr(i) = Double.NaN; triBoArr(i) = 0.0 }
+      i += 1
+    }
+    def triIdxOf(k: Long): Int = JArrays.binarySearch(triKeyArr, k)
+
+    // ---- quadgrams
+    val quadKeys = new Array[Long](quadPre.n)
+    i = 0
+    while (i < quadPre.n) {
+      quadKeys(i) =
+        key(triIdxOf(key(biIdxOf(quadPre.a(i)), quadW3.a(i))),
+          quadW4.a(i))
+      i += 1
+    }
+    val quadSurvive = sortLastWins(quadKeys)
+    val quadKeyArr = new Array[Long](quadSurvive.length)
+    val quadProbArr = new Array[Double](quadSurvive.length)
+    i = 0
+    while (i < quadSurvive.length) {
+      quadKeyArr(i) = quadKeys(quadSurvive(i))
+      quadProbArr(i) = quadP.a(quadSurvive(i))
+      i += 1
+    }
+
+    new PackedLm(wordsBuf.toArray,
+      JArrays.copyOf(upBuf.a, upBuf.n), JArrays.copyOf(uboBuf.a, uboBuf.n),
+      biKeyArr, biProbArr, biBoArr, triKeyArr, triProbArr, triBoArr,
+      quadKeyArr, quadProbArr)
+  }
+
   /** Serialize to the `.glm` binary layout: magic + version + counts +
     * vocab strings + per-order bulk arrays, big-endian.
     */
@@ -477,9 +722,14 @@ object PackedLm {
     } finally in.close()
   }
 
-  /** Compile a text ARPA file straight to a `.glm`. */
+  /** Compile a text ARPA file straight to a `.glm` — streaming: the
+    * text is never materialized as a string-keyed model, so memory
+    * scales with the PACKED output (plus one transient boxed index
+    * array per order), not with gram-string churn.
+    */
   def compileFile(arpaPath: String, outPath: String): PackedLm = {
-    val packed = fromArpa(ArpaModel.fromFile(arpaPath))
+    val src = scala.io.Source.fromFile(arpaPath, "UTF-8")
+    val packed = try compileLines(src.getLines()) finally src.close()
     write(packed, outPath)
     packed
   }
@@ -509,33 +759,46 @@ object CompileLm {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CompileLm <in.arpa> <out.glm> [--reuse]")
+      "usage: CompileLm <in.arpa> <out.glm> [--reuse|--stream-only]")
     // --reuse: skip the compile step when out.glm already exists (re-
-    // measure loads without re-paying a multi-minute big-model compile)
-    val reuse = args.length > 2 && args(2) == "--reuse" &&
-      new java.io.File(args(1)).exists()
+    //   measure loads without re-paying a multi-minute big-model compile)
+    // --stream-only: never build the text-map model — for ARPAs too big
+    //   to hold as string-keyed hash maps (the streaming compiler's
+    //   whole point); skips the parse-time and heap comparisons
+    val flag = if (args.length > 2) args(2) else ""
+    val reuse = flag == "--reuse" && new java.io.File(args(1)).exists()
+    val streamOnly = flag == "--stream-only"
     val t0 = System.nanoTime
-    val text = ArpaModel.fromFile(args(0))
+    val textParseS =
+      if (streamOnly) -1.0
+      else {
+        ArpaModel.fromFile(args(0))
+        (System.nanoTime - t0) / 1e9
+      }
     val t1 = System.nanoTime
-    if (!reuse) PackedLm.write(PackedLm.fromArpa(text), args(1))
+    if (!reuse) PackedLm.compileFile(args(0), args(1)) // streaming path
     val t2 = System.nanoTime
     val loaded = PackedLm.read(args(1))
     val t3 = System.nanoTime
     val n = loaded.packedCounts
     // rough retained-heap comparison (GC-settled deltas): what one
     // executor JVM pays to keep each representation resident
-    val base = settledHeap()
-    var keepText: ArpaModel = ArpaModel.fromFile(args(0))
-    val withText = settledHeap()
-    keepText = null
-    var keepPacked: PackedLm = PackedLm.read(args(1))
-    keepPacked.score("warm the lazy vocab index")
-    val afterSwap = settledHeap()
-    val textMb = (withText - base) / 1e6
-    val packedMb = (afterSwap - base) / 1e6
-    require(keepPacked != null) // keep the reference live through the read
-    println(s"""{"arpa_parse_s":${(t1 - t0) / 1e9},""" +
-      s""""compile_write_s":${(t2 - t1) / 1e9},""" +
+    var textMb = -1.0
+    var packedMb = -1.0
+    if (!streamOnly) {
+      val base = settledHeap()
+      var keepText: ArpaModel = ArpaModel.fromFile(args(0))
+      val withText = settledHeap()
+      keepText = null
+      var keepPacked: PackedLm = PackedLm.read(args(1))
+      keepPacked.score("warm the lazy vocab index")
+      val afterSwap = settledHeap()
+      textMb = (withText - base) / 1e6
+      packedMb = (afterSwap - base) / 1e6
+      require(keepPacked != null) // keep the ref live through the read
+    }
+    println(s"""{"arpa_parse_s":$textParseS,""" +
+      s""""compile_stream_s":${(t2 - t1) / 1e9},""" +
       s""""glm_load_s":${(t3 - t2) / 1e9},""" +
       s""""text_heap_mb_approx":$textMb,""" +
       s""""packed_heap_mb_approx":$packedMb,""" +

@@ -15,35 +15,46 @@ class PackedLmSpec extends AnyFunSuite {
 
   private def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
 
+  private def arpaLines(uni: Seq[(String, Double, Option[Double])],
+      bi: Seq[(String, Double, Option[Double])] = Nil,
+      tri: Seq[(String, Double, Option[Double])] = Nil,
+      quad: Seq[(String, Double)] = Nil): Seq[String] = {
+    def row(g: String, p: Double, bo: Option[Double]) =
+      s"$p\t$g" + bo.map(b => s"\t$b").getOrElse("")
+    Seq("\\data\\", s"ngram 1=${uni.size}", "", "\\1-grams:") ++
+      uni.map((row _).tupled) ++ Seq("", "\\2-grams:") ++
+      bi.map((row _).tupled) ++ Seq("", "\\3-grams:") ++
+      tri.map((row _).tupled) ++ Seq("", "\\4-grams:") ++
+      quad.map { case (g, p) => s"$p\t$g" } ++ Seq("", "\\end\\")
+  }
+
   private def arpa(uni: Seq[(String, Double, Option[Double])],
       bi: Seq[(String, Double, Option[Double])] = Nil,
       tri: Seq[(String, Double, Option[Double])] = Nil,
-      quad: Seq[(String, Double)] = Nil): ArpaModel = {
-    def row(g: String, p: Double, bo: Option[Double]) =
-      s"$p\t$g" + bo.map(b => s"\t$b").getOrElse("")
-    val lines =
-      Seq("\\data\\", s"ngram 1=${uni.size}", "", "\\1-grams:") ++
-        uni.map((row _).tupled) ++ Seq("", "\\2-grams:") ++
-        bi.map((row _).tupled) ++ Seq("", "\\3-grams:") ++
-        tri.map((row _).tupled) ++ Seq("", "\\4-grams:") ++
-        quad.map { case (g, p) => s"$p\t$g" } ++ Seq("", "\\end\\")
-    ArpaModel.parse(lines.iterator)
-  }
+      quad: Seq[(String, Double)] = Nil): ArpaModel =
+    ArpaModel.parse(arpaLines(uni, bi, tri, quad).iterator)
 
-  private def assertParity(text: ArpaModel, docs: Seq[Seq[String]]): Unit = {
+  /** Every doc must score bit-identically across all THREE paths: the
+    * text-map model, fromArpa(text), and the streaming compileLines.
+    */
+  private def assertParity(lines: Seq[String],
+      docs: Seq[Seq[String]]): Unit = {
+    val text = ArpaModel.parse(lines.iterator)
     val packed = PackedLm.fromArpa(text)
+    val streamed = PackedLm.compileLines(lines.iterator)
     docs.foreach { toks =>
       val a = text.scoreTokens(toks.iterator)
       val b = packed.scoreTokens(toks.iterator)
-      assert(bits(a) === bits(b),
-        s"toks=$toks text=$a packed=$b")
+      val c = streamed.scoreTokens(toks.iterator)
+      assert(bits(a) === bits(b), s"fromArpa: toks=$toks text=$a packed=$b")
+      assert(bits(a) === bits(c), s"streamed: toks=$toks text=$a got=$c")
     }
   }
 
   test("hand model with pruned-ARPA gaps: trigram without its bigram, " +
       "quadgram without its trigram, word only inside a bigram — " +
       "bit-exact parity on every query shape") {
-    val m = arpa(
+    val lines = arpaLines(
       uni = Seq(("<unk>", -3.0, Some(-0.4)), ("<s>", -99.0, Some(-0.7)),
         ("</s>", -1.9, None), ("a", -1.1, Some(-0.3)),
         ("b", -1.4, Some(0.0)), ("c", -1.6, None)),
@@ -55,12 +66,13 @@ class PackedLmSpec extends AnyFunSuite {
         ("a b c", -0.7, Some(-0.05))),
       // "b a b c" has no "b a b" trigram (nor "b a" bigram) listed
       quad = Seq(("<s> a b c", -0.2), ("b a b c", -1.5)))
+    val m = ArpaModel.parse(lines.iterator)
     val docs = Seq(
       Seq("a", "b", "c"), Seq("a", "b", "c", "a", "b", "c"),
       Seq("ghost"), Seq("b", "ghost", "c"), Seq("zzz", "a"),
       Seq("a", "c", "b"), Seq("b", "a", "b", "c"), Seq.empty,
       Seq("c", "c", "c", "c", "c"), Seq("<s>", "</s>", "a"))
-    assertParity(m, docs)
+    assertParity(lines, docs)
     val p = PackedLm.fromArpa(m)
     // logical counts exclude structural fillers
     assert(p.vocabSize === m.vocabSize)
@@ -72,15 +84,18 @@ class PackedLmSpec extends AnyFunSuite {
     assert(nWords === 7) // 6 real + ghost
     assert(nBi === 6)    // 4 real + structural "a c" and "b a"
     assert(nTri === 4)   // 3 real + structural "b a b"
+    // the streaming compiler lands on the same logical shape
+    assert(PackedLm.compileLines(lines.iterator).packedCounts
+      === p.packedCounts)
   }
 
   test("missing <s> unigram: the BOS context still chains through " +
       "grams that name it, exactly like the text path's raw string key") {
-    val m = arpa(
+    val lines = arpaLines(
       uni = Seq(("<unk>", -3.0, None), ("</s>", -1.9, None),
         ("a", -1.1, Some(-0.3))),
       bi = Seq(("<s> a", -0.4, None))) // <s> is structural here
-    assertParity(m, Seq(Seq("a"), Seq("a", "a"), Seq.empty))
+    assertParity(lines, Seq(Seq("a"), Seq("a", "a"), Seq.empty))
   }
 
   test("seeded fuzz: random gapped models × random docs (incl. OOV and " +
@@ -108,10 +123,10 @@ class PackedLmSpec extends AnyFunSuite {
       val quad = Seq.fill(rnd.nextInt(12))(
         (s"${pick()} ${pick()} ${pick()} ${pick()}", p()))
         .distinctBy(_._1)
-      val m = arpa(uni, bi, tri, quad)
+      val lines = arpaLines(uni, bi, tri, quad)
       val docs = Seq.fill(15)(Seq.fill(rnd.nextInt(10))(
         if (rnd.nextInt(5) == 0) "oov" + rnd.nextInt(3) else pick()))
-      try assertParity(m, docs :+ Seq.empty)
+      try assertParity(lines, docs :+ Seq.empty)
       catch {
         case e: Throwable =>
           fail(s"trial $trial: ${e.getMessage}", e)
@@ -164,6 +179,33 @@ class PackedLmSpec extends AnyFunSuite {
     Seq("The quick brown fox jumps over 12 lazy dogs.",
       "multi\nline\ndocument with  runs", "").foreach { doc =>
       assert(bits(sGlm.score(doc)) === bits(sText.score(doc)), doc)
+    }
+  }
+
+  test("streaming compiler: byte-deterministic, and equivalent to " +
+      "fromArpa on the shipped model (score-parity; word ids of " +
+      "structural-only words may legitimately differ)") {
+    val tmp = java.nio.file.Files.createTempDirectory("glmstream")
+    val res = "graft/graft-en-sp.arpa"
+    def lines(): Iterator[String] = {
+      val in = getClass.getClassLoader.getResourceAsStream(res)
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    }
+    val s1 = PackedLm.compileLines(lines())
+    val s2 = PackedLm.compileLines(lines())
+    val f1 = tmp.resolve("s1.glm").toString
+    val f2 = tmp.resolve("s2.glm").toString
+    PackedLm.write(s1, f1)
+    PackedLm.write(s2, f2)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f1)),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f2))),
+      "same ARPA text must stream-compile to byte-identical .glm")
+    val viaArpa = PackedLm.fromArpa(ArpaModel.parse(lines()))
+    assert(s1.packedCounts === viaArpa.packedCounts)
+    Seq("the quick brown fox", "this software is provided as is",
+      "unseen zz words", "").foreach { line =>
+      assert(bits(s1.score(line)) === bits(viaArpa.score(line)), line)
     }
   }
 
