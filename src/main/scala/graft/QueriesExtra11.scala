@@ -100,11 +100,13 @@ object QueriesExtra11 {
           val glm = java.nio.file.Paths.get(s"$ExtLmDir/model.glm")
           val tmpGlm = glm.resolveSibling(
             s".model.glm.${java.lang.ProcessHandle.current.pid}.tmp")
-          graft.scoring.PackedLm.compileFile(s"$ExtLmDir/model.arpa",
-            tmpGlm.toString)
-          java.nio.file.Files.move(tmpGlm, glm,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          try {
+            graft.scoring.PackedLm.compileFile(s"$ExtLmDir/model.arpa",
+              tmpGlm.toString)
+            java.nio.file.Files.move(tmpGlm, glm,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } finally java.nio.file.Files.deleteIfExists(tmpGlm)
         }
         extLmBinScorer = ExternalLm.fromFiles(s"$ExtLmDir/model.glm",
           Some(s"$ExtLmDir/pieces.vocab"))
@@ -129,28 +131,27 @@ object QueriesExtra11 {
     extLmScorer
   }
 
-  private val scoreUdf = udf { (t: String) =>
-    // fast path: the driver populated the memo during query construction
-    // and local-mode executors share the JVM; a separate-JVM executor
-    // (non-local master) re-resolves through the path-keyed per-JVM
-    // cache instead of NPE-ing on the driver-only var — it still needs
-    // the files present (SparkFiles.addFile them; ensureExternalLm's doc)
-    val s = extLmScorer
-    val scorer =
-      if (s != null) s
-      else graft.scoring.ExternalLm.cached(s"$ExtLmDir/model.arpa",
-        Some(s"$ExtLmDir/pieces.vocab"))
-    scorer.score(if (t == null) "" else t)
-  }
+  /** Shared scorer UDF shape for the text-ARPA and compiled-.glm paths.
+    * Fast path: the driver populated the field during query construction
+    * and local-mode executors share the JVM; a separate-JVM executor
+    * (non-local master) re-resolves through the path-keyed per-JVM
+    * cache instead of NPE-ing on the driver-only var — it still needs
+    * the files present (SparkFiles.addFile them; ensureExternalLm's doc).
+    * `fast` must be a closure over the @volatile field, not its value,
+    * so executors observe the post-construction write.
+    */
+  private def mkScoreUdf(fast: () => ExternalLmScorer, lmFile: String) =
+    udf { (t: String) =>
+      val s = fast()
+      val scorer =
+        if (s != null) s
+        else graft.scoring.ExternalLm.cached(s"$ExtLmDir/$lmFile",
+          Some(s"$ExtLmDir/pieces.vocab"))
+      scorer.score(if (t == null) "" else t)
+    }
 
-  private val scoreBinUdf = udf { (t: String) =>
-    val s = extLmBinScorer
-    val scorer =
-      if (s != null) s
-      else graft.scoring.ExternalLm.cached(s"$ExtLmDir/model.glm",
-        Some(s"$ExtLmDir/pieces.vocab"))
-    scorer.score(if (t == null) "" else t)
-  }
+  private val scoreUdf = mkScoreUdf(() => extLmScorer, "model.arpa")
+  private val scoreBinUdf = mkScoreUdf(() => extLmBinScorer, "model.glm")
 
   val f2External: QueryDef = QueryDef("f2_external_lm",
     (s, dir) => {

@@ -251,15 +251,11 @@ object PackedLm {
     val wordsBuf = mutable.ArrayBuffer[String]()
     val upBuf = mutable.ArrayBuffer[Double]()
     val uboBuf = mutable.ArrayBuffer[Double]()
+    // uniRows dumps a map, so words are already unique (duplicate ARPA
+    // rows were resolved by ArpaModel.parse / compileLines upstream)
     m.uniRows.sortBy(_._1).foreach { case (w, p, bo) =>
-      val got = idx.get(w)
-      if (got == null) {
-        idx.put(w, wordsBuf.length)
-        wordsBuf += w; upBuf += p; uboBuf += bo.getOrElse(0.0)
-      } else { // duplicate listing: last wins, like JHashMap.put
-        upBuf(got.intValue) = p
-        uboBuf(got.intValue) = bo.getOrElse(0.0)
-      }
+      idx.put(w, wordsBuf.length)
+      wordsBuf += w; upBuf += p; uboBuf += bo.getOrElse(0.0)
     }
     def ensureWord(w: String): Int = {
       val got = idx.get(w)
@@ -405,9 +401,56 @@ object PackedLm {
     }
   }
 
+  /** Sort + collapse one order's entries with [[ArpaModel.parse]]'s
+    * PER-FIELD duplicate-row semantics: for each distinct key, prob =
+    * the last row's prob, backoff = the last row that LISTED a backoff
+    * column (a later backoff-less duplicate overwrites the prob map but
+    * leaves the earlier backoff in the backoff map). Rows past `nReal`
+    * are structural chain-only fillers (NaN prob, 0.0 backoff); their
+    * keys never collide with real keys (membership-tested before
+    * appending), so their runs are singletons.
+    */
+  private def collapseOrder(keys: Array[Long], nReal: Int,
+      probs: GrowD, bos: GrowD, boListed: GrowI)
+      : (Array[Long], Array[Double], Array[Double]) = {
+    val idx = new Array[Integer](keys.length)
+    var i = 0
+    while (i < keys.length) { idx(i) = i; i += 1 }
+    JArrays.sort(idx, (x: Integer, y: Integer) =>
+      java.lang.Long.compare(keys(x.intValue), keys(y.intValue)))
+    val kOut = new GrowL
+    val pOut = new GrowD
+    val bOut = new GrowD
+    i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length &&
+        keys(idx(j + 1).intValue) == keys(idx(i).intValue)) j += 1
+      val last = idx(j).intValue // stable sort → last in run = last in file
+      kOut += keys(last)
+      pOut += (if (last < nReal) probs.a(last) else Double.NaN)
+      var bo = 0.0
+      var b = j
+      var found = false
+      while (b >= i && !found) {
+        val src = idx(b).intValue
+        if (src < nReal && boListed.a(src) == 1) {
+          bo = bos.a(src)
+          found = true
+        }
+        b -= 1
+      }
+      bOut += bo
+      i = j + 1
+    }
+    (kOut.trim, JArrays.copyOf(pOut.a, pOut.n),
+      JArrays.copyOf(bOut.a, bOut.n))
+  }
+
   /** Sort entry indices stably by key and collapse duplicate keys
-    * keeping the LAST occurrence (text-map put semantics). Returns the
-    * surviving original indices in final key order.
+    * keeping the LAST occurrence (text-map put semantics; backoff-less
+    * orders — quadgrams — where prob-last-wins is the whole story).
+    * Returns the surviving original indices in final key order.
     */
   private def sortLastWins(keys: Array[Long]): Array[Int] = {
     val idx = new Array[Integer](keys.length)
@@ -439,24 +482,30 @@ object PackedLm {
     val wordsBuf = mutable.ArrayBuffer[String]()
     val upBuf = new GrowD
     val uboBuf = new GrowD
-    // raw \1-grams rows, sorted + id-assigned at section close
-    var uniRaw = mutable.ArrayBuffer[(String, Double, Double)]()
+    // raw \1-grams rows, sorted + id-assigned at section close;
+    // duplicate grams follow ArpaModel.parse's PER-FIELD map semantics:
+    // prob = last row's, backoff = last row that LISTED one (a later
+    // backoff-less duplicate overwrites the prob but leaves the earlier
+    // backoff in backoffLog)
+    var uniRaw = mutable.ArrayBuffer[(String, Double, Double, Boolean)]()
     var uniDone = false
     def closeUni(): Unit = if (!uniDone) {
       uniDone = true
-      // stable sort by word; last duplicate wins
       val sorted = uniRaw.zipWithIndex
-        .sortBy { case ((w, _, _), i) => (w, i) }
+        .sortBy { case ((w, _, _, _), i) => (w, i) } // stable per word
       var k = 0
       while (k < sorted.length) {
-        val (w, p, bo) = sorted(k)._1
-        if (k + 1 < sorted.length && sorted(k + 1)._1._1 == w) {
-          // superseded duplicate — skip
-        } else {
-          idx.put(w, wordsBuf.length)
-          wordsBuf += w; upBuf += p; uboBuf += bo
-        }
-        k += 1
+        var j = k
+        while (j + 1 < sorted.length &&
+          sorted(j + 1)._1._1 == sorted(k)._1._1) j += 1
+        val w = sorted(j)._1._1
+        var bo = 0.0
+        var b = j
+        while (b >= k && !sorted(b)._1._4) b -= 1
+        if (b >= k) bo = sorted(b)._1._3
+        idx.put(w, wordsBuf.length)
+        wordsBuf += w; upBuf += sorted(j)._1._2; uboBuf += bo
+        k = j + 1
       }
       uniRaw = null
     }
@@ -471,8 +520,10 @@ object PackedLm {
       }
     }
     val biKeyRaw = new GrowL; val biP = new GrowD; val biBo = new GrowD
+    val biBoL = new GrowI // 1 = backoff column present on this row
     val triPre = new GrowL; val triW = new GrowI
     val triP = new GrowD; val triBo = new GrowD
+    val triBoL = new GrowI
     val quadPre = new GrowL; val quadW3 = new GrowI
     val quadW4 = new GrowI; val quadP = new GrowD
     var section = 0
@@ -497,19 +548,19 @@ object PackedLm {
                   else line.substring(t1 + 1)
           val bo = if (t2 >= 0) line.substring(t2 + 1).toDouble else 0.0
           section match {
-            case 1 => uniRaw += ((g, p, bo))
+            case 1 => uniRaw += ((g, p, bo, t2 >= 0))
             case 2 =>
               val s1 = g.indexOf(' ')
               biKeyRaw += key(ensureWord(g.substring(0, s1)),
                 ensureWord(g.substring(s1 + 1)))
-              biP += p; biBo += bo
+              biP += p; biBo += bo; biBoL += (if (t2 >= 0) 1 else 0)
             case 3 =>
               val s1 = g.indexOf(' ')
               val s2 = g.indexOf(' ', s1 + 1)
               triPre += key(ensureWord(g.substring(0, s1)),
                 ensureWord(g.substring(s1 + 1, s2)))
               triW += ensureWord(g.substring(s2 + 1))
-              triP += p; triBo += bo
+              triP += p; triBo += bo; triBoL += (if (t2 >= 0) 1 else 0)
             case 4 =>
               val s1 = g.indexOf(' ')
               val s2 = g.indexOf(' ', s1 + 1)
@@ -546,19 +597,9 @@ object PackedLm {
     System.arraycopy(biRealKeys, 0, biAllKeys, 0, biRealKeys.length)
     System.arraycopy(biStruct, 0, biAllKeys, biRealKeys.length,
       biStruct.length)
-    val biSurvive = sortLastWins(biAllKeys)
-    val biKeyArr = new Array[Long](biSurvive.length)
-    val biProbArr = new Array[Double](biSurvive.length)
-    val biBoArr = new Array[Double](biSurvive.length)
+    val (biKeyArr, biProbArr, biBoArr) =
+      collapseOrder(biAllKeys, biRealKeys.length, biP, biBo, biBoL)
     var i = 0
-    while (i < biSurvive.length) {
-      val src = biSurvive(i)
-      biKeyArr(i) = biAllKeys(src)
-      if (src < biRealKeys.length) {
-        biProbArr(i) = biP.a(src); biBoArr(i) = biBo.a(src)
-      } else { biProbArr(i) = Double.NaN; biBoArr(i) = 0.0 }
-      i += 1
-    }
     def biIdxOf(prefix: Long): Int = JArrays.binarySearch(biKeyArr, prefix)
 
     // ---- trigrams: rekey prefixes to final bigram indices
@@ -576,19 +617,8 @@ object PackedLm {
     System.arraycopy(triRealKeys, 0, triAllKeys, 0, triRealKeys.length)
     System.arraycopy(triStruct, 0, triAllKeys, triRealKeys.length,
       triStruct.length)
-    val triSurvive = sortLastWins(triAllKeys)
-    val triKeyArr = new Array[Long](triSurvive.length)
-    val triProbArr = new Array[Double](triSurvive.length)
-    val triBoArr = new Array[Double](triSurvive.length)
-    i = 0
-    while (i < triSurvive.length) {
-      val src = triSurvive(i)
-      triKeyArr(i) = triAllKeys(src)
-      if (src < triRealKeys.length) {
-        triProbArr(i) = triP.a(src); triBoArr(i) = triBo.a(src)
-      } else { triProbArr(i) = Double.NaN; triBoArr(i) = 0.0 }
-      i += 1
-    }
+    val (triKeyArr, triProbArr, triBoArr) =
+      collapseOrder(triAllKeys, triRealKeys.length, triP, triBo, triBoL)
     def triIdxOf(k: Long): Int = JArrays.binarySearch(triKeyArr, k)
 
     // ---- quadgrams
@@ -713,12 +743,13 @@ object PackedLm {
 
   /** Sniff the first 8 bytes for the `.glm` magic. */
   def isPacked(path: String): Boolean = {
-    val in = new java.io.FileInputStream(path)
+    val in = new java.io.DataInputStream(new java.io.FileInputStream(path))
     try {
       val head = new Array[Byte](8)
-      val n = in.read(head)
-      n == 8 && new String(head,
-        java.nio.charset.StandardCharsets.US_ASCII) == Magic
+      in.readFully(head) // a bare read may legally return < 8 bytes
+      new String(head, java.nio.charset.StandardCharsets.US_ASCII) == Magic
+    } catch {
+      case _: java.io.EOFException => false // shorter than the magic
     } finally in.close()
   }
 
@@ -789,6 +820,9 @@ object CompileLm {
       val base = settledHeap()
       var keepText: ArpaModel = ArpaModel.fromFile(args(0))
       val withText = settledHeap()
+      // read the ref AFTER the sample so the JIT can't collect the model
+      // during settledHeap's GCs (JLS 12.6.1 reachability narrowing)
+      require(keepText.vocabSize >= 0)
       keepText = null
       var keepPacked: PackedLm = PackedLm.read(args(1))
       keepPacked.score("warm the lazy vocab index")

@@ -98,6 +98,23 @@ class PackedLmSpec extends AnyFunSuite {
     assertParity(lines, Seq(Seq("a"), Seq("a", "a"), Seq.empty))
   }
 
+  test("duplicate gram rows resolve per-field like the text maps: a " +
+      "later backoff-less duplicate overwrites the prob but keeps the " +
+      "earlier backoff") {
+    val lines = arpaLines(
+      uni = Seq(("<unk>", -3.0, None), ("</s>", -1.9, None),
+        ("a", -1.0, Some(-0.3)), ("a", -1.2, None), // dup unigram
+        ("b", -1.4, None)),
+      bi = Seq(("a b", -0.6, Some(-0.25)), ("a b", -0.7, None),
+        ("b a", -0.5, None), ("b a", -0.55, Some(-0.11))),
+      tri = Seq(("a b a", -0.4, Some(-0.15)), ("a b a", -0.45, None)))
+    // the dup'd backoff(a b) = -0.25 (earlier, listed) with prob -0.7
+    // (later) is exactly the divergence the review flagged: backing off
+    // from the unseen trigram "a b b" must add -0.25, not 0.0
+    assertParity(lines, Seq(Seq("a", "b", "b"), Seq("a", "b", "a"),
+      Seq("b", "a", "b"), Seq("a"), Seq.empty))
+  }
+
   test("seeded fuzz: random gapped models × random docs (incl. OOV and " +
       "empty) are bit-exact between text and packed") {
     val rnd = new scala.util.Random(20260815L)
@@ -113,16 +130,16 @@ class PackedLmSpec extends AnyFunSuite {
         (if (rnd.nextBoolean()) Seq("</s>") else Nil) ++
         baseWords.take(3 + rnd.nextInt(4))
       def pick(): String = baseWords(rnd.nextInt(baseWords.length))
+      // duplicate gram rows stay IN (no distinctBy): the text maps
+      // resolve them per-field (prob last-wins, backoff last-LISTED)
+      // and the compilers must land on the same resolution
       val uni = uniWords.distinct.map(w => (w, p(), bo()))
-      val bi = Seq.fill(rnd.nextInt(12))(
+      val bi = Seq.fill(rnd.nextInt(14))(
         (s"${pick()} ${pick()}", p(), bo()))
-        .distinctBy(_._1)
-      val tri = Seq.fill(rnd.nextInt(12))(
+      val tri = Seq.fill(rnd.nextInt(14))(
         (s"${pick()} ${pick()} ${pick()}", p(), bo()))
-        .distinctBy(_._1)
-      val quad = Seq.fill(rnd.nextInt(12))(
+      val quad = Seq.fill(rnd.nextInt(14))(
         (s"${pick()} ${pick()} ${pick()} ${pick()}", p()))
-        .distinctBy(_._1)
       val lines = arpaLines(uni, bi, tri, quad)
       val docs = Seq.fill(15)(Seq.fill(rnd.nextInt(10))(
         if (rnd.nextInt(5) == 0) "oov" + rnd.nextInt(3) else pick()))
