@@ -295,6 +295,20 @@ class ExternalLmSpec extends AnyFunSuite {
       vit.score("zq xv jk qqq wxy zzz plgh")),
       ".model ingestion must default to the proto's own model_type " +
         "(unigram → viterbi)")
+
+    // r17 second pass: a compiled .glm through the SAME config seam —
+    // lm_path sniffs the magic (ExternalLm.loadModel) and the filter
+    // must score bit-identically to the text-ARPA form of itself
+    val glm = tmp.resolve("model.glm").toString
+    graft.scoring.PackedLm.compileFile(lm, glm)
+    val fGlm = graft.text.Filters.fromConfig("check_perplexity",
+      Map("lm_path" -> glm, "pieces_path" -> pieces,
+        "min_perplexity_threshold" -> 1, "max_perplexity_threshold" -> 50))
+    val glmScores = docs
+      .select(fGlm.score(org.apache.spark.sql.functions.col("text"))
+        .as("s")).collect().map(_.getDouble(0)).toSeq
+    assert(glmScores === scored.toSeq,
+      "lm_path must accept a compiled .glm and score bit-identically")
   }
 
   // --- r17: binary ModelProto ingestion (VERDICT r16 #1) ---
