@@ -256,14 +256,15 @@ object Perplexity {
     */
   def shipAndFilter(spark: org.apache.spark.sql.SparkSession,
       arpaPath: String, piecesPath: Option[String],
-      minPpl: Double, maxPpl: Double): TextFilter = {
+      minPpl: Double, maxPpl: Double,
+      segMode: String = SentencePieceTable.ModeGreedy): TextFilter = {
     spark.sparkContext.addFile(arpaPath)
     piecesPath.foreach(spark.sparkContext.addFile)
     val arpaName = new java.io.File(arpaPath).getName
     val piecesName = piecesPath.map(p => new java.io.File(p).getName)
     val u = udf { (s: String) =>
       ExternalLm.cached(Perplexity.resolveShipped(arpaName),
-        piecesName.map(Perplexity.resolveShipped))
+        piecesName.map(Perplexity.resolveShipped), segMode)
         .score(if (s == null) "" else s)
     }
     TextFilter("check_perplexity",
