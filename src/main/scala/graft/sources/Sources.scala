@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
-  /** S1 `load_dataset`: format by extension (parquet/json/csv). */
+  /** S1 `load_dataset`: format by extension (parquet/json/csv), plus HF
+    * `save_to_disk` directories (state.json or `.arrow` shards →
+    * [[ArrowDataset.load]], the r17 interop reader).
+    */
   def load(spark: SparkSession, path: String): DataFrame = {
     val p = path.toLowerCase
     if (p.endsWith(".json") || p.endsWith(".jsonl"))
@@ -18,8 +21,29 @@ object Sources {
     else if (p.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(path)
+    else if (isArrowDatasetDir(path)) ArrowDataset.load(spark, path)
     else spark.read.parquet(path)
   }
+
+  private def isArrowDatasetDir(path: String): Boolean = {
+    val d = new java.io.File(path)
+    d.isDirectory && {
+      val names = Option(d.list()).getOrElse(Array.empty)
+      names.contains("state.json") || names.exists(_.endsWith(".arrow"))
+    }
+  }
+
+  /** S4 `load_from_disk` (preprocessor.py:72): ingest a directory HF
+    * `datasets.save_to_disk` wrote.
+    */
+  def loadFromDisk(spark: SparkSession, dir: String): DataFrame =
+    ArrowDataset.load(spark, dir)
+
+  /** S4 `save_to_disk` (preprocessor.py:68): publish in the HF on-disk
+    * layout so `datasets.load_from_disk` can ingest the result.
+    */
+  def saveToDisk(df: DataFrame, dir: String): Unit =
+    ArrowDataset.save(df, dir)
 
   /** S2 `concatenate_datasets`: union N splits by name. */
   def concatenate(dfs: Seq[DataFrame]): DataFrame =
