@@ -210,11 +210,16 @@ object ArrowDataset {
   // ------------------------------------------------------------------
 
   /** Load an HF `save_to_disk`-layout directory (or any directory of
-    * `.arrow` IPC files) as a DataFrame — one task per shard. Shard
-    * order follows `state.json`'s `_data_files` when present (the HF
-    * row order contract), lexicographic filename order otherwise.
+    * `.arrow` IPC files) as a DataFrame — one task per shard, record
+    * batches streamed (a task holds ONE converted batch, never the
+    * shard). Shard order follows `state.json`'s `_data_files` when
+    * present (the HF row order contract), lexicographic filename order
+    * otherwise. `columns` prunes projection at the conversion boundary —
+    * unwanted vectors are never converted (IPC still reads whole
+    * batches; Arrow has no column skip within a batch).
     */
-  def load(spark: SparkSession, dir: String): DataFrame = {
+  def load(spark: SparkSession, dir: String,
+      columns: Seq[String] = Nil): DataFrame = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
@@ -236,10 +241,17 @@ object ArrowDataset {
     }
     require(files.nonEmpty, s"no .arrow shards under $dir")
 
-    val schema = readSchema(files.head)
+    val full = readSchema(files.head)
+    val schema =
+      if (columns.isEmpty) full
+      else {
+        val missing = columns.filterNot(c => full.fieldNames.contains(c))
+        require(missing.isEmpty, s"columns not in dataset: $missing")
+        StructType(columns.map(c => full(c)))
+      }
     val sc = spark.sparkContext
     val rdd = sc.parallelize(files, files.length).flatMap { path =>
-      shardRows(path, schema)
+      new ShardIterator(path, schema)
     }
     spark.createDataFrame(rdd, schema)
   }
@@ -268,81 +280,97 @@ object ArrowDataset {
     } finally in.close()
   }
 
-  private def readSchema(path: String): StructType = {
-    var schema: StructType = null
-    foreachBatch(path) { root =>
-      if (schema == null) schema = toSparkSchema(root.getSchema)
-      false // schema only — stop before loading data
-    }
-    require(schema != null, s"no schema in $path")
-    schema
-  }
-
-  /** Stream a shard's record batches through `f(root)`; `f` returns
-    * whether to continue. The schema is visible on the root before the
-    * first batch loads (f is also called once pre-load with rowCount 0
-    * when the shard has a schema-only header... arrow readers expose the
-    * schema eagerly, so we call f once with the empty root first).
+  /** Schema only — the arrow readers expose it eagerly from the shard
+    * header, before any batch loads.
     */
-  private def foreachBatch(path: String)(f: VectorSchemaRoot => Boolean)
-      : Unit = {
+  private def readSchema(path: String): StructType = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(conf)
     val allocator = new RootAllocator(Long.MaxValue)
-    try {
-      if (isFileFormat(fs, hPath)) {
-        val in = fs.open(hPath)
-        val size = fs.getFileStatus(hPath).getLen
-        val ch = new SeekableFsChannel(in, size)
-        val reader = new ArrowFileReader(ch, allocator)
-        try {
-          val root = reader.getVectorSchemaRoot
-          var go = f(root)
-          while (go && reader.loadNextBatch()) go = f(root)
-        } finally { reader.close(); in.close() }
-      } else {
-        val in = fs.open(hPath)
-        val reader = new ArrowStreamReader(in, allocator)
-        try {
-          val root = reader.getVectorSchemaRoot
-          var go = f(root)
-          while (go && reader.loadNextBatch()) go = f(root)
-        } finally { reader.close(); in.close() }
-      }
-    } finally allocator.close()
+    val in = fs.open(hPath)
+    val reader: org.apache.arrow.vector.ipc.ArrowReader =
+      if (isFileFormat(fs, hPath))
+        new ArrowFileReader(
+          new SeekableFsChannel(in, fs.getFileStatus(hPath).getLen),
+          allocator)
+      else new ArrowStreamReader(in, allocator)
+    try toSparkSchema(reader.getVectorSchemaRoot.getSchema)
+    finally { reader.close(); in.close(); allocator.close() }
   }
 
-  /** All rows of one shard, materialized per-batch (batches are bounded;
-    * the shard is not). Used inside one Spark task per shard.
+  /** Streaming per-shard row iterator: holds exactly one CONVERTED
+    * record batch (plus the arrow buffers of the current one) at a time,
+    * so task memory is bounded by `batchRows`, never shard size. The
+    * reader/allocator close when the shard drains, and a Spark
+    * task-completion listener covers early termination (limits, task
+    * kill).
     */
-  private def shardRows(path: String, schema: StructType): Iterator[Row] = {
-    // Materialize batch-by-batch into a buffer drained lazily would need
-    // coroutines; shards are written in bounded batches and a task holds
-    // at most one CONVERTED batch plus the arrow buffers of the current
-    // one — acceptable for an interop boundary. We still stream: convert
-    // each batch, append to a list iterator chain.
-    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-    foreachBatch(path) { root =>
-      val n = root.getRowCount
-      if (n > 0) {
-        val vecs = schema.fields.map(f => root.getVector(f.name))
-        var i = 0
-        while (i < n) {
-          val vals = new Array[Any](vecs.length)
-          var c = 0
-          while (c < vecs.length) {
-            vals(c) = toSparkValue(schema.fields(c).dataType,
-              vecs(c).getObject(i))
-            c += 1
-          }
-          out += Row.fromSeq(vals.toIndexedSeq)
-          i += 1
-        }
+  private final class ShardIterator(path: String, schema: StructType)
+      extends Iterator[Row] {
+    private val conf = new org.apache.hadoop.conf.Configuration()
+    private val hPath = new org.apache.hadoop.fs.Path(path)
+    private val fs = hPath.getFileSystem(conf)
+    private val allocator = new RootAllocator(Long.MaxValue)
+    private val in = fs.open(hPath)
+    private val reader: org.apache.arrow.vector.ipc.ArrowReader =
+      if (isFileFormat(fs, hPath))
+        new ArrowFileReader(
+          new SeekableFsChannel(in, fs.getFileStatus(hPath).getLen),
+          allocator)
+      else new ArrowStreamReader(in, allocator)
+    private val root = reader.getVectorSchemaRoot
+    private var batch: Array[Row] = Array.empty
+    private var i = 0
+    private var done = false
+    private var closed = false
+
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => close()))
+
+    private def close(): Unit = if (!closed) {
+      closed = true
+      try reader.close() finally {
+        try in.close() finally allocator.close()
       }
-      true
     }
-    out.iterator
+
+    private def convert(): Array[Row] = {
+      val n = root.getRowCount
+      val vecs = schema.fields.map(f => root.getVector(f.name))
+      val out = new Array[Row](n)
+      var r = 0
+      while (r < n) {
+        val vals = new Array[Any](vecs.length)
+        var c = 0
+        while (c < vecs.length) {
+          vals(c) = toSparkValue(schema.fields(c).dataType,
+            vecs(c).getObject(r))
+          c += 1
+        }
+        out(r) = Row.fromSeq(vals.toIndexedSeq)
+        r += 1
+      }
+      out
+    }
+
+    private def advance(): Unit = {
+      if (done) return
+      batch = Array.empty; i = 0
+      while (batch.isEmpty && reader.loadNextBatch())
+        if (root.getRowCount > 0) batch = convert()
+      if (batch.isEmpty) { done = true; close() }
+    }
+
+    override def hasNext: Boolean = {
+      if (i < batch.length) true
+      else { advance(); i < batch.length }
+    }
+
+    override def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException(path)
+      val r = batch(i); i += 1; r
+    }
   }
 
   /** SeekableByteChannel over a Hadoop FSDataInputStream (the arrow file

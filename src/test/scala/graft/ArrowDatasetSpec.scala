@@ -194,6 +194,34 @@ class ArrowDatasetSpec extends AnyFunSuite {
       === Seq("x", "y"))
   }
 
+  test("column-pruned load keeps requested order and skips conversion") {
+    val df = ArrowDataset.load(spark, resourceDir("graft/hf_fixture"),
+      columns = Seq("text", "doc_id"))
+    assert(df.schema.fieldNames.toSeq === Seq("text", "doc_id"))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows.length === 5)
+    assert(rows(0).getString(0) === "hello world")
+    val e = intercept[IllegalArgumentException] {
+      ArrowDataset.load(spark, resourceDir("graft/hf_fixture"),
+        columns = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("many small record batches stream through one shard") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val data = (0L until 10L).map(i => Row(i, s"row$i"))
+    val df = spark.createDataFrame(data.asJava, schema).coalesce(1)
+    val out = "/tmp/graft_arrow_spec_batches"
+    ArrowDataset.save(df, out, batchRows = 1) // 10 one-row batches
+    val re = ArrowDataset.load(spark, out)
+    assert(re.orderBy("id").collect().map(_.getString(1)).toSeq
+      === (0 until 10).map(i => s"row$i"))
+    assert(re.limit(3).count() === 3) // early termination path
+  }
+
   test("unsupported types fail loudly before any task runs") {
     val withTs = spark.range(1).withColumn("ts", current_timestamp())
     val e = intercept[IllegalArgumentException] {
