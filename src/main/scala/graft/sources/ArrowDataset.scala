@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.{ListVector, StructVector}
@@ -60,7 +61,11 @@ object ArrowDataset {
   // schema mapping
   // ------------------------------------------------------------------
 
-  private[sources] def toSparkType(f: Field): DataType = f.getType match {
+  private[sources] def toSparkType(f: Field): DataType = {
+    require(f.getDictionary == null,
+      s"dictionary-encoded column ${f.getName} unsupported — " +
+        "decode on the writer side (HF save_to_disk never encodes)")
+    f.getType match {
     case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
     case i: ArrowType.Int =>
       require(i.getIsSigned, s"unsigned ints unsupported: ${f.getName}")
@@ -89,7 +94,7 @@ object ArrowDataset {
     case other => throw new IllegalArgumentException(
       s"unsupported arrow type $other for column ${f.getName} — " +
         "supported: utf8/int/float/bool/binary/list/struct")
-  }
+  } }
 
   private[sources] def toSparkSchema(s: Schema): StructType =
     StructType(s.getFields.asScala.toSeq.map(f =>
@@ -293,8 +298,9 @@ object ArrowDataset {
       if (isFileFormat(fs, hPath))
         new ArrowFileReader(
           new SeekableFsChannel(in, fs.getFileStatus(hPath).getLen),
-          allocator)
-      else new ArrowStreamReader(in, allocator)
+          allocator, CommonsCompressionFactory.INSTANCE)
+      else new ArrowStreamReader(in, allocator,
+        CommonsCompressionFactory.INSTANCE)
     try toSparkSchema(reader.getVectorSchemaRoot.getSchema)
     finally { reader.close(); in.close(); allocator.close() }
   }
@@ -317,8 +323,9 @@ object ArrowDataset {
       if (isFileFormat(fs, hPath))
         new ArrowFileReader(
           new SeekableFsChannel(in, fs.getFileStatus(hPath).getLen),
-          allocator)
-      else new ArrowStreamReader(in, allocator)
+          allocator, CommonsCompressionFactory.INSTANCE)
+      else new ArrowStreamReader(in, allocator,
+        CommonsCompressionFactory.INSTANCE)
     private val root = reader.getVectorSchemaRoot
     private var batch: Array[Row] = Array.empty
     private var i = 0

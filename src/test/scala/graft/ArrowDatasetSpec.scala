@@ -222,6 +222,19 @@ class ArrowDatasetSpec extends AnyFunSuite {
     assert(re.limit(3).count() === 3) // early termination path
   }
 
+  test("reads zstd- and lz4-compressed record batches (pyarrow-written)") {
+    // two single-batch shards, same schema, one per codec (see
+    // tools/make_arrow_fixture.py postscript) — loaded as one dataset
+    val df = ArrowDataset.load(spark,
+      resourceDir("graft/hf_fixture_zstd"))
+    val rows = df.orderBy("doc_id", "text").collect()
+    assert(rows.length === 6) // 3 rows × 2 codecs
+    assert(rows.count(r => !r.isNullAt(1) && r.getString(1).length == 1000)
+      === 2)
+    assert(rows.filter(_.getLong(0) == 1L)
+      .forall(_.getSeq[Float](2) === Seq(1.0f, 2.0f)))
+  }
+
   test("unsupported types fail loudly before any task runs") {
     val withTs = spark.range(1).withColumn("ts", current_timestamp())
     val e = intercept[IllegalArgumentException] {

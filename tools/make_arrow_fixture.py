@@ -118,4 +118,21 @@ os.makedirs(ff, exist_ok=True)
 with ipc.new_file(os.path.join(ff, "golden.arrow"), schema) as w:
     w.write_batch(B1)
 
+# compressed-batch fixtures (ipc body compression, zstd + lz4): one
+# single-batch shard per codec, small schema — exercises the reader's
+# CommonsCompressionFactory wiring
+zschema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                     ("emb", pa.list_(pa.float32()))])
+zb = pa.record_batch(
+    [pa.array([1, 2, 3]), pa.array(["a", "b" * 1000, None]),
+     pa.array([[1.0, 2.0], [], None], type=pa.list_(pa.float32()))],
+    schema=zschema)
+zf = os.path.join(OUT, "hf_fixture_zstd")
+os.makedirs(zf, exist_ok=True)
+for codec in ["zstd", "lz4"]:
+    opts = ipc.IpcWriteOptions(compression=codec)
+    with ipc.new_stream(os.path.join(zf, f"data-{codec}.arrow"),
+                        zschema, options=opts) as w:
+        w.write_batch(zb)
+
 print("fixtures written under", os.path.abspath(OUT))
