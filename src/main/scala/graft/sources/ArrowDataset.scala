@@ -225,7 +225,7 @@ object ArrowDataset {
     */
   def load(spark: SparkSession, dir: String,
       columns: Seq[String] = Nil): DataFrame = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = spark.sessionState.newHadoopConf()
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
     val files: Seq[String] = {
@@ -240,13 +240,16 @@ object ArrowDataset {
       if (fromState.nonEmpty)
         fromState.map(f => new org.apache.hadoop.fs.Path(dPath, f).toString)
       else
+        // fallback when no manifest exists: lexicographic name order —
+        // matches HF's zero-padded naming up to 100k shards (beyond
+        // that, write a state.json; save() always does)
         fs.listStatus(dPath).map(_.getPath)
           .filter(_.getName.endsWith(".arrow"))
           .map(_.toString).sorted.toSeq
     }
     require(files.nonEmpty, s"no .arrow shards under $dir")
 
-    val full = readSchema(files.head)
+    val full = readSchema(files.head, conf)
     val schema =
       if (columns.isEmpty) full
       else {
@@ -255,10 +258,32 @@ object ArrowDataset {
         StructType(columns.map(c => full(c)))
       }
     val sc = spark.sparkContext
+    val cm = confMap(conf)
     val rdd = sc.parallelize(files, files.length).flatMap { path =>
-      new ShardIterator(path, schema)
+      new ShardIterator(path, schema, cm)
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** The session Hadoop conf (spark.hadoop.* overrides included) as a
+    * serializable map, re-inflated inside tasks — `Configuration` itself
+    * is not serializable and Spark's wrapper is private[spark]. Without
+    * this, executor-side FS access would silently drop runtime settings
+    * (object-store credentials, fs.defaultFS, endpoints).
+    */
+  private def confMap(c: org.apache.hadoop.conf.Configuration)
+      : Map[String, String] = {
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  private def inflate(m: Map[String, String])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   private def readFully(fs: org.apache.hadoop.fs.FileSystem,
@@ -280,27 +305,46 @@ object ArrowDataset {
     val in = fs.open(p)
     try {
       val head = new Array[Byte](6)
-      val n = in.read(head)
-      n == 6 && java.util.Arrays.equals(head, FileMagic)
+      // readFully, not read: a short first read (network FS) must not
+      // misclassify a valid file-format shard as stream-format
+      try org.apache.hadoop.io.IOUtils.readFully(in, head, 0, 6)
+      catch { case _: java.io.EOFException => return false } // < 6 bytes
+      java.util.Arrays.equals(head, FileMagic)
     } finally in.close()
   }
 
-  /** Schema only — the arrow readers expose it eagerly from the shard
-    * header, before any batch loads.
+  /** Open the right reader for a shard (format sniffed by magic). On
+    * constructor failure the stream and allocator are closed HERE — the
+    * caller's cleanup isn't wired yet at that point.
     */
-  private def readSchema(path: String): StructType = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(conf)
-    val allocator = new RootAllocator(Long.MaxValue)
-    val in = fs.open(hPath)
-    val reader: org.apache.arrow.vector.ipc.ArrowReader =
+  private def openReader(fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path,
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      allocator: RootAllocator): org.apache.arrow.vector.ipc.ArrowReader =
+    try {
       if (isFileFormat(fs, hPath))
         new ArrowFileReader(
           new SeekableFsChannel(in, fs.getFileStatus(hPath).getLen),
           allocator, CommonsCompressionFactory.INSTANCE)
       else new ArrowStreamReader(in, allocator,
         CommonsCompressionFactory.INSTANCE)
+    } catch { case e: Throwable =>
+      try in.close() finally allocator.close()
+      throw e
+    }
+
+  /** Schema only — the arrow readers expose it eagerly from the shard
+    * header, before any batch loads.
+    */
+  private def readSchema(path: String,
+      conf: org.apache.hadoop.conf.Configuration): StructType = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(conf)
+    val allocator = new RootAllocator(Long.MaxValue)
+    val in =
+      try fs.open(hPath)
+      catch { case e: Throwable => allocator.close(); throw e }
+    val reader = openReader(fs, hPath, in, allocator)
     try toSparkSchema(reader.getVectorSchemaRoot.getSchema)
     finally { reader.close(); in.close(); allocator.close() }
   }
@@ -312,20 +356,15 @@ object ArrowDataset {
     * task-completion listener covers early termination (limits, task
     * kill).
     */
-  private final class ShardIterator(path: String, schema: StructType)
-      extends Iterator[Row] {
-    private val conf = new org.apache.hadoop.conf.Configuration()
+  private final class ShardIterator(path: String, schema: StructType,
+      cm: Map[String, String]) extends Iterator[Row] {
     private val hPath = new org.apache.hadoop.fs.Path(path)
-    private val fs = hPath.getFileSystem(conf)
+    private val fs = hPath.getFileSystem(inflate(cm))
     private val allocator = new RootAllocator(Long.MaxValue)
-    private val in = fs.open(hPath)
-    private val reader: org.apache.arrow.vector.ipc.ArrowReader =
-      if (isFileFormat(fs, hPath))
-        new ArrowFileReader(
-          new SeekableFsChannel(in, fs.getFileStatus(hPath).getLen),
-          allocator, CommonsCompressionFactory.INSTANCE)
-      else new ArrowStreamReader(in, allocator,
-        CommonsCompressionFactory.INSTANCE)
+    private val in =
+      try fs.open(hPath)
+      catch { case e: Throwable => allocator.close(); throw e }
+    private val reader = openReader(fs, hPath, in, allocator)
     private val root = reader.getVectorSchemaRoot
     private var batch: Array[Row] = Array.empty
     private var i = 0
@@ -344,7 +383,12 @@ object ArrowDataset {
 
     private def convert(): Array[Row] = {
       val n = root.getRowCount
-      val vecs = schema.fields.map(f => root.getVector(f.name))
+      val vecs = schema.fields.map { f =>
+        val v = root.getVector(f.name)
+        require(v != null, s"shard $path lacks column ${f.name} — " +
+          "heterogeneous shard schemas? (schema comes from the first shard)")
+        v
+      }
       val out = new Array[Row](n)
       var r = 0
       while (r < n) {
@@ -420,20 +464,30 @@ object ArrowDataset {
     val schema = df.schema
     // validate types on the driver — fail before any task runs
     schema.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = df.sparkSession.sessionState.newHadoopConf()
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
     fs.mkdirs(dPath)
+    val cm = confMap(conf)
 
     val rdd = df.rdd
     val shards = math.max(rdd.getNumPartitions, 1)
-    val rows = rdd.mapPartitionsWithIndex { (pid, rows) =>
+    // sort by PARTITION id, not name: names zero-pad to 5 digits (the HF
+    // convention) and widen beyond 100k shards, where lexicographic
+    // order would scramble the manifest's row-order contract
+    val counts = rdd.mapPartitionsWithIndex { (pid, rows) =>
       val name = f"data-$pid%05d-of-$shards%05d.arrow"
-      val n = writeShard(s"$dir/$name", schema, rows, batchRows)
-      Iterator.single((name, n))
+      val n = writeShard(dir, name, schema, rows, batchRows, cm)
+      Iterator.single((pid, name, n))
     }.collect().sortBy(_._1) // shard names + row counts only — O(shards)
 
-    val files = rows.map(_._1)
+    val files =
+      if (counts.nonEmpty) counts.map(_._2).toSeq
+      else { // zero-partition frame: write one empty schema-carrying shard
+        val name = f"data-${0}%05d-of-$shards%05d.arrow"
+        writeShard(dir, name, schema, Iterator.empty, batchRows, cm)
+        Seq(name)
+      }
     val fingerprint = java.security.MessageDigest.getInstance("MD5")
       .digest((schema.treeString + files.mkString(","))
         .getBytes(StandardCharsets.UTF_8))
@@ -444,20 +498,30 @@ object ArrowDataset {
       datasetInfoJson(schema))
   }
 
-  private def writeShard(path: String, schema: StructType,
-      rows: Iterator[Row], batchRows: Int): Long = {
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val hPath = new org.apache.hadoop.fs.Path(path)
+  /** Write one shard with a task-commit protocol: bytes go to a hidden
+    * per-attempt temp name and rename into place only when complete, so
+    * a retried/speculative attempt can never expose a partial shard
+    * under the final name (rename is atomic on HDFS/local; if two
+    * finished attempts race, either's complete bytes are equivalent).
+    */
+  private def writeShard(dir: String, name: String, schema: StructType,
+      rows: Iterator[Row], batchRows: Int, cm: Map[String, String]): Long = {
+    val conf = inflate(cm)
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId).getOrElse(0L)
+    val hPath = new org.apache.hadoop.fs.Path(dir, name)
+    val tmpPath = new org.apache.hadoop.fs.Path(dir, s".$name.$attempt.tmp")
     val fs = hPath.getFileSystem(conf)
     val allocator = new RootAllocator(Long.MaxValue)
     val fields = schema.fields.map(f =>
       toArrowField(f.name, f.dataType, f.nullable))
     val root = VectorSchemaRoot.create(
       new Schema(fields.toSeq.asJava), allocator)
-    val out = fs.create(hPath, true)
+    val out = fs.create(tmpPath, true)
     val writer = new ArrowStreamWriter(root, null,
       java.nio.channels.Channels.newChannel(out))
     var total = 0L
+    var committed = false
     try {
       writer.start()
       while (rows.hasNext) {
@@ -481,8 +545,17 @@ object ArrowDataset {
         root.allocateNew(); root.setRowCount(0); writer.writeBatch()
       }
       writer.end()
+      committed = true
     } finally {
-      writer.close(); out.close(); root.close(); allocator.close()
+      try { writer.close(); out.close() }
+      finally { root.close(); allocator.close() }
+      if (committed) {
+        // commit: atomic move into the final name (delete a loser from
+        // a racing completed attempt first — its bytes are equivalent)
+        if (fs.exists(hPath)) fs.delete(hPath, false)
+        require(fs.rename(tmpPath, hPath),
+          s"rename $tmpPath -> $hPath failed")
+      } else fs.delete(tmpPath, false) // abort: drop the partial temp
     }
     total
   }
@@ -537,6 +610,13 @@ object ArrowDataset {
     case FloatType => """{"dtype": "float32", "_type": "Value"}"""
     case BooleanType => """{"dtype": "bool", "_type": "Value"}"""
     case BinaryType => """{"dtype": "binary", "_type": "Value"}"""
+    case ArrayType(et: StructType, _) =>
+      // HF quirk (datasets.features): Sequence(dict) TRANSPOSES to a
+      // dict-of-lists whose arrow schema is struct<field: list<...>>,
+      // NOT list<struct<...>> — the faithful Features form for a
+      // list-of-struct column is the plain json LIST [feature], which
+      // is exactly what the hub stores for `conversation`
+      s"[${hfFeature(et)}]"
     case ArrayType(et, _) =>
       s"""{"feature": ${hfFeature(et)}, "length": -1, "_type": "Sequence"}"""
     case StructType(fields) =>

@@ -21,16 +21,21 @@ object Sources {
     else if (p.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(path)
-    else if (isArrowDatasetDir(path)) ArrowDataset.load(spark, path)
+    else if (isArrowDatasetDir(spark, path)) ArrowDataset.load(spark, path)
     else spark.read.parquet(path)
   }
 
-  private def isArrowDatasetDir(path: String): Boolean = {
-    val d = new java.io.File(path)
-    d.isDirectory && {
-      val names = Option(d.list()).getOrElse(Array.empty)
+  private def isArrowDatasetDir(spark: SparkSession,
+      path: String): Boolean = {
+    // Hadoop FS, not java.io.File: HF dataset dirs on hdfs://, s3a://
+    // etc. must dispatch too (ArrowDataset reads them through the same
+    // API)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.getFileStatus(p).isDirectory && {
+      val names = fs.listStatus(p).map(_.getPath.getName)
       names.contains("state.json") || names.exists(_.endsWith(".arrow"))
-    }
+    } catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** S4 `load_from_disk` (preprocessor.py:72): ingest a directory HF

@@ -222,6 +222,42 @@ class ArrowDatasetSpec extends AnyFunSuite {
     assert(re.limit(3).count() === 3) // early termination path
   }
 
+  test("dataset_info features: list<struct> uses the [feature] form") {
+    import scala.jdk.CollectionConverters._
+    // HF's Sequence(dict) TRANSPOSES to dict-of-lists; the faithful
+    // Features form for conversation-shaped columns is a json LIST
+    val schema = StructType(Seq(
+      StructField("conversation", ArrayType(MsgSchema)),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      Seq(Row(Seq(Row("hi", true, "User")), Seq(1.0f))).asJava, schema)
+    val out = "/tmp/graft_arrow_spec_features"
+    ArrowDataset.save(df, out)
+    val info = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/dataset_info.json")), "UTF-8")
+    assert(info.contains(
+      """"conversation": [{"content": {"dtype": "string", "_type": "Value"}"""))
+    assert(info.contains(
+      """"embedding": {"feature": {"dtype": "float32", "_type": "Value"}, """ +
+        """"length": -1, "_type": "Sequence"}"""))
+    // and no stray .tmp files survive the commit protocol
+    assert(!new java.io.File(out).listFiles().exists(_.getName
+      .endsWith(".tmp")))
+  }
+
+  test("zero-partition frames still save a loadable schema-only dataset") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    assert(empty.rdd.getNumPartitions === 0) // the degenerate case
+    val out = "/tmp/graft_arrow_spec_empty"
+    ArrowDataset.save(empty, out)
+    val re = ArrowDataset.load(spark, out)
+    assert(re.count() === 0)
+    assert(re.schema.fieldNames.toSeq === Seq("id", "t"))
+  }
+
   test("reads zstd- and lz4-compressed record batches (pyarrow-written)") {
     // two single-batch shards, same schema, one per codec (see
     // tools/make_arrow_fixture.py postscript) — loaded as one dataset
