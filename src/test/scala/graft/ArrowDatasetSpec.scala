@@ -271,6 +271,21 @@ class ArrowDatasetSpec extends AnyFunSuite {
       .forall(_.getSeq[Float](2) === Seq(1.0f, 2.0f)))
   }
 
+  test("reads large_string/large_list/large_binary (64-bit offset) columns") {
+    // HF datasets promotes big columns to the large_* arrow types
+    val df = ArrowDataset.load(spark, resourceDir("graft/hf_fixture_large"))
+    assert(df.schema === StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("emb", ArrayType(FloatType)),
+      StructField("payload", BinaryType))))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows(0).getString(1) === "big one")
+    assert(rows(0).getSeq[Float](2) === Seq(0.5f, 1.5f))
+    assert(rows(0).getAs[Array[Byte]](3).toSeq === Seq(1.toByte, 2.toByte))
+    assert((1 to 3).forall(rows(1).isNullAt))
+  }
+
   test("unsupported types fail loudly before any task runs") {
     val withTs = spark.range(1).withColumn("ts", current_timestamp())
     val e = intercept[IllegalArgumentException] {

@@ -135,4 +135,21 @@ for codec in ["zstd", "lz4"]:
                         zschema, options=opts) as w:
         w.write_batch(zb)
 
+# large_* (64-bit offset) types — HF promotes big columns to these
+lschema = pa.schema([("doc_id", pa.int64()),
+                     ("text", pa.large_string()),
+                     ("emb", pa.large_list(pa.float32())),
+                     ("payload", pa.large_binary())])
+lb = pa.record_batch(
+    [pa.array([1, 2]),
+     pa.array(["big one", None], type=pa.large_string()),
+     pa.array([[0.5, 1.5], None], type=pa.large_list(pa.float32())),
+     pa.array([b"\x01\x02", None], type=pa.large_binary())],
+    schema=lschema)
+lf = os.path.join(OUT, "hf_fixture_large")
+os.makedirs(lf, exist_ok=True)
+with ipc.new_stream(os.path.join(lf, "data-00000-of-00001.arrow"),
+                    lschema) as w:
+    w.write_batch(lb)
+
 print("fixtures written under", os.path.abspath(OUT))
