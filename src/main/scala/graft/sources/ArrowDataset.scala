@@ -562,9 +562,88 @@ object ArrowDataset {
 
   private def writeString(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, s: String): Unit = {
-    val out = fs.create(p, true)
+    // atomic: temp + rename, so a reader never sees a half-written
+    // manifest (matters for appendBatch, where state.json is rewritten
+    // per micro-batch while readers may be loading)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.${java.lang.ProcessHandle.current.pid}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+  }
+
+  // ------------------------------------------------------------------
+  // streaming append (exactly-once micro-batch publish)
+  // ------------------------------------------------------------------
+
+  /** Append one micro-batch to an HF-layout dataset directory — the
+    * `foreachBatch` sink shape (see `StreamingPipeline
+    * .foreachBatchArrowPublish`). Shard names are DETERMINISTIC per
+    * (batchId, partition) (`data-b<batch>-p<part>.arrow`) and the
+    * manifest update first drops any names of this batchId before
+    * appending, so a re-delivered batch (foreachBatch is
+    * at-least-once) overwrites its own shards and the published
+    * dataset converges to exactly-once. state.json rewrites atomically
+    * (temp + rename) after the shards land, so `load`/HF
+    * `load_from_disk` at any instant sees a complete, consistent
+    * prefix of the stream. Single writer (one streaming query per
+    * directory) assumed — the HF layout has no multi-writer story.
+    * Empty partitions write nothing (streams idle often; schema-only
+    * shards would accrete forever).
+    */
+  def appendBatch(df: DataFrame, dir: String, batchId: Long,
+      batchRows: Int = 1024): Unit = {
+    val schema = df.schema
+    schema.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val dPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dPath.getFileSystem(conf)
+    fs.mkdirs(dPath)
+    val info = datasetInfoJson(schema)
+    val infoPath = new org.apache.hadoop.fs.Path(dir, "dataset_info.json")
+    if (fs.exists(infoPath)) {
+      val existing = new String(readFully(fs, infoPath),
+        StandardCharsets.UTF_8)
+      require(existing == info,
+        s"schema drift: $dir was written with different features — " +
+          "streaming appends must keep one schema per dataset")
+    } else writeString(fs, infoPath, info)
+
+    val cm = confMap(conf)
+    val prefix = f"data-b$batchId%09d-"
+    val counts = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val name = f"${prefix}p$pid%05d.arrow"
+        val n = writeShard(dir, name, schema, rows, batchRows, cm)
+        Iterator.single((pid, name, n))
+      }
+    }.collect().sortBy(_._1)
+
+    val statePath = new org.apache.hadoop.fs.Path(dir, "state.json")
+    val existing: Seq[String] =
+      if (fs.exists(statePath)) {
+        val txt = new String(readFully(fs, statePath),
+          StandardCharsets.UTF_8)
+        "\"filename\"\\s*:\\s*\"([^\"]+)\"".r
+          .findAllMatchIn(txt).map(_.group(1)).toSeq
+      } else Seq.empty
+    // drop a replayed batch's previous names, then SORT: the zero-padded
+    // names order as (batchId, partition), so a replayed batch lands
+    // back in its original manifest position instead of at the end —
+    // the published row order stays the stream order under replay.
+    // (Names from a prior batch save() sort first: 'data-0…' < 'data-b…'.)
+    val files =
+      (existing.filterNot(_.startsWith(prefix)) ++ counts.map(_._2)).sorted
+    if (files.nonEmpty) {
+      val fingerprint = java.security.MessageDigest.getInstance("MD5")
+        .digest((schema.treeString + files.mkString(","))
+          .getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(16)
+      writeString(fs, statePath, stateJson(files, fingerprint))
+    }
   }
 
   // ------------------------------------------------------------------

@@ -409,6 +409,29 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Publish a stream as a continuously-growing HF `save_to_disk`
+    * dataset (r17, composing the arrow interop with streaming): each
+    * micro-batch appends shards named deterministically by (batchId,
+    * partition) and atomically rewrites the manifest —
+    * [[graft.sources.ArrowDataset.appendBatch]]'s replay-overwrite
+    * makes the published dataset EXACTLY-once even though foreachBatch
+    * re-delivers batches at-least-once (contrast
+    * [[foreachBatchStoreNearDedup]]'s parquet append, which documents
+    * its at-least-once sink). A reference user can `load_from_disk`
+    * the directory at any instant and see a consistent prefix of the
+    * stream.
+    */
+  def foreachBatchArrowPublish(stream: DataFrame, outDir: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.ArrowDataset.appendBatch(b.toDF(), outDir, id)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Alias kept for the hamming family — same driver, same contract. */
   def foreachBatchSigStoreNearDedup(stream: DataFrame,
       dedup: SigStoreNearDedup, outPath: String,

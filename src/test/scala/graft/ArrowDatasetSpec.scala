@@ -286,6 +286,67 @@ class ArrowDatasetSpec extends AnyFunSuite {
     assert((1 to 3).forall(rows(1).isNullAt))
   }
 
+  test("appendBatch: batches accrete; a replayed batch overwrites itself") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(rows.asJava, schema).repartition(2)
+    val out = "/tmp/graft_arrow_spec_append"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+
+    ArrowDataset.appendBatch(df(Seq(Row(1L, "a"), Row(2L, "b"))), out, 0L)
+    ArrowDataset.appendBatch(df(Seq(Row(3L, "c"))), out, 1L)
+    // at-least-once replay of batch 0 with identical content: the
+    // deterministic names + manifest dedup make it exactly-once
+    ArrowDataset.appendBatch(df(Seq(Row(1L, "a"), Row(2L, "b"))), out, 0L)
+
+    val re = ArrowDataset.load(spark, out)
+    assert(re.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the replay must NOT reorder the manifest: batch 0's shards stay
+    // BEFORE batch 1's even though batch 0 was re-delivered last
+    val state = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/state.json")), "UTF-8")
+    assert(state.indexOf("data-b000000000-") <
+      state.indexOf("data-b000000001-"))
+
+    // schema drift across batches fails loudly
+    val drifted = spark.createDataFrame(
+      Seq(Row(4L)).asJava, StructType(Seq(StructField("id", LongType))))
+    val e = intercept[IllegalArgumentException] {
+      ArrowDataset.appendBatch(drifted, out, 2L)
+    }
+    assert(e.getMessage.contains("schema drift"))
+  }
+
+  test("foreachBatchArrowPublish: a stream publishes an HF-loadable dataset") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val out = s"/tmp/graft_arrow_stream_$stamp"
+    val ckpt = s"/tmp/graft_arrow_stream_ckpt_$stamp"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingPipeline.foreachBatchArrowPublish(
+      mem.toDF.toDF("id", "t"), out, ckpt)
+    try {
+      mem.addData(Seq(1L -> "x", 2L -> "y"))
+      q.processAllAvailable()
+      mem.addData(Seq(3L -> "z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val re = ArrowDataset.load(spark, out)
+    assert(re.orderBy("id").collect().map(_.getString(1)).toSeq
+      === Seq("x", "y", "z"))
+    // the manifest lists batch shards in batch order
+    val state = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/state.json")), "UTF-8")
+    assert(state.indexOf("data-b000000000-") <
+      state.indexOf("data-b000000001-"))
+  }
+
   test("unsupported types fail loudly before any task runs") {
     val withTs = spark.range(1).withColumn("ts", current_timestamp())
     val e = intercept[IllegalArgumentException] {
