@@ -31,10 +31,17 @@ object MiniYaml {
 
   private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
 
+  private val InlineMapItem =
+    "^([A-Za-z_][A-Za-z0-9_-]*):(?:\\s+(.*))?$".r
+
   private def scalar(s: String): Any = s.trim match {
     case "" | "null" | "~" => null
-    case "true" => true
-    case "false" => false
+    // YAML 1.1 boolean spellings the reference's own configs use:
+    // vicuna-v0.yaml writes `do_deduplication: True` / `verbose: False`
+    // (Python style), which PyYAML parses as booleans — leaving them as
+    // strings here silently SKIPPED dedup (r17 RunnerSpec catch)
+    case "true" | "True" | "TRUE" => true
+    case "false" | "False" | "FALSE" => false
     case v if v.startsWith("\"") && v.endsWith("\"") && v.length >= 2 =>
       v.substring(1, v.length - 1)
     case v if v.startsWith("'") && v.endsWith("'") && v.length >= 2 =>
@@ -69,9 +76,19 @@ object MiniYaml {
           val (v, next) = parseBlock(lines, cur + 1, indent + 2)
           items += v
           cur = next
-        } else {
-          items += scalar(rest)
-          cur += 1
+        } else rest match {
+          // "- key: value" / "- key:" is a single-entry MAP item (the
+          // reference's `datasets:` shape, main.py:17). The key must be
+          // identifier-like and the colon followed by whitespace/EOL so
+          // scalars containing colons ("http://x", quoted strings) stay
+          // scalars.
+          case InlineMapItem(key, value) =>
+            items += scala.collection.immutable.ListMap(
+              key -> scalar(Option(value).getOrElse("")))
+            cur += 1
+          case _ =>
+            items += scalar(rest)
+            cur += 1
         }
       }
       (items.toList, cur)

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chat.Conversations
+import graft.sources.Sources
+
+/** The reference's `main.py` entrypoint, verbatim flow (r17 — every STEP
+  * was already implemented and oracled; this is the user-facing
+  * composition `python main.py --config_path cfg.yaml` runs, so a
+  * reference user can hand the engine their config FILE, not just its
+  * pieces):
+  *
+  *   load_yaml (main.py:16) → combine_datasets over `datasets:`
+  *   (main.py:78-87, source tagged when absent) →
+  *   convert_to_input_output (main.py:26-31) → add_content_columns
+  *   (main.py:34-38) → DataPreprocessor over `response_config`
+  *   (main.py:43-51) → DataPreprocessor over `instruction_config` with
+  *   cleaners FORCED EMPTY (main.py:54-63 — "Cleaner does not work on
+  *   instructions") → convert_to_chatml (main.py:67-71) →
+  *   shuffle(seed=42) (main.py:73) → push_to_hub (main.py:74) as a
+  *   parquet publish (S5 — the hub-ingestible layout).
+  *
+  * `output_dataset_path` is a hub repo id in the reference; here it
+  * resolves under `outBase` (a filesystem or object-store prefix).
+  * Dedup keep-first order: the reference's contiguous row ids over the
+  * current physical order — pass `dedupOrderCol` pointing at a unique
+  * Long column to make the kept set partition-deterministic instead
+  * (the flagship's `__mid__` pattern; recommended at cluster scale).
+  */
+object Runner {
+
+  /** CLI twin of `python main.py --config_path cfg.yaml`:
+    * `runMain graft.pipeline.Runner <config.yaml> <outBase>`.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Runner <config.yaml> <outBase> (hub repo ids in " +
+        "output_dataset_path resolve under outBase)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = run(spark, args(0), args(1))
+    println(s"[runner] published ${out.count()} chatml rows")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, configPath: String, outBase: String,
+      dedupOrderCol: Option[String] = None): DataFrame = {
+    val cfg = MiniYaml.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(configPath)))
+    runParsed(spark, cfg, outBase, dedupOrderCol)
+  }
+
+  def runParsed(spark: SparkSession, cfg: Map[String, Any], outBase: String,
+      dedupOrderCol: Option[String] = None): DataFrame = {
+    val paths = cfg.get("datasets") match {
+      case Some(ds: Seq[Any] @unchecked) => ds.map {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          m.getOrElse("dataset_path",
+            sys.error("datasets entry missing dataset_path")).toString
+        case p => p.toString
+      }
+      case _ => sys.error("config has no datasets: list (main.py:17)")
+    }
+    val outPath = cfg.getOrElse("output_dataset_path",
+      sys.error("config has no output_dataset_path (main.py:18)")).toString
+    val verbose = cfg.get("verbose").exists {
+      case b: Boolean => b
+      case s => s.toString.equalsIgnoreCase("true")
+    }
+    val respCfg = PipelineConfig.columnConfig(cfg.getOrElse(
+      "response_config", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]])
+    val instrCfg = PipelineConfig.columnConfig(cfg.getOrElse(
+      "instruction_config", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]])
+
+    // main.py:24,78-87 — union the datasets, tagging origin
+    val combined = Sources.combine(spark, paths)
+    // main.py:26-38 — R1 prefix-explode + R2 content columns
+    val io = Conversations.addContentColumns(
+      Conversations.explodeToInputOutput(combined))
+
+    // main.py:43-51 — response pass runs cleaners + filters + dedup
+    val afterResponse = new Preprocessor(io, "response",
+      respCfg.cleaners, respCfg.filters, respCfg.dedup,
+      verbose = verbose,
+      dedupOrderCol = dedupOrderCol,
+      dedupAuditStats = respCfg.dedupAudit,
+      dedupJournalPath = respCfg.dedupJournalPath).run()
+    // main.py:54-63 — instruction pass NEVER cleans (cleaners=[] with a
+    // warning in the reference; config-supplied instruction cleaners are
+    // deliberately dropped here too)
+    val afterInstruction = new Preprocessor(afterResponse, "instruction",
+      cleaners = Seq.empty,
+      filters = instrCfg.filters, dedup = instrCfg.dedup,
+      verbose = verbose,
+      dedupOrderCol = dedupOrderCol,
+      dedupAuditStats = instrCfg.dedupAudit,
+      dedupJournalPath = instrCfg.dedupJournalPath).run()
+
+    // main.py:67-73 — R3 chatml + seeded permutation (R4's
+    // engine-independent md5 key over the row's full content)
+    val chatml = Conversations.convertToChatml(afterInstruction)
+    val shuffled = Conversations.shuffleSeeded(chatml, 42,
+      to_json(struct(col("conversation"), col("source"))))
+
+    // main.py:74 — publish (S5): hub repo id resolved under outBase
+    Sources.publish(shuffled, s"$outBase/$outPath")
+    shuffled
+  }
+}
