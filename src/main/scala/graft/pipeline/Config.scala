@@ -36,12 +36,15 @@ object MiniYaml {
 
   private def scalar(s: String): Any = s.trim match {
     case "" | "null" | "~" => null
-    // YAML 1.1 boolean spellings the reference's own configs use:
-    // vicuna-v0.yaml writes `do_deduplication: True` / `verbose: False`
-    // (Python style), which PyYAML parses as booleans — leaving them as
-    // strings here silently SKIPPED dedup (r17 RunnerSpec catch)
-    case "true" | "True" | "TRUE" => true
-    case "false" | "False" | "FALSE" => false
+    // YAML 1.1 boolean spellings (what the reference's PyYAML safe_load
+    // accepts): vicuna-v0.yaml writes `do_deduplication: True` /
+    // `verbose: False` (Python style) — leaving them as strings here
+    // silently SKIPPED dedup (r17 RunnerSpec catch). yes/no/on/off are
+    // booleans in the same table; quote them to keep the strings.
+    case "true" | "True" | "TRUE" | "yes" | "Yes" | "YES" |
+         "on" | "On" | "ON" => true
+    case "false" | "False" | "FALSE" | "no" | "No" | "NO" |
+         "off" | "Off" | "OFF" => false
     case v if v.startsWith("\"") && v.endsWith("\"") && v.length >= 2 =>
       v.substring(1, v.length - 1)
     case v if v.startsWith("'") && v.endsWith("'") && v.length >= 2 =>
@@ -77,15 +80,34 @@ object MiniYaml {
           items += v
           cur = next
         } else rest match {
-          // "- key: value" / "- key:" is a single-entry MAP item (the
-          // reference's `datasets:` shape, main.py:17). The key must be
+          // "- key: value" / "- key:" opens a MAP item (the reference's
+          // `datasets:` shape, main.py:17). The key must be
           // identifier-like and the colon followed by whitespace/EOL so
           // scalars containing colons ("http://x", quoted strings) stay
-          // scalars.
+          // scalars. Further keys of the same item continue on the
+          // following lines at the dash-content indent (indent+2) and
+          // merge in — without the merge they would abort every
+          // enclosing block and silently truncate the document (r17
+          // review catch).
           case InlineMapItem(key, value) =>
-            items += scala.collection.immutable.ListMap(
+            val head = scala.collection.immutable.ListMap(
               key -> scalar(Option(value).getOrElse("")))
-            cur += 1
+            if (cur + 1 < lines.length &&
+              indentOf(lines(cur + 1)) == indent + 2 &&
+              !lines(cur + 1).trim.startsWith("-")) {
+              val (v, next) = parseBlock(lines, cur + 1, indent + 2)
+              v match {
+                case m: Map[String @unchecked, Any @unchecked] =>
+                  items += (head ++ m)
+                case other => sys.error(
+                  s"list item continuation after '- $rest' must be a " +
+                    s"map, got $other")
+              }
+              cur = next
+            } else {
+              items += head
+              cur += 1
+            }
           case _ =>
             items += scalar(rest)
             cur += 1

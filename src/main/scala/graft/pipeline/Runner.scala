@@ -45,8 +45,14 @@ object Runner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = run(spark, args(0), args(1))
-    println(s"[runner] published ${out.count()} chatml rows")
+    run(spark, args(0), args(1))
+    // count the PUBLISHED parquet — counting the returned frame would
+    // replay the whole pipeline a second time (r17 review catch)
+    val cfg = MiniYaml.parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(args(0))))
+    val n = spark.read
+      .parquet(s"${args(1)}/${cfg("output_dataset_path")}").count()
+    println(s"[runner] published $n chatml rows")
     spark.stop()
   }
 
@@ -72,14 +78,18 @@ object Runner {
       sys.error("config has no output_dataset_path (main.py:18)")).toString
     val verbose = cfg.get("verbose").exists {
       case b: Boolean => b
+      case null => false // bare `verbose:` key
       case s => s.toString.equalsIgnoreCase("true")
     }
-    val respCfg = PipelineConfig.columnConfig(cfg.getOrElse(
-      "response_config", Map.empty[String, Any])
-      .asInstanceOf[Map[String, Any]])
-    val instrCfg = PipelineConfig.columnConfig(cfg.getOrElse(
-      "instruction_config", Map.empty[String, Any])
-      .asInstanceOf[Map[String, Any]])
+    // null-safe section lookup: a bare `instruction_config:` line maps
+    // the key to null (a deliberately empty section, like the
+    // reference's bare `cleaners:`) — treat it as empty, don't NPE
+    def section(key: String): Map[String, Any] = cfg.get(key) match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m
+      case _ => Map.empty
+    }
+    val respCfg = PipelineConfig.columnConfig(section("response_config"))
+    val instrCfg = PipelineConfig.columnConfig(section("instruction_config"))
 
     // main.py:24,78-87 — union the datasets, tagging origin
     val combined = Sources.combine(spark, paths)

@@ -229,14 +229,8 @@ object ArrowDataset {
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
     val files: Seq[String] = {
-      val state = new org.apache.hadoop.fs.Path(dir, "state.json")
-      val fromState =
-        if (fs.exists(state)) {
-          val txt = new String(readFully(fs, state), StandardCharsets.UTF_8)
-          // minimal extraction: "filename": "..." entries, in order
-          "\"filename\"\\s*:\\s*\"([^\"]+)\"".r
-            .findAllMatchIn(txt).map(_.group(1)).toSeq
-        } else Seq.empty
+      val fromState = manifestFiles(fs,
+        new org.apache.hadoop.fs.Path(dir, "state.json"))
       if (fromState.nonEmpty)
         fromState.map(f => new org.apache.hadoop.fs.Path(dPath, f).toString)
       else
@@ -488,12 +482,7 @@ object ArrowDataset {
         writeShard(dir, name, schema, Iterator.empty, batchRows, cm)
         Seq(name)
       }
-    val fingerprint = java.security.MessageDigest.getInstance("MD5")
-      .digest((schema.treeString + files.mkString(","))
-        .getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
-    writeString(fs, new org.apache.hadoop.fs.Path(dir, "state.json"),
-      stateJson(files, fingerprint))
+    writeManifest(fs, dir, schema, files)
     writeString(fs, new org.apache.hadoop.fs.Path(dir, "dataset_info.json"),
       datasetInfoJson(schema))
   }
@@ -570,8 +559,37 @@ object ArrowDataset {
     val out = fs.create(tmp, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    // rename-first: many FSes (POSIX local, HDFS overwrite-capable
+    // paths) replace atomically; only fall back to delete+rename when
+    // the FS refuses a rename onto an existing file — that narrow
+    // window is the non-atomic residue (object stores copy on rename
+    // anyway; single-writer + replayable batches bound the damage)
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    }
+  }
+
+  /** Shard filenames from a state.json manifest, in manifest order. */
+  private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(statePath)) Seq.empty
+    else {
+      val txt = new String(readFully(fs, statePath),
+        StandardCharsets.UTF_8)
+      "\"filename\"\\s*:\\s*\"([^\"]+)\"".r
+        .findAllMatchIn(txt).map(_.group(1)).toSeq
+    }
+
+  /** Write the state.json manifest (atomic) for `files` in order. */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, schema: StructType, files: Seq[String]): Unit = {
+    val fingerprint = java.security.MessageDigest.getInstance("MD5")
+      .digest((schema.treeString + files.mkString(","))
+        .getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    writeString(fs, new org.apache.hadoop.fs.Path(dir, "state.json"),
+      stateJson(files, fingerprint))
   }
 
   // ------------------------------------------------------------------
@@ -601,15 +619,27 @@ object ArrowDataset {
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
     fs.mkdirs(dPath)
-    val info = datasetInfoJson(schema)
+    val statePath = new org.apache.hadoop.fs.Path(dir, "state.json")
+    val existing = manifestFiles(fs, statePath)
+    // schema guard: compare STRUCTURALLY against the actual shard bytes
+    // (the first manifested shard), not dataset_info.json byte equality
+    // — a directory written by real HF save_to_disk carries a richer
+    // info json with identical features, and that must append fine
+    // (r17 review catch)
+    existing.headOption.foreach { f =>
+      val shardSchema = readSchema(
+        new org.apache.hadoop.fs.Path(dPath, f).toString, conf)
+      val incoming = StructType(schema.fields.map(x =>
+        StructField(x.name, x.dataType)))
+      val present = StructType(shardSchema.fields.map(x =>
+        StructField(x.name, x.dataType)))
+      require(incoming == present,
+        s"schema drift: $dir holds $present but the batch has $incoming " +
+          "— streaming appends must keep one schema per dataset")
+    }
     val infoPath = new org.apache.hadoop.fs.Path(dir, "dataset_info.json")
-    if (fs.exists(infoPath)) {
-      val existing = new String(readFully(fs, infoPath),
-        StandardCharsets.UTF_8)
-      require(existing == info,
-        s"schema drift: $dir was written with different features — " +
-          "streaming appends must keep one schema per dataset")
-    } else writeString(fs, infoPath, info)
+    if (!fs.exists(infoPath))
+      writeString(fs, infoPath, datasetInfoJson(schema))
 
     val cm = confMap(conf)
     val prefix = f"data-b$batchId%09d-"
@@ -622,14 +652,6 @@ object ArrowDataset {
       }
     }.collect().sortBy(_._1)
 
-    val statePath = new org.apache.hadoop.fs.Path(dir, "state.json")
-    val existing: Seq[String] =
-      if (fs.exists(statePath)) {
-        val txt = new String(readFully(fs, statePath),
-          StandardCharsets.UTF_8)
-        "\"filename\"\\s*:\\s*\"([^\"]+)\"".r
-          .findAllMatchIn(txt).map(_.group(1)).toSeq
-      } else Seq.empty
     // drop a replayed batch's previous names, then SORT: the zero-padded
     // names order as (batchId, partition), so a replayed batch lands
     // back in its original manifest position instead of at the end —
@@ -637,13 +659,17 @@ object ArrowDataset {
     // (Names from a prior batch save() sort first: 'data-0…' < 'data-b…'.)
     val files =
       (existing.filterNot(_.startsWith(prefix)) ++ counts.map(_._2)).sorted
-    if (files.nonEmpty) {
-      val fingerprint = java.security.MessageDigest.getInstance("MD5")
-        .digest((schema.treeString + files.mkString(","))
-          .getBytes(StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(16)
-      writeString(fs, statePath, stateJson(files, fingerprint))
-    }
+    if (files.nonEmpty) writeManifest(fs, dir, schema, files)
+    // sweep orphans of THIS batch: a replay that produced fewer
+    // partitions than a crashed earlier attempt leaves same-prefix
+    // shards that are no longer manifested — a manifest-less fallback
+    // listing (or HF ingesting by glob) would double-count them
+    val keep = files.toSet
+    fs.listStatus(dPath).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".arrow") &&
+        !keep.contains(n))
+      .foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(dPath, n), false))
   }
 
   // ------------------------------------------------------------------

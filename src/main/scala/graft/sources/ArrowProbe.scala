@@ -33,6 +33,11 @@ object ArrowProbe {
 
     val arrowDir = "/tmp/graft_arrow_probe"
     val pqDir = "/tmp/graft_arrow_probe_pq"
+    // clean slate: save() overwrites manifested shards by name, so a
+    // prior run with MORE shards would leave orphans that inflate the
+    // size sum below (load follows state.json either way)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(arrowDir))
     val (saveS, _) = t { ArrowDataset.save(docs, arrowDir) }
     val (pqWriteS, _) = t {
       docs.write.mode("overwrite").parquet(pqDir)

@@ -312,13 +312,31 @@ class ArrowDatasetSpec extends AnyFunSuite {
     assert(state.indexOf("data-b000000000-") <
       state.indexOf("data-b000000001-"))
 
-    // schema drift across batches fails loudly
+    // schema drift across batches fails loudly — STRUCTURALLY, against
+    // the shard bytes, so a richer dataset_info.json (what real HF
+    // save_to_disk writes) does not trip it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/dataset_info.json"),
+      """{"description": "hf-written, richer fields", "features": {}}""")
+    ArrowDataset.appendBatch(df(Seq(Row(9L, "late"))), out, 3L)
+    assert(ArrowDataset.load(spark, out).count() === 4)
     val drifted = spark.createDataFrame(
       Seq(Row(4L)).asJava, StructType(Seq(StructField("id", LongType))))
     val e = intercept[IllegalArgumentException] {
-      ArrowDataset.appendBatch(drifted, out, 2L)
+      ArrowDataset.appendBatch(drifted, out, 4L)
     }
     assert(e.getMessage.contains("schema drift"))
+
+    // orphan sweep: a crashed earlier attempt's same-prefix shard that
+    // the replay no longer produces must be deleted (a manifest-less
+    // glob would double-count it)
+    val orphan = java.nio.file.Paths.get(s"$out/data-b000000001-p01999.arrow")
+    val anyShard = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head.toPath
+    java.nio.file.Files.copy(anyShard, orphan)
+    ArrowDataset.appendBatch(df(Seq(Row(3L, "c"))), out, 1L) // replay b1
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(ArrowDataset.load(spark, out).count() === 4)
   }
 
   test("foreachBatchArrowPublish: a stream publishes an HF-loadable dataset") {

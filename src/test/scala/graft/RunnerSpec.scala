@@ -145,6 +145,26 @@ class RunnerSpec extends AnyFunSuite {
     assert(result.count() === 2)
   }
 
+  test("MiniYaml: multi-key list items merge; yes/no parse as booleans") {
+    val cfg = graft.pipeline.MiniYaml.parse(
+      """datasets:
+        |  - dataset_path: a
+        |    split: train
+        |  - dataset_path: b
+        |flag_yes: yes
+        |flag_off: Off
+        |output_dataset_path: kept/after-list
+        |""".stripMargin)
+    val ds = cfg("datasets").asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    assert(ds === Seq(Map("dataset_path" -> "a", "split" -> "train"),
+      Map("dataset_path" -> "b")))
+    assert(cfg("flag_yes") === true)
+    assert(cfg("flag_off") === false)
+    // the continuation line must NOT truncate the enclosing document
+    assert(cfg("output_dataset_path") === "kept/after-list")
+  }
+
   test("the reference's shipped vicuna-v0.yaml parses verbatim") {
     val p = java.nio.file.Paths.get(
       "/root/reference/experiments/instructions/vicuna-v0.yaml")
@@ -166,8 +186,13 @@ class RunnerSpec extends AnyFunSuite {
       === Set("check_word_number", "check_ethics")) // bare no-args form
     assert(resp.dedup.isDefined) // `True` → dedup actually ON
     val mh = resp.dedup.get
+    // the values equal the DEFAULTS, faithfully: the reference reads
+    // dedup params from `args` only and silently IGNORES the
+    // minhash_config: block vicuna-v0 writes (preprocessor.py:73-77;
+    // the ignore semantics itself is pinned by ExtrasSpec with a
+    // non-default minhash_config ngram)
     assert(mh.ngramSize === 5 && mh.numPerm === 256 &&
-      mh.threshold === 0.7 && mh.minNgramSize === 5) // minhash_config: nest
+      mh.threshold === 0.7 && mh.minNgramSize === 5)
 
     val instr = graft.pipeline.PipelineConfig.columnConfig(
       cfg("instruction_config").asInstanceOf[Map[String, Any]])
