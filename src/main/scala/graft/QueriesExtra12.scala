@@ -75,5 +75,51 @@ object QueriesExtra12 {
     },
     Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))
 
-  val all: Seq[QueryDef] = Seq(s4ArrowRoundTrip)
+  /** The STREAMING publish path under the same gate: the corpus arrives
+    * as three `appendBatch` micro-batches (split by doc_id mod 3, with
+    * batch 1 re-delivered once — the foreachBatch at-least-once case),
+    * and the loaded dataset must still hash-equal the source parquet:
+    * exactly-once convergence, manifest-ordered, value-faithful.
+    */
+  private def ensureAppended(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = rtDir(dir) + "_append"
+    if (!done.contains(out)) synchronized {
+      if (!done.contains(out)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        val lockCh = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(s"$out/.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = lockCh.lock()
+        try {
+          val marker = java.nio.file.Paths.get(s"$out/_GRAFT_ARROW_OK")
+          if (!java.nio.file.Files.exists(marker)) {
+            val docs = Queries.table(s, dir, "documents")
+            def slice(k: Int) = docs
+              .where(org.apache.spark.sql.functions.col("doc_id") % 3
+                === k)
+              .repartition(2,
+                org.apache.spark.sql.functions.col("doc_id"))
+            (0 to 2).foreach(k =>
+              ArrowDataset.appendBatch(slice(k), out, k.toLong))
+            ArrowDataset.appendBatch(slice(1), out, 1L) // replay batch 1
+            java.nio.file.Files.createFile(marker)
+          }
+        } finally { lock.release(); lockCh.close() }
+        done.add(out)
+      }
+    }
+    out
+  }
+
+  val s4ArrowAppend: QueryDef = QueryDef("s4_arrow_append",
+    (s, dir) => {
+      val out = ensureAppended(s, dir)
+      ArrowDataset.load(s, out)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    },
+    Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))
+
+  val all: Seq[QueryDef] = Seq(s4ArrowRoundTrip, s4ArrowAppend)
 }
