@@ -100,16 +100,19 @@ object Sf100Soak {
     // 2. dedup_minhash shape (the bench query's config) at 5M docs with
     //    DEFAULT routing — record which clustering branch actually ran
     val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
-    val distBefore = DedupMetrics.distributedPath.get
+    val dedupBefore = DedupMetrics.counts
     val (dedupKept, dedupSec) = timed {
       MinHashDedup.deduplicate(
         docs.select(col("doc_id"), col("text")), "text", cfg,
         orderCol = Some("doc_id")).count()
     }
-    val distFired = DedupMetrics.distributedPath.get > distBefore
+    val distFired =
+      DedupMetrics.counts.distributed > dedupBefore.distributed
+    // PHASE deltas, not cumulative counters: a prior phase's hit must
+    // not read beside this phase's flag (r17 VERDICT "what's wrong" #3)
     System.err.println(f"[sf100] dedup_minhash kept=$dedupKept in " +
       f"$dedupSec%.1fs distributedBranch=$distFired " +
-      s"(${DedupMetrics.snapshot})")
+      s"(phase ${DedupMetrics.deltaString(dedupBefore)})")
     spark.catalog.clearCache()
     graft.dedup.MinHash.clearPermCache()
     System.gc()
@@ -120,19 +123,51 @@ object Sf100Soak {
       .select(col("doc_id"), col("text"))
     val ref = docs.where(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"), col("text"))
+    val buildBefore = DedupMetrics.counts
     val (store, buildSec) = timed {
       MinHashDedup.exportBandedStore(ref, "text",
         "/tmp/graft_sf100_store", cfg, orderCol = Some("doc_id"))
     }
+    System.err.println(f"[sf100] store build $buildSec%.1fs " +
+      s"(phase ${DedupMetrics.deltaString(buildBefore)})")
     spark.catalog.clearCache()
     graft.dedup.MinHash.clearPermCache()
     System.gc()
+    val incBefore = DedupMetrics.counts
     val (incKept, incSec) = timed {
       MinHashDedup.deduplicateAgainstStore(inc, store, "text", cfg,
         orderCol = Some("doc_id")).count()
     }
-    System.err.println(f"[sf100] store build $buildSec%.1fs, " +
-      f"increment kept=$incKept in $incSec%.1fs")
+    System.err.println(f"[sf100] increment kept=$incKept in $incSec%.1fs " +
+      s"(phase ${DedupMetrics.deltaString(incBefore)})")
+    spark.catalog.clearCache()
+    System.gc()
+
+    // 4. arrow interop at the decade (r17 VERDICT ask #5): save the full
+    //    corpus in the HF layout (zstd batches — the publish-scale
+    //    configuration) and stream it back; one task per shard both
+    //    ways, so this is the 1000×-scale proof of the
+    //    shard-per-partition / batch-streaming design. Dir dropped after
+    //    the read — the bytes, not the artifact, are the datum.
+    val arrowDir = s"$dest/arrow_zstd"
+    val (_, arrowSaveSec) = timed {
+      graft.sources.ArrowDataset.save(
+        docs.select(col("doc_id"), col("text")), arrowDir,
+        compression = "zstd")
+    }
+    val arrowBytes = {
+      val d = new java.io.File(arrowDir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".arrow")).map(_.length()).sum
+    }
+    val (arrowRows, arrowLoadSec) = timed {
+      graft.sources.ArrowDataset.load(spark, arrowDir).count()
+    }
+    System.err.println(f"[sf100] arrow save $arrowSaveSec%.1fs " +
+      f"(${arrowBytes / 1e6}%.0f MB zstd), load+count $arrowLoadSec%.1fs " +
+      s"rows=$arrowRows (match=${arrowRows == nDocs})")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(arrowDir))
 
     println(f"""{"metric":"sf100_soak","docs":$nDocs,"orders":$nOrders,""" +
       f""""factor":$factor,"gen_sec":$genSec%.1f,""" +
@@ -140,7 +175,11 @@ object Sf100Soak {
       f""""dedup_kept":$dedupKept,"dedup_sec":$dedupSec%.1f,""" +
       f""""distributed_branch":$distFired,""" +
       f""""store_build_sec":$buildSec%.1f,""" +
-      f""""incr_kept":$incKept,"incr_sec":$incSec%.1f""" + "}")
+      f""""incr_kept":$incKept,"incr_sec":$incSec%.1f,""" +
+      f""""arrow_save_sec":$arrowSaveSec%.1f,""" +
+      f""""arrow_mb_zstd":${arrowBytes / 1e6}%.0f,""" +
+      f""""arrow_load_sec":$arrowLoadSec%.1f,""" +
+      f""""arrow_rows_match":${arrowRows == nDocs}""" + "}")
     spark.stop()
   }
 }

@@ -65,12 +65,16 @@ object Runner {
 
   def runParsed(spark: SparkSession, cfg: Map[String, Any], outBase: String,
       dedupOrderCol: Option[String] = None): DataFrame = {
-    val paths = cfg.get("datasets") match {
+    // each entry: dataset_path + optional `split:` selector (utils.py:173
+    // loads split="train"; absent → main.py:82 concatenates ALL splits of
+    // a dict-shaped dataset, which single-split sources trivially are)
+    val entries: Seq[(String, Option[String])] = cfg.get("datasets") match {
       case Some(ds: Seq[Any] @unchecked) => ds.map {
         case m: Map[String @unchecked, Any @unchecked] =>
-          m.getOrElse("dataset_path",
-            sys.error("datasets entry missing dataset_path")).toString
-        case p => p.toString
+          (m.getOrElse("dataset_path",
+            sys.error("datasets entry missing dataset_path")).toString,
+            m.get("split").collect { case s if s != null => s.toString })
+        case p => (p.toString, None)
       }
       case _ => sys.error("config has no datasets: list (main.py:17)")
     }
@@ -81,18 +85,25 @@ object Runner {
       case null => false // bare `verbose:` key
       case s => s.toString.equalsIgnoreCase("true")
     }
-    // null-safe section lookup: a bare `instruction_config:` line maps
-    // the key to null (a deliberately empty section, like the
-    // reference's bare `cleaners:`) — treat it as empty, don't NPE
+    // Both section keys MUST exist — main.py:21-22 does
+    // config["response_config"]/["instruction_config"] and raises
+    // KeyError on a typoed/missing name; silently treating a missing
+    // section as "no filters, no dedup" would publish unprocessed data
+    // (r17 ADVICE). A PRESENT-but-bare key (`instruction_config:` →
+    // null) stays a deliberately empty section, like the reference's
+    // bare `cleaners:`.
     def section(key: String): Map[String, Any] = cfg.get(key) match {
       case Some(m: Map[String @unchecked, Any @unchecked]) => m
-      case _ => Map.empty
+      case Some(_) => Map.empty // explicit null/empty section
+      case None => sys.error(
+        s"config has no $key section (main.py:21-22 raises KeyError)")
     }
     val respCfg = PipelineConfig.columnConfig(section("response_config"))
     val instrCfg = PipelineConfig.columnConfig(section("instruction_config"))
 
-    // main.py:24,78-87 — union the datasets, tagging origin
-    val combined = Sources.combine(spark, paths)
+    // main.py:24,78-87 — union the datasets (splits concatenated or
+    // selected per entry), tagging origin
+    val combined = Sources.combineEntries(spark, entries)
     // main.py:26-38 — R1 prefix-explode + R2 content columns
     val io = Conversations.addContentColumns(
       Conversations.explodeToInputOutput(combined))

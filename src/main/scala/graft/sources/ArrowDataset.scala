@@ -8,7 +8,9 @@ import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.compression.CompressionUtil
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.arrow.vector.util.Text
@@ -131,6 +133,17 @@ object ArrowDataset {
     new Field(name, new FieldType(nullable, t, null),
       java.util.Collections.emptyList[Field]())
 
+  /** Relax nullability at EVERY nesting level (array containsNull,
+    * struct children, recursively) — the shape-only view of a type for
+    * schema-drift comparison.
+    */
+  private[sources] def asNullable(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(asNullable(et), containsNull = true)
+    case StructType(fields) => StructType(fields.map(f =>
+      StructField(f.name, asNullable(f.dataType), nullable = true)))
+    case other => other
+  }
+
   // ------------------------------------------------------------------
   // value conversion: arrow getObject() results → Spark external types
   // ------------------------------------------------------------------
@@ -224,10 +237,34 @@ object ArrowDataset {
     * batches; Arrow has no column skip within a batch).
     */
   def load(spark: SparkSession, dir: String,
-      columns: Seq[String] = Nil): DataFrame = {
+      columns: Seq[String] = Nil, split: Option[String] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
+    // DatasetDict layout: HF `save_to_disk` on a split DICT writes
+    // `dataset_dict.json` ({"splits": [...]}) + one single-split subdir
+    // per split. The reference's first act is concatenating splits
+    // (main.py:82, utils.py:173-176), so the default unions them in
+    // dict order; `split` selects one.
+    val dictPath = new org.apache.hadoop.fs.Path(dir, "dataset_dict.json")
+    if (fs.exists(dictPath)) {
+      val splits = dictSplits(new String(readFully(fs, dictPath),
+        StandardCharsets.UTF_8))
+      require(splits.nonEmpty, s"$dictPath lists no splits")
+      val chosen = split match {
+        case Some(s) =>
+          require(splits.contains(s),
+            s"split $s not in $dir (has: ${splits.mkString(", ")})")
+          Seq(s)
+        case None => splits
+      }
+      return chosen.map(s => load(spark,
+          new org.apache.hadoop.fs.Path(dPath, s).toString, columns))
+        .reduce(_.unionByName(_))
+    }
+    require(split.isEmpty,
+      s"$dir is a single-split dataset (no dataset_dict.json) — " +
+        "split selection only applies to DatasetDict saves")
     val files: Seq[String] = {
       val fromState = manifestFiles(fs,
         new org.apache.hadoop.fs.Path(dir, "state.json"))
@@ -453,11 +490,21 @@ object ArrowDataset {
     * `.arrow` shard per partition (written from executors via the
     * Hadoop FS API), plus `state.json` and `dataset_info.json`. Record
     * batches of `batchRows` rows bound writer memory.
+    *
+    * `compression`: "none" (HF's own save_to_disk default — maximally
+    * compatible), "zstd", or "lz4". Compressed record batches are part
+    * of the Arrow IPC spec (buffer-level body compression, read
+    * transparently by pyarrow ≥4 and by this module's reader) and cut
+    * shard bytes ~3× on text corpora (PERF.md interop table) — at a
+    * 100 TB publish that is the difference between shipping 100 TB and
+    * 300 TB.
     */
-  def save(df: DataFrame, dir: String, batchRows: Int = 1024): Unit = {
+  def save(df: DataFrame, dir: String, batchRows: Int = 1024,
+      compression: String = "none"): Unit = {
     val schema = df.schema
-    // validate types on the driver — fail before any task runs
+    // validate types + codec on the driver — fail before any task runs
     schema.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
+    codecType(compression)
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
@@ -471,7 +518,7 @@ object ArrowDataset {
     // order would scramble the manifest's row-order contract
     val counts = rdd.mapPartitionsWithIndex { (pid, rows) =>
       val name = f"data-$pid%05d-of-$shards%05d.arrow"
-      val n = writeShard(dir, name, schema, rows, batchRows, cm)
+      val n = writeShard(dir, name, schema, rows, batchRows, cm, compression)
       Iterator.single((pid, name, n))
     }.collect().sortBy(_._1) // shard names + row counts only — O(shards)
 
@@ -479,13 +526,65 @@ object ArrowDataset {
       if (counts.nonEmpty) counts.map(_._2).toSeq
       else { // zero-partition frame: write one empty schema-carrying shard
         val name = f"data-${0}%05d-of-$shards%05d.arrow"
-        writeShard(dir, name, schema, Iterator.empty, batchRows, cm)
+        writeShard(dir, name, schema, Iterator.empty, batchRows, cm,
+          compression)
         Seq(name)
       }
     writeManifest(fs, dir, schema, files)
     writeString(fs, new org.apache.hadoop.fs.Path(dir, "dataset_info.json"),
       datasetInfoJson(schema))
+    // sweep shards a PREVIOUS save into this dir manifested but this one
+    // does not (the -of- suffix changes with partition count, so old
+    // names rarely collide with new): without this, a manifest-less
+    // fallback listing — or any glob-based consumer — double-counts the
+    // stale files, and disk leaks save-over-save (r17 ADVICE)
+    val keep = files.toSet
+    fs.listStatus(dPath).map(_.getPath.getName)
+      .filter(n => (n.startsWith("data-") && n.endsWith(".arrow") &&
+        !keep.contains(n)) ||
+        // crash residue: a hard-killed attempt's partial temp (its
+        // finally-block delete never ran) — our own temps are already
+        // renamed or deleted by the time the job completes
+        (n.startsWith(".data-") && n.endsWith(".tmp")))
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dPath, n), false))
   }
+
+  /** Save a split dict in the HF DatasetDict layout: `dataset_dict.json`
+    * ({"splits": [...]}) + one single-split subdir per entry — the shape
+    * `datasets.DatasetDict.save_to_disk` writes and `load_from_disk`
+    * returns as a dict. Split order follows `splits` (use a LinkedHashMap
+    * or Seq-backed map for determinism).
+    */
+  def saveDict(splits: Seq[(String, DataFrame)], dir: String,
+      batchRows: Int = 1024, compression: String = "none"): Unit = {
+    require(splits.nonEmpty, "saveDict needs at least one split")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: ${splits.map(_._1)}")
+    val conf = splits.head._2.sparkSession.sessionState.newHadoopConf()
+    val dPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dPath.getFileSystem(conf)
+    fs.mkdirs(dPath)
+    splits.foreach { case (name, df) =>
+      save(df, new org.apache.hadoop.fs.Path(dPath, name).toString,
+        batchRows, compression)
+    }
+    writeString(fs, new org.apache.hadoop.fs.Path(dPath, "dataset_dict.json"),
+      splits.map(s => jq(s._1)).mkString("{\"splits\": [", ", ", "]}"))
+  }
+
+  /** Map a codec name to the arrow IPC body-compression type; None means
+    * uncompressed (HF save_to_disk's own behavior). Fails loudly on
+    * anything else.
+    */
+  private[sources] def codecType(compression: String)
+      : Option[CompressionUtil.CodecType] =
+    compression.toLowerCase match {
+      case "" | "none" | "uncompressed" => None
+      case "zstd" => Some(CompressionUtil.CodecType.ZSTD)
+      case "lz4" | "lz4_frame" => Some(CompressionUtil.CodecType.LZ4_FRAME)
+      case other => throw new IllegalArgumentException(
+        s"unsupported arrow compression '$other' — zstd, lz4, or none")
+    }
 
   /** Write one shard with a task-commit protocol: bytes go to a hidden
     * per-attempt temp name and rename into place only when complete, so
@@ -494,7 +593,8 @@ object ArrowDataset {
     * finished attempts race, either's complete bytes are equivalent).
     */
   private def writeShard(dir: String, name: String, schema: StructType,
-      rows: Iterator[Row], batchRows: Int, cm: Map[String, String]): Long = {
+      rows: Iterator[Row], batchRows: Int, cm: Map[String, String],
+      compression: String = "none"): Long = {
     val conf = inflate(cm)
     val attempt = Option(org.apache.spark.TaskContext.get())
       .map(_.taskAttemptId).getOrElse(0L)
@@ -507,8 +607,12 @@ object ArrowDataset {
     val root = VectorSchemaRoot.create(
       new Schema(fields.toSeq.asJava), allocator)
     val out = fs.create(tmpPath, true)
-    val writer = new ArrowStreamWriter(root, null,
-      java.nio.channels.Channels.newChannel(out))
+    val channel = java.nio.channels.Channels.newChannel(out)
+    val writer = codecType(compression) match {
+      case Some(ct) => new ArrowStreamWriter(root, null, channel,
+        IpcOption.DEFAULT, CommonsCompressionFactory.INSTANCE, ct)
+      case None => new ArrowStreamWriter(root, null, channel)
+    }
     var total = 0L
     var committed = false
     try {
@@ -570,6 +674,13 @@ object ArrowDataset {
     }
   }
 
+  /** Split names from a dataset_dict.json body, in dict order. */
+  private[sources] def dictSplits(json: String): Seq[String] =
+    "\"splits\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
   /** Shard filenames from a state.json manifest, in manifest order. */
   private def manifestFiles(fs: org.apache.hadoop.fs.FileSystem,
       statePath: org.apache.hadoop.fs.Path): Seq[String] =
@@ -606,15 +717,24 @@ object ArrowDataset {
     * dataset converges to exactly-once. state.json rewrites atomically
     * (temp + rename) after the shards land, so `load`/HF
     * `load_from_disk` at any instant sees a complete, consistent
-    * prefix of the stream. Single writer (one streaming query per
-    * directory) assumed — the HF layout has no multi-writer story.
-    * Empty partitions write nothing (streams idle often; schema-only
-    * shards would accrete forever).
+    * prefix of the stream — with one caveat: a REPLAYED batch replaces
+    * its shards via delete+rename, so a reader that resolved the old
+    * state.json and is mid-scan when the replay lands can hit a
+    * missing-shard window. Single writer (one streaming query per
+    * directory) assumed — the HF layout has no multi-writer story —
+    * and readers racing a replay-in-progress should retry on a missing
+    * shard. Empty partitions write nothing (streams idle often;
+    * schema-only shards would accrete forever), EXCEPT when the very
+    * first batch is entirely empty: then one schema-only shard + the
+    * manifest are written so the directory is `load`/`load_from_disk`-
+    * valid from the first committed batch (r17 ADVICE — previously only
+    * dataset_info.json appeared, a layout both readers reject).
     */
   def appendBatch(df: DataFrame, dir: String, batchId: Long,
-      batchRows: Int = 1024): Unit = {
+      batchRows: Int = 1024, compression: String = "none"): Unit = {
     val schema = df.schema
     schema.fields.foreach(f => toArrowField(f.name, f.dataType, f.nullable))
+    codecType(compression)
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
@@ -629,10 +749,14 @@ object ArrowDataset {
     existing.headOption.foreach { f =>
       val shardSchema = readSchema(
         new org.apache.hadoop.fs.Path(dPath, f).toString, conf)
+      // nullability strips RECURSIVELY: DataType equality on nested
+      // types includes ArrayType.containsNull / struct-child nullable,
+      // and a typed stream can report tighter nested nullability than
+      // the shard bytes without any real drift (r17 ADVICE)
       val incoming = StructType(schema.fields.map(x =>
-        StructField(x.name, x.dataType)))
+        StructField(x.name, asNullable(x.dataType))))
       val present = StructType(shardSchema.fields.map(x =>
-        StructField(x.name, x.dataType)))
+        StructField(x.name, asNullable(x.dataType))))
       require(incoming == present,
         s"schema drift: $dir holds $present but the batch has $incoming " +
           "— streaming appends must keep one schema per dataset")
@@ -647,7 +771,8 @@ object ArrowDataset {
       if (rows.isEmpty) Iterator.empty
       else {
         val name = f"${prefix}p$pid%05d.arrow"
-        val n = writeShard(dir, name, schema, rows, batchRows, cm)
+        val n = writeShard(dir, name, schema, rows, batchRows, cm,
+          compression)
         Iterator.single((pid, name, n))
       }
     }.collect().sortBy(_._1)
@@ -657,17 +782,30 @@ object ArrowDataset {
     // back in its original manifest position instead of at the end —
     // the published row order stays the stream order under replay.
     // (Names from a prior batch save() sort first: 'data-0…' < 'data-b…'.)
-    val files =
+    val appended =
       (existing.filterNot(_.startsWith(prefix)) ++ counts.map(_._2)).sorted
-    if (files.nonEmpty) writeManifest(fs, dir, schema, files)
+    val files =
+      if (appended.nonEmpty) appended
+      else {
+        // all-empty FIRST batch: one schema-only shard keeps the
+        // directory loadable from the first commit (see scaladoc)
+        val name = f"${prefix}p${0}%05d.arrow"
+        writeShard(dir, name, schema, Iterator.empty, batchRows, cm,
+          compression)
+        Seq(name)
+      }
+    writeManifest(fs, dir, schema, files)
     // sweep orphans of THIS batch: a replay that produced fewer
     // partitions than a crashed earlier attempt leaves same-prefix
     // shards that are no longer manifested — a manifest-less fallback
     // listing (or HF ingesting by glob) would double-count them
     val keep = files.toSet
     fs.listStatus(dPath).map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix) && n.endsWith(".arrow") &&
-        !keep.contains(n))
+      .filter(n => (n.startsWith(prefix) && n.endsWith(".arrow") &&
+        !keep.contains(n)) ||
+        // crash residue of THIS batch: a killed earlier attempt's
+        // partial temp under the same deterministic names
+        (n.startsWith("." + prefix) && n.endsWith(".tmp")))
       .foreach(n => fs.delete(
         new org.apache.hadoop.fs.Path(dPath, n), false))
   }

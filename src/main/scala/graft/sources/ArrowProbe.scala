@@ -51,14 +51,29 @@ object ArrowProbe {
     }
     require(loadedRows == rows, s"row loss: $loadedRows != $rows")
 
-    val arrowBytes = new java.io.File(arrowDir).listFiles()
-      .filter(_.getName.endsWith(".arrow")).map(_.length).sum
-    val pqBytes = new java.io.File(pqDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // compressed save (r18): IPC body compression, the publish-scale
+    // configuration — measures the write premium and the byte saving
+    val zstdDir = "/tmp/graft_arrow_probe_zstd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zstdDir))
+    val (zstdSaveS, _) =
+      t { ArrowDataset.save(docs, zstdDir, compression = "zstd") }
+    val (zstdLoadS, zstdRows) =
+      t { ArrowDataset.load(spark, zstdDir).count() }
+    require(zstdRows == rows, s"zstd row loss: $zstdRows != $rows")
+
+    def dirBytes(d: String, suffix: String): Long =
+      new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(suffix)).map(_.length).sum
+    val arrowBytes = dirBytes(arrowDir, ".arrow")
+    val zstdBytes = dirBytes(zstdDir, ".arrow")
+    val pqBytes = dirBytes(pqDir, ".parquet")
     println(f"""{"metric":"arrow_probe","sf":"$sfDir","rows":$rows,""" +
       f""""shards":$shards,"save_s":$saveS%.3f,"load_s":$loadS%.3f,""" +
       f""""load_pruned_s":$prunedS%.3f,"pq_write_s":$pqWriteS%.3f,""" +
-      f""""pq_read_s":$pqReadS%.3f,"arrow_mb":${arrowBytes / 1e6}%.1f,""" +
+      f""""pq_read_s":$pqReadS%.3f,""" +
+      f""""zstd_save_s":$zstdSaveS%.3f,"zstd_load_s":$zstdLoadS%.3f,""" +
+      f""""arrow_mb":${arrowBytes / 1e6}%.1f,""" +
+      f""""arrow_mb_zstd":${zstdBytes / 1e6}%.1f,""" +
       f""""pq_mb":${pqBytes / 1e6}%.1f}""")
     spark.stop()
   }

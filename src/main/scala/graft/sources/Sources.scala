@@ -34,21 +34,28 @@ object Sources {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     try fs.getFileStatus(p).isDirectory && {
       val names = fs.listStatus(p).map(_.getPath.getName)
-      names.contains("state.json") || names.exists(_.endsWith(".arrow"))
+      names.contains("state.json") || names.contains("dataset_dict.json") ||
+        names.exists(_.endsWith(".arrow"))
     } catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** S4 `load_from_disk` (preprocessor.py:72): ingest a directory HF
-    * `datasets.save_to_disk` wrote.
+    * `datasets.save_to_disk` wrote — single-split or DatasetDict layout
+    * (`split` selects one split of a dict; default unions in dict
+    * order, the reference's concatenate-splits behavior).
     */
-  def loadFromDisk(spark: SparkSession, dir: String): DataFrame =
-    ArrowDataset.load(spark, dir)
+  def loadFromDisk(spark: SparkSession, dir: String,
+      split: Option[String] = None): DataFrame =
+    ArrowDataset.load(spark, dir, Nil, split)
 
   /** S4 `save_to_disk` (preprocessor.py:68): publish in the HF on-disk
     * layout so `datasets.load_from_disk` can ingest the result.
+    * `compression` = none (HF default) / zstd / lz4 — IPC body
+    * compression pyarrow reads transparently; ~3× fewer bytes on text.
     */
-  def saveToDisk(df: DataFrame, dir: String): Unit =
-    ArrowDataset.save(df, dir)
+  def saveToDisk(df: DataFrame, dir: String,
+      compression: String = "none"): Unit =
+    ArrowDataset.save(df, dir, compression = compression)
 
   /** S2 `concatenate_datasets`: union N splits by name. */
   def concatenate(dfs: Seq[DataFrame]): DataFrame =
@@ -56,10 +63,24 @@ object Sources {
 
   /** S3 `combine_datasets` — main.py:78-87: union datasets, tagging each
     * row with its origin path in `source` when the column is absent.
+    * A dict-shaped (DatasetDict) path concatenates its splits in dict
+    * order, exactly main.py:82's `concatenate_datasets(dataset.values())`.
     */
   def combine(spark: SparkSession, paths: Seq[String]): DataFrame =
-    concatenate(paths.map { p =>
-      val df = load(spark, p)
+    combineEntries(spark, paths.map(_ -> None))
+
+  /** [[combine]] with an optional per-dataset split selector — the
+    * `split: train` key a config's datasets entry may carry
+    * (utils.py:173 loads `split="train"`); None keeps the
+    * concatenate-all-splits default.
+    */
+  def combineEntries(spark: SparkSession,
+      entries: Seq[(String, Option[String])]): DataFrame =
+    concatenate(entries.map { case (p, split) =>
+      val df = split match {
+        case Some(s) => loadFromDisk(spark, p, Some(s))
+        case None => load(spark, p)
+      }
       if (df.columns.contains("source")) df
       else df.withColumn("source", lit(p))
     })

@@ -159,6 +159,15 @@ class ArrowDatasetSpec extends AnyFunSuite {
     val a = docs.orderBy("doc_id").collect().toSeq
     val b = re.orderBy("doc_id").collect().toSeq
     assert(a === b)
+    // compressed variants on the same real corpus — these dirs double as
+    // inputs to tools/arrow_interop.py, which re-reads them with REAL
+    // pyarrow (codec interop in the writer direction)
+    for (codec <- Seq("zstd", "lz4")) {
+      val cdir = s"/tmp/graft_arrow_spec_docs_$codec"
+      ArrowDataset.save(docs.repartition(3), cdir, compression = codec)
+      assert(ArrowDataset.load(spark, cdir).orderBy("doc_id")
+        .collect().toSeq === a)
+    }
   }
 
   test("save writes the HF sidecar layout; empty partitions still shard") {
@@ -363,6 +372,213 @@ class ArrowDatasetSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$out/state.json")), "UTF-8")
     assert(state.indexOf("data-b000000000-") <
       state.indexOf("data-b000000001-"))
+  }
+
+  test("DatasetDict layout: splits union in dict order; split= selects one") {
+    val dir = resourceDir("graft/hf_fixture_dict")
+    // default: concatenate splits, dict order (train before test) — the
+    // reference's own first act on a dict-shaped load (main.py:82)
+    val all = ArrowDataset.load(spark, dir)
+    assert(all.collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 10L, 11L))
+    // split selector
+    val test0 = ArrowDataset.load(spark, dir, split = Some("test"))
+    assert(test0.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+      === Seq("test one", "test two"))
+    val e = intercept[IllegalArgumentException] {
+      ArrowDataset.load(spark, dir, split = Some("validation"))
+    }
+    assert(e.getMessage.contains("validation"))
+    // split= against a single-split dir fails loudly
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowDataset.load(spark, resourceDir("graft/hf_fixture"),
+        split = Some("train"))
+    }
+    assert(e2.getMessage.contains("single-split"))
+    // Sources.load dispatches the dict dir to the arrow reader too
+    assert(Sources.load(spark, dir).count() === 5)
+    assert(Sources.loadFromDisk(spark, dir, Some("train")).count() === 3)
+  }
+
+  test("saveDict round-trips a split dict through the DatasetDict layout") {
+    import spark.implicits._
+    val out = "/tmp/graft_arrow_spec_dict"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val train = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    val test0 = Seq((9L, "z")).toDF("id", "t")
+    ArrowDataset.saveDict(Seq("train" -> train, "test" -> test0), out)
+
+    val names = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // drop local-FS .crc sidecars
+    assert(names.toSeq === Seq("dataset_dict.json", "test", "train"))
+    val dict = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/dataset_dict.json")), "UTF-8")
+    assert(dict === """{"splits": ["train", "test"]}""")
+    assert(ArrowDataset.load(spark, out).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 9L))
+    assert(ArrowDataset.load(spark, out, split = Some("test"))
+      .collect().map(_.getString(1)).toSeq === Seq("z"))
+  }
+
+  test("compressed saves round-trip and shrink; pyarrow-readable codecs only") {
+    import spark.implicits._
+    // highly compressible text so the codec effect is unambiguous
+    val df = (0L until 200L).map(i => (i, "the quick brown fox " * 50))
+      .toDF("id", "t").coalesce(1)
+    def shardBytes(dir: String): Long =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".arrow")).map(_.length()).sum
+    val plain = "/tmp/graft_arrow_spec_comp_none"
+    val zstd = "/tmp/graft_arrow_spec_comp_zstd"
+    val lz4 = "/tmp/graft_arrow_spec_comp_lz4"
+    ArrowDataset.save(df, plain)
+    ArrowDataset.save(df, zstd, compression = "zstd")
+    ArrowDataset.save(df, lz4, compression = "lz4")
+    for (dir <- Seq(zstd, lz4)) {
+      val re = ArrowDataset.load(spark, dir)
+      assert(re.count() === 200)
+      assert(re.orderBy("id").first().getString(1)
+        === "the quick brown fox " * 50)
+      assert(shardBytes(dir) < shardBytes(plain) / 5,
+        s"$dir not compressed: ${shardBytes(dir)} vs ${shardBytes(plain)}")
+    }
+    val e = intercept[IllegalArgumentException] {
+      ArrowDataset.save(df, "/tmp/graft_arrow_spec_comp_bad",
+        compression = "snappy")
+    }
+    assert(e.getMessage.contains("snappy"))
+  }
+
+  test("save over a previous save sweeps stale shards from the manifest") {
+    import spark.implicits._
+    val out = "/tmp/graft_arrow_spec_resave"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    ArrowDataset.save((0L until 8L).toDF("id").repartition(4), out)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".arrow")) === 4)
+    // re-save with a DIFFERENT partition count: the -of- suffix changes,
+    // so none of the old names are reused — all four must be swept
+    ArrowDataset.save((100L until 103L).toDF("id").repartition(2), out)
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.endsWith(".arrow")).sorted
+    assert(files.toSeq === Seq("data-00000-of-00002.arrow",
+      "data-00001-of-00002.arrow"))
+    // and the dataset reads as ONLY the new rows (a glob-based consumer
+    // sees the same files the manifest lists)
+    assert(ArrowDataset.load(spark, out).collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(100L, 101L, 102L))
+  }
+
+  test("appendBatch: an all-empty first batch still commits a loadable layout") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val out = "/tmp/graft_arrow_spec_append_empty"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val empty = spark.createDataFrame(Seq.empty[Row].asJava, schema)
+    ArrowDataset.appendBatch(empty, out, 0L)
+    // state.json + dataset_info.json + one schema-only shard: both our
+    // loader and HF load_from_disk accept the directory immediately
+    val names = new java.io.File(out).listFiles().map(_.getName).sorted
+    assert(names.contains("state.json"))
+    assert(names.count(_.endsWith(".arrow")) === 1)
+    val re = ArrowDataset.load(spark, out)
+    assert(re.count() === 0)
+    assert(re.schema.fieldNames.toSeq === Seq("id", "t"))
+    // data arriving later appends normally
+    ArrowDataset.appendBatch(spark.createDataFrame(
+      Seq(Row(1L, "x")).asJava, schema), out, 1L)
+    assert(ArrowDataset.load(spark, out).count() === 1)
+  }
+
+  test("appendBatch tolerates nested-nullability differences (no false drift)") {
+    import scala.jdk.CollectionConverters._
+    val loose = StructType(Seq(StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType, containsNull = true))))
+    val tight = StructType(Seq(StructField("id", LongType),
+      StructField("emb", ArrayType(FloatType, containsNull = false))))
+    val out = "/tmp/graft_arrow_spec_append_nullab"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    ArrowDataset.appendBatch(spark.createDataFrame(
+      Seq(Row(1L, Seq(1.0f))).asJava, loose), out, 0L)
+    // a typed stream reporting a NON-nullable array element is the same
+    // dataset shape — must append, not fail with 'schema drift'
+    ArrowDataset.appendBatch(spark.createDataFrame(
+      Seq(Row(2L, Seq(2.0f))).asJava, tight), out, 1L)
+    assert(ArrowDataset.load(spark, out).count() === 2)
+    // a REAL drift (element type change) still fails
+    val drifted = StructType(Seq(StructField("id", LongType),
+      StructField("emb", ArrayType(DoubleType))))
+    val e = intercept[IllegalArgumentException] {
+      ArrowDataset.appendBatch(spark.createDataFrame(
+        Seq(Row(3L, Seq(3.0))).asJava, drifted), out, 2L)
+    }
+    assert(e.getMessage.contains("schema drift"))
+  }
+
+  test("appendBatch crash recovery: a torn commit converges on replay") {
+    import scala.jdk.CollectionConverters._
+    // The exactly-once publish's torn-commit window (r17 VERDICT ask #4):
+    // a crash can land BETWEEN a batch's shard writes and its manifest
+    // commit. On restart, streaming checkpointing re-delivers the
+    // uncommitted batch (foreachBatch is at-least-once), so recovery =
+    // appendBatch running again with the same batchId. This test builds
+    // the torn state explicitly and asserts both halves of the contract:
+    // the torn instant is already a VALID dataset (consistent prefix),
+    // and the replay converges to exactly-once with no orphans.
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(rows.asJava, schema).repartition(2)
+    val out = "/tmp/graft_arrow_spec_torn"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+
+    ArrowDataset.appendBatch(df(Seq(Row(1L, "a"), Row(2L, "b"))), out, 0L)
+    ArrowDataset.appendBatch(df(Seq(Row(3L, "c"))), out, 1L)
+    val preTorn = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/state.json"))
+
+    // batch 2 lands fully, then the manifest is rolled back to the
+    // pre-batch-2 bytes — exactly the on-disk state of a crash after
+    // the shard renames but before the state.json rename
+    ArrowDataset.appendBatch(df(Seq(Row(4L, "d"), Row(5L, "e"))), out, 2L)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/state.json"), preTorn)
+    // drop the local-FS checksum sidecar the raw rewrite invalidated —
+    // a REAL torn commit leaves a consistent (old state.json, old .crc)
+    // pair, since the atomic rename moves both; only this test's
+    // behind-hadoop's-back rollback can desync them
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$out/.state.json.crc"))
+    // plus a partial temp from the killed attempt (its finally never ran)
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$out/.data-b000000002-p00000.arrow.7.tmp"), Array[Byte](1, 2, 3))
+
+    // half 1: the torn instant is a consistent PREFIX — batches 0-1
+    // only, loadable, no duplicate/partial rows
+    assert(ArrowDataset.load(spark, out).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+
+    // half 2: restart re-delivers batch 2 → exactly once
+    ArrowDataset.appendBatch(df(Seq(Row(4L, "d"), Row(5L, "e"))), out, 2L)
+    val re = ArrowDataset.load(spark, out)
+    assert(re.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // manifest lists batch 2's shards exactly once, in batch order
+    val state = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/state.json")), "UTF-8")
+    val b2Names = "data-b000000002-p\\d{5}\\.arrow".r
+      .findAllIn(state).toSeq
+    assert(b2Names.distinct.size === b2Names.size && b2Names.nonEmpty)
+    assert(state.indexOf("data-b000000001-") <
+      state.indexOf("data-b000000002-"))
+    // no unmanifested same-prefix shards and no crash-residue temps
+    val manifested = "\"filename\"\\s*:\\s*\"([^\"]+)\"".r
+      .findAllMatchIn(state).map(_.group(1)).toSet
+    val onDisk = new java.io.File(out).listFiles().map(_.getName)
+    assert(onDisk.filter(_.endsWith(".arrow")).forall(manifested.contains))
+    assert(!onDisk.exists(_.endsWith(".tmp")))
   }
 
   test("unsupported types fail loudly before any task runs") {

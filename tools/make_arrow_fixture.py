@@ -152,4 +152,44 @@ with ipc.new_stream(os.path.join(lf, "data-00000-of-00001.arrow"),
                     lschema) as w:
     w.write_batch(lb)
 
+# DatasetDict layout — datasets.DatasetDict.save_to_disk writes
+# dataset_dict.json ({"splits": [...]}) plus one single-split subdir per
+# split, each a normal save_to_disk directory. Two splits, same schema.
+dschema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+
+def split_dir(root, name, rows):
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    b = pa.record_batch([pa.array([r[0] for r in rows]),
+                         pa.array([r[1] for r in rows])], schema=dschema)
+    with ipc.new_stream(os.path.join(d, "data-00000-of-00001.arrow"),
+                        dschema) as w:
+        w.write_batch(b)
+    with open(os.path.join(d, "state.json"), "w") as f:
+        json.dump({
+            "_data_files": [{"filename": "data-00000-of-00001.arrow"}],
+            "_fingerprint": f"dictfixture{name}"[:16],
+            "_format_columns": None, "_format_kwargs": {},
+            "_format_type": None, "_output_all_columns": False,
+            "_split": name,
+        }, f, indent=2)
+    with open(os.path.join(d, "dataset_info.json"), "w") as f:
+        json.dump({
+            "builder_name": None, "citation": "", "config_name": None,
+            "dataset_size": None, "description": "dict fixture",
+            "homepage": "", "license": "",
+            "features": {"doc_id": {"dtype": "int64", "_type": "Value"},
+                         "text": {"dtype": "string", "_type": "Value"}},
+        }, f, indent=2)
+
+
+df_dir = os.path.join(OUT, "hf_fixture_dict")
+os.makedirs(df_dir, exist_ok=True)
+split_dir(df_dir, "train", [(1, "train one"), (2, "train two"),
+                            (3, "train three")])
+split_dir(df_dir, "test", [(10, "test one"), (11, "test two")])
+with open(os.path.join(df_dir, "dataset_dict.json"), "w") as f:
+    json.dump({"splits": ["train", "test"]}, f)
+
 print("fixtures written under", os.path.abspath(OUT))
