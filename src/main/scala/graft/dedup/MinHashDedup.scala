@@ -1162,11 +1162,14 @@ object DedupMetrics {
   final case class Counts(empty: Long, driver: Long, distributed: Long)
   def counts: Counts =
     Counts(emptyPath.get, driverPath.get, distributedPath.get)
-  /** Human-readable delta since `prev` (ccRounds stays last-value). */
+  /** Human-readable delta since `prev` (ccRounds stays last-value).
+    * ASCII "d" prefix, not Δ — soak logs pass through JVMs whose
+    * default stderr charset mangles non-ASCII to '?'.
+    */
   def deltaString(prev: Counts): String = {
     val c = counts
-    s"Δempty=${c.empty - prev.empty} Δdriver=${c.driver - prev.driver} " +
-      s"Δdistributed=${c.distributed - prev.distributed} " +
+    s"dEmpty=${c.empty - prev.empty} dDriver=${c.driver - prev.driver} " +
+      s"dDistributed=${c.distributed - prev.distributed} " +
       s"ccRounds=${lastCcRounds.get}"
   }
 }
