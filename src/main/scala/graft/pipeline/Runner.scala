@@ -50,8 +50,10 @@ object Runner {
     // replay the whole pipeline a second time (r17 review catch)
     val cfg = MiniYaml.parse(java.nio.file.Files.readString(
       java.nio.file.Paths.get(args(0))))
-    val n = spark.read
-      .parquet(s"${args(1)}/${cfg("output_dataset_path")}").count()
+    // Sources.load, not read.parquet: `output_format: arrow` publishes
+    // the HF layout, which load() sniffs and dispatches
+    val n = Sources.load(spark,
+      s"${args(1)}/${cfg("output_dataset_path")}").count()
     println(s"[runner] published $n chatml rows")
     spark.stop()
   }
@@ -132,8 +134,23 @@ object Runner {
     val shuffled = Conversations.shuffleSeeded(chatml, 42,
       to_json(struct(col("conversation"), col("source"))))
 
-    // main.py:74 — publish (S5): hub repo id resolved under outBase
-    Sources.publish(shuffled, s"$outBase/$outPath")
+    // main.py:74 — publish (S5): hub repo id resolved under outBase.
+    // `output_format: arrow` publishes the HF `save_to_disk` layout —
+    // the dataset shape push_to_hub actually lands on the hub — with
+    // optional `output_compression: zstd|lz4` (IPC body compression,
+    // pyarrow-transparent, ~3x fewer bytes on text); default stays the
+    // parquet publish (hub-ingestible, and what every downstream query
+    // here reads).
+    val outFormat = cfg.getOrElse("output_format", "parquet").toString
+    val outCompression =
+      cfg.getOrElse("output_compression", "none").toString
+    outFormat match {
+      case "parquet" => Sources.publish(shuffled, s"$outBase/$outPath")
+      case "arrow" => Sources.saveToDisk(shuffled, s"$outBase/$outPath",
+        compression = outCompression)
+      case other => sys.error(
+        s"output_format must be parquet or arrow, got: $other")
+    }
     shuffled
   }
 }

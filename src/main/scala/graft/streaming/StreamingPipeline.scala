@@ -422,11 +422,12 @@ object StreamingPipeline {
     * stream.
     */
   def foreachBatchArrowPublish(stream: DataFrame, outDir: String,
-      checkpoint: String)
+      checkpoint: String, compression: String = "none")
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.sources.ArrowDataset.appendBatch(b.toDF(), outDir, id)
+        graft.sources.ArrowDataset.appendBatch(b.toDF(), outDir, id,
+          compression = compression)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -198,6 +198,48 @@ class RunnerSpec extends AnyFunSuite {
       === Seq("train answer words here are many enough"))
   }
 
+  test("output_format: arrow publishes the HF save_to_disk layout") {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(
+      Seq(StructField("conversation", ArrayType(MsgSchema))))
+    val src = "/tmp/graft_runner_arrowout_src"
+    spark.createDataFrame(Seq(Row(Seq(
+      Row("hello there friend how are you today", false, "User"),
+      Row("a fine answer with plenty of words here", true, "Assistant"))))
+      .asJava, schema).write.mode("overwrite").parquet(src)
+    val yaml =
+      s"""datasets:
+         |  - dataset_path: "$src"
+         |output_dataset_path: "acme/arrow-out"
+         |output_format: arrow
+         |output_compression: zstd
+         |instruction_config:
+         |  filters:
+         |response_config:
+         |  filters:
+         |""".stripMargin
+    val cfgPath = "/tmp/graft_runner_arrowout_cfg.yaml"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cfgPath), yaml)
+    val outBase = "/tmp/graft_runner_arrowout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outBase))
+    Runner.run(spark, cfgPath, outBase)
+    // published artifact IS an HF dataset directory (state.json +
+    // shards), re-ingestible through the dispatching loader
+    val outDir = s"$outBase/acme/arrow-out"
+    assert(new java.io.File(s"$outDir/state.json").exists())
+    val re = graft.sources.Sources.load(spark, outDir)
+    assert(re.count() === 1)
+    assert(re.schema.fieldNames.toSeq === Seq("conversation", "source"))
+    // unknown format fails loudly
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      yaml.replace("output_format: arrow", "output_format: orc"))
+    val e = intercept[RuntimeException] {
+      Runner.run(spark, cfgPath, outBase)
+    }
+    assert(e.getMessage.contains("output_format"))
+  }
+
   test("a missing response_config/instruction_config section fails loudly") {
     // main.py:21-22 raises KeyError on a typoed/missing section — a
     // silent empty default would publish unprocessed data (r17 ADVICE)
