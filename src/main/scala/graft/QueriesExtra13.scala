@@ -68,10 +68,14 @@ object QueriesExtra13 {
 
   val s4ArrowZstd: QueryDef = QueryDef("s4_arrow_zstd",
     (s, dir) => {
-      val out = writeOnce(keyedDir(dir, "zstd")) {
+      // keyedDir computed ONCE: it hashes the source parquet's mtime
+      // listing, so a second evaluation during a concurrent testdata
+      // refresh could diverge from the locked/marked dir
+      val target = keyedDir(dir, "zstd")
+      val out = writeOnce(target) {
         val docs = Queries.table(s, dir, "documents")
           .repartition(4, col("doc_id"))
-        ArrowDataset.save(docs, keyedDir(dir, "zstd"), compression = "zstd")
+        ArrowDataset.save(docs, target, compression = "zstd")
       }
       ArrowDataset.load(s, out)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -80,14 +84,14 @@ object QueriesExtra13 {
 
   val s3DictSplits: QueryDef = QueryDef("s3_dict_splits",
     (s, dir) => {
-      val out = writeOnce(keyedDir(dir, "dict")) {
+      val target = keyedDir(dir, "dict") // once — see s4ArrowZstd
+      val out = writeOnce(target) {
         val docs = Queries.table(s, dir, "documents")
         val even = docs.where(col("doc_id") % 2 === 0)
           .repartition(2, col("doc_id"))
         val odd = docs.where(col("doc_id") % 2 === 1)
           .repartition(2, col("doc_id"))
-        ArrowDataset.saveDict(
-          Seq("train" -> even, "test" -> odd), keyedDir(dir, "dict"))
+        ArrowDataset.saveDict(Seq("train" -> even, "test" -> odd), target)
       }
       // dict-sniffing load unions the splits (the reference's
       // concatenate-splits semantics) — every doc exactly once

@@ -82,6 +82,23 @@ object Runner {
     }
     val outPath = cfg.getOrElse("output_dataset_path",
       sys.error("config has no output_dataset_path (main.py:18)")).toString
+    // publish-format keys validated EAGERLY (null-safe: a bare
+    // `output_format:` line maps to null — fall back to the default,
+    // like `verbose`): a bad codec must fail here, not after hours of
+    // dedup, and a compression key the parquet path would ignore is a
+    // misconfiguration, not a no-op
+    def strKey(key: String, default: String): String = cfg.get(key) match {
+      case Some(s) if s != null => s.toString
+      case _ => default
+    }
+    val outFormat = strKey("output_format", "parquet")
+    val outCompression = strKey("output_compression", "none")
+    require(outFormat == "parquet" || outFormat == "arrow",
+      s"output_format must be parquet or arrow, got: $outFormat")
+    graft.sources.ArrowDataset.codecType(outCompression) // loud on typos
+    require(outFormat == "arrow" || outCompression == "none",
+      "output_compression applies to output_format: arrow only — " +
+        "the parquet publish is snappy-compressed already")
     val verbose = cfg.get("verbose").exists {
       case b: Boolean => b
       case null => false // bare `verbose:` key
@@ -141,15 +158,10 @@ object Runner {
     // pyarrow-transparent, ~3x fewer bytes on text); default stays the
     // parquet publish (hub-ingestible, and what every downstream query
     // here reads).
-    val outFormat = cfg.getOrElse("output_format", "parquet").toString
-    val outCompression =
-      cfg.getOrElse("output_compression", "none").toString
     outFormat match {
       case "parquet" => Sources.publish(shuffled, s"$outBase/$outPath")
       case "arrow" => Sources.saveToDisk(shuffled, s"$outBase/$outPath",
         compression = outCompression)
-      case other => sys.error(
-        s"output_format must be parquet or arrow, got: $other")
     }
     shuffled
   }

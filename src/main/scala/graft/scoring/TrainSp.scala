@@ -98,9 +98,17 @@ object TrainSp {
       => p -> math.log10(c / initTotal) }.toMap
     val EmRounds = 3
     for (round <- 1 to EmRounds) {
-      val tableStr = order.map(p => f"$p\t${scores(p)}%.6f").mkString("\n")
-      val tbl = SentencePieceTable.parse(
-        scala.io.Source.fromString(tableStr).getLines())
+      // table built IN MEMORY, full precision — a %.6f string round-trip
+      // here would truncate and, worse, be locale-sensitive (a
+      // comma-decimal default locale would parse every score as 0.0 and
+      // silently degenerate the calibration)
+      val jm = new java.util.HashMap[String, java.lang.Double]()
+      var maxLen = 1
+      order.foreach { p =>
+        jm.put(p, scores(p))
+        maxLen = math.max(maxLen, p.codePointCount(0, p.length))
+      }
+      val tbl = new SentencePieceTable(jm, maxLen)
       val use = mutable.HashMap.empty[String, Long]
       var unkCps = 0L
       wordCount.foreach { case (w, c) =>
@@ -122,7 +130,15 @@ object TrainSp {
     }
 
     val sb = new StringBuilder(1 << 20)
-    order.foreach { p => sb ++= f"$p\t${scores(p)}%.6f\n" }
+    // Locale.ROOT: the f-interpolator formats with the default locale,
+    // and a comma decimal separator would ship a file every parser
+    // (ours included) reads as all-zero scores
+    order.foreach { p =>
+      sb ++= p; sb += '\t'
+      sb ++= String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(scores(p)))
+      sb += '\n'
+    }
     Files.createDirectories(piecesOut.getParent)
     Files.write(piecesOut, sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"[trainsp] wrote $piecesOut: ${singles.size} single + " +

@@ -280,7 +280,16 @@ object ArrowDataset {
     }
     require(files.nonEmpty, s"no .arrow shards under $dir")
 
-    val full = readSchema(files.head, conf)
+    // relax nullability at every level: the dataset's schema comes from
+    // the FIRST shard, but appendBatch tolerates nullability drift
+    // across shards (shape-only guard), so a later shard can carry
+    // nulls the first shard's types declare impossible — and Spark does
+    // NOT validate rows against non-nullable schema fields (it would
+    // miscompile downstream plans instead). Loaders that union files
+    // must present the loosest nullability any file could hold.
+    val first = readSchema(files.head, conf)
+    val full = StructType(first.fields.map(f =>
+      StructField(f.name, asNullable(f.dataType))))
     val schema =
       if (columns.isEmpty) full
       else {
@@ -564,19 +573,36 @@ object ArrowDataset {
     val dPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dPath.getFileSystem(conf)
     fs.mkdirs(dPath)
+    // sweep split subdirs a PREVIOUS saveDict manifested but this one
+    // drops (the dict-level twin of save()'s stale-shard sweep): the
+    // new dataset_dict.json would stop listing them, but the stale
+    // data would leak on disk and mislead any subdir-enumerating
+    // consumer. Only names the OLD manifest listed are touched — an
+    // unrelated directory a user placed here is not ours to delete.
+    val dictPath = new org.apache.hadoop.fs.Path(dPath, "dataset_dict.json")
+    if (fs.exists(dictPath)) {
+      val keep = splits.map(_._1).toSet
+      dictSplits(new String(readFully(fs, dictPath), StandardCharsets.UTF_8))
+        .filterNot(keep.contains)
+        .foreach { stale =>
+          val p = new org.apache.hadoop.fs.Path(dPath, stale)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+    }
     splits.foreach { case (name, df) =>
       save(df, new org.apache.hadoop.fs.Path(dPath, name).toString,
         batchRows, compression)
     }
-    writeString(fs, new org.apache.hadoop.fs.Path(dPath, "dataset_dict.json"),
+    writeString(fs, dictPath,
       splits.map(s => jq(s._1)).mkString("{\"splits\": [", ", ", "]}"))
   }
 
   /** Map a codec name to the arrow IPC body-compression type; None means
     * uncompressed (HF save_to_disk's own behavior). Fails loudly on
-    * anything else.
+    * anything else. private[graft] so config layers (Runner) can
+    * validate eagerly, before any Spark job runs.
     */
-  private[sources] def codecType(compression: String)
+  private[graft] def codecType(compression: String)
       : Option[CompressionUtil.CodecType] =
     compression.toLowerCase match {
       case "" | "none" | "uncompressed" => None

@@ -418,6 +418,12 @@ class ArrowDatasetSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 9L))
     assert(ArrowDataset.load(spark, out, split = Some("test"))
       .collect().map(_.getString(1)).toSeq === Seq("z"))
+
+    // saveDict-over-saveDict sweeps splits the old manifest listed but
+    // the new one drops (the dict-level twin of save()'s shard sweep)
+    ArrowDataset.saveDict(Seq("train" -> train), out)
+    assert(!new java.io.File(s"$out/test").exists())
+    assert(ArrowDataset.load(spark, out).count() === 2)
   }
 
   test("compressed saves round-trip and shrink; pyarrow-readable codecs only") {
