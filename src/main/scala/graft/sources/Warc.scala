@@ -46,8 +46,34 @@ object Warc {
     else Some((new String(b, i.toInt, (j - i).toInt, "UTF-8"), j + 2))
   }
 
-  def parseRecords(b: Array[Byte]): Seq[Record] = {
-    if (b == null) return Seq.empty
+  /** Transparent gunzip: Common Crawl ships `.warc.gz`/`.wet.gz` — a
+    * CONCATENATION of per-record gzip members (the WARC spec's
+    * record-at-a-time compression), which `GZIPInputStream` walks
+    * natively (it chains multi-member streams). Sniffed by the 1f 8b
+    * magic, so plain bytes pass through untouched. Memory: the file
+    * inflates into one array — same per-file bound `binaryFile`
+    * ingestion already imposes on the compressed bytes; WET extracts
+    * (the text-pipeline input) run ~3× compressed size.
+    */
+  private[sources] def gunzipIfNeeded(b: Array[Byte]): Array[Byte] =
+    if (b == null || b.length < 2 ||
+        b(0) != 0x1f.toByte || b(1) != 0x8b.toByte) b
+    else {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b), 1 << 16)
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(b.length.toLong * 4L, (Int.MaxValue / 2).toLong).toInt)
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+
+  def parseRecords(raw: Array[Byte]): Seq[Record] = {
+    if (raw == null) return Seq.empty
+    val b = gunzipIfNeeded(raw)
     val out = scala.collection.mutable.ArrayBuffer[Record]()
     var i = 0L
     var ok = true
