@@ -85,20 +85,28 @@ object Runner {
     // publish-format keys validated EAGERLY (null-safe: a bare
     // `output_format:` line maps to null — fall back to the default,
     // like `verbose`): a bad codec must fail here, not after hours of
-    // dedup, and a compression key the parquet path would ignore is a
-    // misconfiguration, not a no-op
+    // dedup. Unset compression ("") takes each format's default
+    // (snappy parquet — the hub convention; uncompressed arrow — HF's
+    // own save_to_disk behavior); an explicit value is validated
+    // against the chosen format's codec set.
     def strKey(key: String, default: String): String = cfg.get(key) match {
       case Some(s) if s != null => s.toString
       case _ => default
     }
     val outFormat = strKey("output_format", "parquet")
-    val outCompression = strKey("output_compression", "none")
-    require(outFormat == "parquet" || outFormat == "arrow",
-      s"output_format must be parquet or arrow, got: $outFormat")
-    graft.sources.ArrowDataset.codecType(outCompression) // loud on typos
-    require(outFormat == "arrow" || outCompression == "none",
-      "output_compression applies to output_format: arrow only — " +
-        "the parquet publish is snappy-compressed already")
+    val outCompression = strKey("output_compression", "")
+    outFormat match {
+      case "arrow" =>
+        graft.sources.ArrowDataset.codecType(outCompression) // loud on typos
+      case "parquet" =>
+        if (outCompression.nonEmpty)
+          require(Sources.ParquetCodecs.contains(outCompression),
+            s"output_compression for parquet must be one of " +
+              s"${Sources.ParquetCodecs.mkString(", ")}, " +
+              s"got: $outCompression")
+      case other => sys.error(
+        s"output_format must be parquet or arrow, got: $other")
+    }
     val verbose = cfg.get("verbose").exists {
       case b: Boolean => b
       case null => false // bare `verbose:` key
@@ -155,13 +163,16 @@ object Runner {
     // `output_format: arrow` publishes the HF `save_to_disk` layout —
     // the dataset shape push_to_hub actually lands on the hub — with
     // optional `output_compression: zstd|lz4` (IPC body compression,
-    // pyarrow-transparent, ~3x fewer bytes on text); default stays the
+    // pyarrow-transparent, ~3x fewer bytes on text). The default
     // parquet publish (hub-ingestible, and what every downstream query
-    // here reads).
+    // here reads) takes a parquet codec the same way (zstd ≈ 30% fewer
+    // bytes than the snappy default).
     outFormat match {
-      case "parquet" => Sources.publish(shuffled, s"$outBase/$outPath")
+      case "parquet" =>
+        Sources.publish(shuffled, s"$outBase/$outPath",
+          if (outCompression.isEmpty) "snappy" else outCompression)
       case "arrow" => Sources.saveToDisk(shuffled, s"$outBase/$outPath",
-        compression = outCompression)
+        compression = outCompression) // "" = uncompressed (HF default)
     }
     shuffled
   }

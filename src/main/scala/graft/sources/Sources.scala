@@ -101,8 +101,22 @@ object Sources {
     * Spark-only logical types. `SourcesSpec` pins the published schema
     * shape so a refactor cannot silently break hub ingestibility.
     */
-  def publish(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+  def publish(df: DataFrame, path: String,
+      compression: String = "snappy"): Unit = {
+    require(ParquetCodecs.contains(compression),
+      s"parquet compression must be one of ${ParquetCodecs.mkString(", ")}" +
+        s", got: $compression")
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression).parquet(path)
+  }
+
+  /** Codecs Spark's parquet writer ships out of the box. zstd trades a
+    * little write CPU for ~30% fewer bytes than snappy on text — the
+    * archival/publish knob at 100 TB; snappy stays the default (fastest
+    * scans, the hub's own parquet branch convention).
+    */
+  val ParquetCodecs: Set[String] =
+    Set("snappy", "zstd", "gzip", "lz4", "uncompressed", "none")
 
   /** Publish partitioned by a column — downstream scans with a partition
     * predicate prune at the source (the IVF cell-id layout PERF.md

@@ -238,6 +238,24 @@ class RunnerSpec extends AnyFunSuite {
       Runner.run(spark, cfgPath, outBase)
     }
     assert(e.getMessage.contains("output_format"))
+
+    // parquet publish takes a parquet codec (zstd), validated eagerly
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      yaml.replace("output_format: arrow", "output_format: parquet"))
+    Runner.run(spark, cfgPath, outBase)
+    val pqFiles = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(pqFiles.nonEmpty && pqFiles.forall(_.contains(".zstd.")),
+      s"expected zstd parquet files, got: ${pqFiles.toSeq}")
+    assert(spark.read.parquet(outDir).count() === 1)
+    // a codec outside the parquet set fails before any job runs
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      yaml.replace("output_format: arrow", "output_format: parquet")
+        .replace("output_compression: zstd", "output_compression: brotli9"))
+    val e2 = intercept[IllegalArgumentException] {
+      Runner.run(spark, cfgPath, outBase)
+    }
+    assert(e2.getMessage.contains("brotli9"))
   }
 
   test("a missing response_config/instruction_config section fails loudly") {
