@@ -587,6 +587,67 @@ class ArrowDatasetSpec extends AnyFunSuite {
     assert(!onDisk.exists(_.endsWith(".tmp")))
   }
 
+  test("fuzz: random nested values round-trip through every codec") {
+    import scala.jdk.CollectionConverters._
+    // generator-driven robustness for the interop boundary: adversarial
+    // strings (astral, control, empty), nulls at every level, empty and
+    // nested arrays, through save/load under none/zstd/lz4
+    val rnd = new scala.util.Random(42)
+    def randString(): String = {
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => rnd.nextInt(5) match {
+        case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+        case 1 => " "
+        case 2 => new String(Character.toChars(0x1F600 + rnd.nextInt(32)))
+        case 3 => "\n"
+        case 4 => "é"
+      }).mkString
+    }
+    def randRow(id: Long): Row = Row(
+      id,
+      if (rnd.nextInt(8) == 0) null else randString(),
+      if (rnd.nextInt(8) == 0) null
+      else (0 until rnd.nextInt(4)).map(_ =>
+        if (rnd.nextInt(10) == 0) null else Float.box(rnd.nextFloat())),
+      if (rnd.nextInt(8) == 0) null
+      else (0 until rnd.nextInt(3)).map(_ =>
+        Row(if (rnd.nextInt(6) == 0) null else randString(),
+          Boolean.box(rnd.nextBoolean()))),
+      if (rnd.nextInt(8) == 0) null
+      else { val b = new Array[Byte](rnd.nextInt(6)); rnd.nextBytes(b); b })
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("emb", ArrayType(FloatType)),
+      StructField("conv", ArrayType(StructType(Seq(
+        StructField("content", StringType),
+        StructField("flag", BooleanType))))),
+      StructField("bin", BinaryType)))
+    val rows = (0L until 120L).map(randRow)
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(3)
+    val want = rows.map(r => (r.getLong(0), r)).sortBy(_._1).map(_._2)
+
+    for (codec <- Seq("none", "zstd", "lz4")) {
+      val out = s"/tmp/graft_arrow_spec_fuzz_$codec"
+      ArrowDataset.save(df, out, batchRows = 7, compression = codec)
+      val got = ArrowDataset.load(spark, out).orderBy("id").collect()
+      assert(got.length === want.length, codec)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getLong(0) === w.getLong(0), codec)
+        assert(g.getString(1) === w.getString(1), s"$codec s@${w.get(0)}")
+        assert(g.getSeq[Float](2) === w.getSeq[Float](2),
+          s"$codec emb@${w.get(0)}")
+        assert(g.getSeq[Row](3) === w.getSeq[Row](3),
+          s"$codec conv@${w.get(0)}")
+        (g.get(4), w.get(4)) match {
+          case (a: Array[Byte], b: Array[Byte]) =>
+            assert(a.toSeq === b.toSeq, s"$codec bin@${w.get(0)}")
+          case (a, b) => assert(a === b, s"$codec bin@${w.get(0)}")
+        }
+      }
+    }
+  }
+
   test("unsupported types fail loudly before any task runs") {
     val withTs = spark.range(1).withColumn("ts", current_timestamp())
     val e = intercept[IllegalArgumentException] {
