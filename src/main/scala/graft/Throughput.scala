@@ -48,18 +48,26 @@ object Throughput {
       "f10_check_ethics" -> (c => Filters.checkEthics().keep(c)),
       "f11_check_ethics_harsh" -> (c => Filters.checkEthicsHarsh().keep(c)))
 
-    // warmup (codegen + JIT)
-    big.select(ops.head._2(col("text")).as("o")).write
-      .format("noop").mode("overwrite").save()
+    // warmup: one full pass over EVERY op (codegen + JIT + adaptive-heap
+    // sizing — the high-allocation ops must see a grown heap before being
+    // timed, or run order leaks into the numbers)
+    ops.foreach { case (_, fn) =>
+      big.select(fn(col("text")).as("o")).write
+        .format("noop").mode("overwrite").save()
+    }
 
-    println(f"corpus: $n rows (documents × $factor), local[$cpus]")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    println(f"corpus: $n rows (documents × $factor), local[$cpus], " +
+      s"best of $reps")
     println(f"${"operator"}%-34s ${"sec"}%9s ${"rows/s"}%12s")
     var total = 0.0
     ops.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      big.select(fn(col("text")).as("o")).write
-        .format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        big.select(fn(col("text")).as("o")).write
+          .format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       total += dt
       println(f"$name%-34s $dt%9.2f ${n / dt}%12.0f")
     }

@@ -22,9 +22,10 @@ object GopherQuality {
   import graft.text.Filters.WordClassRegex
 
   private def words(c: Column): Column =
-    regexp_extract_all(lower(c), lit(WordClassRegex), lit(0))
+    graft.text.FusedText.wordTokens(c) // ≡ regexp_extract_all(lower(c), …)
 
-  def wordCount(c: Column): Column = size(words(c))
+  // the count-only kernel — no token array materialized
+  def wordCount(c: Column): Column = graft.text.FusedText.wordCount(c)
 
   /** Mean word length over word tokens; 0.0 for wordless docs. */
   def meanWordLen(c: Column): Column = {

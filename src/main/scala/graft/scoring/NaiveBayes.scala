@@ -39,7 +39,10 @@ object NaiveBayes {
     * '[\p{L}\p{N}_]+')`) so the oracle tokenizes identically.
     */
   def tokensCol(c: Column): Column =
-    regexp_extract_all(lower(c), lit(graft.text.Filters.WordClassRegex), lit(0))
+    // r18: fused run-scan kernel ≡ regexp_extract_all(lower(c),
+    // WordClassRegex, 0) — byte-identical tokens (FusedTextSpec pins it;
+    // DSIR md5-hashes these, so identity is load-bearing)
+    graft.text.FusedText.wordTokens(c)
 
   /** Char-[minN, maxN]-gram featurizer (VERDICT r8 #8): every character
     * n-gram of the lowercased text, with multiplicity — the CCNet-style

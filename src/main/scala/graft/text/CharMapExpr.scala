@@ -24,8 +24,13 @@ final class CharMapHolder(mapping: Seq[(Char, String)]) extends Serializable {
   private val vals: Array[String] = sorted.map(_._2)
   // all reference tables map nothing below this (0x20→' ' identity aside)
   private val minKey: Char = if (keys.isEmpty) Char.MaxValue else keys(0)
+  // every reference table maps only non-ASCII chars, so a fully-ASCII
+  // string (the common corpus row) can't contain a key: return it without
+  // the UTF-16 round-trip or the per-char scan
+  private val noAsciiKeys: Boolean = minKey >= 0x80
 
   def mapChars(s: UTF8String): UTF8String = {
+    if (noAsciiKeys && s.isFullAscii) return s
     val str = s.toString
     var i = 0
     val n = str.length

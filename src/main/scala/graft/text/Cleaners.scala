@@ -68,20 +68,21 @@ object Cleaners {
     * detection is ASCII `\s` = [ \t\n\x0b\f\r] — NOTE the bundled-DuckDB
     * RE2 `\s` does NOT match \x0b, so the oracle mirror spells the class
     * out ([[graft.OracleSql.WsClass]]); Python `str.strip` additionally
-    * treats U+00A0 etc. as blank — documented divergence.
+    * treats U+00A0 etc. as blank — documented divergence. Runs as the
+    * fused one-scan kernel [[GraftTextKernels.removeEmptyLines]] (was
+    * `array_join(filter(split(...)), "\n")`, whose `ArrayFilter` is
+    * CodegenFallback — interpreted regex-per-line, the slowest op in the
+    * whole table before fusing).
     */
-  val removeEmptyLines: Column => Column = c =>
-    array_join(
-      filter(split(c, LineBoundaryRegex), l => !(l rlike "^\\s*$")),
-      "\n")
+  val removeEmptyLines: Column => Column = c => FusedText.removeEmptyLines(c)
 
   /** `clean_new_lines` — cleaners.py:76-79: strip, then delete all \n.
     * Python `strip()` removes all whitespace (not just spaces like SQL
-    * `trim`), hence the custom edge trim; literal (non-regex) replace for
-    * the newline removal.
+    * `trim`), hence the custom edge trim; fused with the newline removal
+    * into one scan ([[GraftTextKernels.cleanNewLines]] — was
+    * `replace(stripWs(c), "\n", "")`, two allocations per row).
     */
-  val cleanNewLines: Column => Column = c =>
-    replace(stripWs(c), lit("\n"), lit(""))
+  val cleanNewLines: Column => Column = c => FusedText.cleanNewLines(c)
 
   /** Python-`strip()`-alike: trim ASCII whitespace from both ends —
     * codegen'd byte-scan expression, ≡ `regexp_replace(c,"^\\s+|\\s+$","")`.

@@ -31,8 +31,9 @@ object Filters {
     */
   val WordClassRegex: String = "[\\p{L}\\p{N}_]+"
 
-  def wordCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit(WordClassRegex), lit(0)))
+  // fused run-count kernel ≡ size(regexp_extract_all(lower(c),
+  // WordClassRegex, 0)) — see GraftTextKernels.wordCount
+  def wordCount(c: Column): Column = FusedText.wordCount(c)
 
   /** F1 `check_word_number` — filters.py:6-15. */
   def checkWordNumber(minWords: Int = 5, maxWords: Int = 512): TextFilter =
@@ -44,11 +45,7 @@ object Filters {
     * lowercased): uppercase counts against the ratio. Empty → 0.
     */
   def checkLowercaseRatio(threshold: Double = 0.75): TextFilter = {
-    def ratio(c: Column): Column =
-      when(length(c) === 0, lit(0.0))
-        .otherwise(
-          length(regexp_replace(c, "[^a-z]", "")).cast(DoubleType) /
-            length(c))
+    def ratio(c: Column): Column = FusedText.lowercaseRatio(c)
     TextFilter("check_lowercase_ratio",
       score = ratio, keep = c => ratio(c) >= threshold)
   }
@@ -57,9 +54,7 @@ object Filters {
     * doc is terminal punctuation; empty → false. Dry-run score is int(bool).
     */
   def checkCompletion(): TextFilter = {
-    def keepF(c: Column): Column =
-      substring(Cleaners.stripWs(c), -1, 1)
-        .isin(WordLists.CompletionPunctuations.toIndexedSeq: _*)
+    def keepF(c: Column): Column = FusedText.checkCompletion(c)
     TextFilter("check_completion",
       score = c => keepF(c).cast(IntegerType), keep = keepF)
   }
@@ -68,9 +63,7 @@ object Filters {
     * and "…" and stripping.
     */
   def checkEmpty(): TextFilter = {
-    def keepF(c: Column): Column =
-      length(Cleaners.stripWs(
-        replace(replace(c, lit("..."), lit("")), lit("…"), lit("")))) =!= 0
+    def keepF(c: Column): Column = FusedText.checkEmpty(c)
     TextFilter("check_empty", score = c => keepF(c).cast(IntegerType),
       keep = keepF)
   }
@@ -153,11 +146,11 @@ object Filters {
   /** F5 `check_char_repetition` — filters.py:116-128 + utils.py:310-339. */
   def checkCharRepetition(
       n: Int = 10, threshold: Double = 0.2): TextFilter = {
-    val scoreUdf = udf { (s: String) =>
-      CharRepetition.ratio(if (s == null) "" else s, n)
-    }
+    // codegen expression, not a ScalaUDF — null → 0.0 preserved by the
+    // coalesce inside charRepetitionRatio
+    def ratio(c: Column): Column = FusedText.charRepetitionRatio(c, n)
     TextFilter("check_char_repetition",
-      score = c => scoreUdf(c), keep = c => scoreUdf(c) <= threshold)
+      score = ratio, keep = c => ratio(c) <= threshold)
   }
 
   /** Registry mirroring utils.py:36-50 name→filter resolution; args bound

@@ -12,6 +12,11 @@ import scala.collection.mutable
   * needles like "xx").
   *
   * Build once per JVM (object-held), never serialized with the task closure.
+  *
+  * Since r18 the production hot path is the byte-level [[ByteDfa]] (flat
+  * goto table, no String round-trip); this char-level automaton remains as
+  * the independent reference implementation that `ByteDfaSpec`
+  * differentials against.
   */
 final class AhoCorasick(needles: Array[String]) extends Serializable {
 

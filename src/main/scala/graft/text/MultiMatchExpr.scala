@@ -12,13 +12,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * use, never serialized.
   */
 final class AhoHolder(val needles: Array[String]) extends Serializable {
-  @transient private lazy val ac = new AhoCorasick(needles)
+  // resolved through the JVM-global ByteDfa cache: this holder is
+  // deserialized once PER TASK, so building here directly would rebuild
+  // the automaton per task (the dominant cost of the whole filter at
+  // 32 tasks — r18 DfaProbe measurement)
+  @transient private lazy val dfa = ByteDfa.forNeedles(needles)
   // Locale.ROOT: default-locale toLowerCase diverges under tr-TR ('I' →
   // dotless 'ı'), which would stop ASCII needles like "ai" from matching.
+  // Fully-ASCII haystacks (the common case) never lowercase at all: the
+  // DFA scans UTF8String bytes in place with A–Z→a–z fused into the
+  // transition — zero allocation per row. Non-ASCII haystacks must lower
+  // through String — unicode case mapping can change byte length and even
+  // produce ASCII (U+212A KELVIN SIGN → 'k'), which a byte map can't see.
   def containsAnyLower(s: UTF8String): Boolean =
-    ac.containsAny(s.toString.toLowerCase(java.util.Locale.ROOT))
+    if (s.isFullAscii) dfa.containsBytes(s)
+    else dfa.containsBytes(UTF8String.fromString(
+      s.toString.toLowerCase(java.util.Locale.ROOT)))
   def countAllLower(s: UTF8String): Long =
-    ac.countAll(s.toString.toLowerCase(java.util.Locale.ROOT))
+    if (s.isFullAscii) dfa.countBytes(s)
+    else dfa.countBytes(UTF8String.fromString(
+      s.toString.toLowerCase(java.util.Locale.ROOT)))
 }
 
 /** Codegen'd Catalyst expressions for the multi-substring filters — unlike

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{AhoCorasick, AhoHolder, ByteDfa, WordLists}
+
+/** The byte-level DFA ([[ByteDfa]]) must agree with the char-level
+  * [[AhoCorasick]] it replaced in [[AhoHolder]]'s hot path, and both must
+  * agree with a brute-force Python-`str.count` reimplementation — over
+  * overlap-heavy needle sets, unicode needles, and haystacks that exercise
+  * the ASCII fast path, the unicode lowering path, and the KELVIN-sign
+  * case-mapping trap.
+  */
+class ByteDfaSpec extends AnyFunSuite {
+
+  /** Python str.count: non-overlapping, greedy left-to-right. */
+  private def pyCount(t: String, needle: String): Long = {
+    var i = 0
+    var c = 0L
+    var k = t.indexOf(needle, i)
+    while (k >= 0) {
+      c += 1
+      i = k + needle.length
+      k = t.indexOf(needle, i)
+    }
+    c
+  }
+
+  private def lowered(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  private val overlapNeedles =
+    Array("a", "aa", "aaa", "ab", "bab", "xx", "xxx", "abcab", "cabc")
+  private val unicodeNeedles = Array("é", "…", "naïve", "ßs", "k")
+  private val haystacks = Seq(
+    "", "a", "aa", "aaa", "aaaa", "aaaaaaa", "ababab", "babab",
+    "xxxxxx", "xxxxx", "abcabcab", "cabcabc", "AAbbAA", "ABAB",
+    "the quick brown fox", "ALL CAPS TEXT", "MiXeD cAsE aAa",
+    "naïve NAÏVE naïve", "é…é…", "ß ẞ", "K KELVIN K", "😀aaa😀",
+    "padding aaa padding xx xx padding", "…………", "ﬀ ligature")
+
+  test("countBytes ≡ char-level AC ≡ brute force, overlap needles") {
+    val dfaH = new AhoHolder(overlapNeedles)
+    val ac = new AhoCorasick(overlapNeedles)
+    haystacks.foreach { h =>
+      val expect = overlapNeedles.map(n => pyCount(lowered(h), n)).sum
+      assert(ac.countAll(lowered(h)) === expect, s"char AC for <$h>")
+      assert(dfaH.countAllLower(UTF8String.fromString(h)) === expect,
+        s"byte DFA for <$h>")
+    }
+  }
+
+  test("countBytes ≡ char-level AC ≡ brute force, unicode needles") {
+    val dfaH = new AhoHolder(unicodeNeedles)
+    val ac = new AhoCorasick(unicodeNeedles)
+    haystacks.foreach { h =>
+      val expect = unicodeNeedles.map(n => pyCount(lowered(h), n)).sum
+      assert(ac.countAll(lowered(h)) === expect, s"char AC for <$h>")
+      assert(dfaH.countAllLower(UTF8String.fromString(h)) === expect,
+        s"byte DFA for <$h>")
+    }
+  }
+
+  test("KELVIN SIGN lowers to ascii k and must match needle k") {
+    val h = new AhoHolder(Array("k"))
+    assert(h.countAllLower(UTF8String.fromString("K")) === 1L)
+    assert(h.containsAnyLower(UTF8String.fromString("xKx")))
+  }
+
+  test("containsAny agrees across implementations") {
+    val needles = overlapNeedles ++ unicodeNeedles
+    val dfaH = new AhoHolder(needles)
+    val ac = new AhoCorasick(needles)
+    haystacks.foreach { h =>
+      assert(dfaH.containsAnyLower(UTF8String.fromString(h))
+        === ac.containsAny(lowered(h)), s"for <$h>")
+    }
+  }
+
+  test("seeded fuzz: byte DFA ≡ brute force on the real NSFW list") {
+    val needles = WordLists.NsfwWords
+    val dfaH = new AhoHolder(needles)
+    val rnd = new scala.util.Random(7)
+    // salt fragments with real needles so matches actually occur
+    val frags = Seq("hello ", needles(0), " world ", needles(11),
+      needles(200), "A", "É", "…", needles(399).toUpperCase, "\n", "x")
+    (1 to 300).foreach { _ =>
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(12)).foreach(_ =>
+        sb.append(frags(rnd.nextInt(frags.length))))
+      val h = sb.toString()
+      val expect = needles.map(n => pyCount(lowered(h), n)).sum
+      assert(dfaH.countAllLower(UTF8String.fromString(h)) === expect,
+        s"for <${h.take(60)}>")
+    }
+  }
+
+  test("fused ascii-lower transition: uppercase needle bytes unreachable") {
+    // an uppercase needle can never match a lowered haystack — both
+    // implementations must agree on that non-match
+    val h = new AhoHolder(Array("FOO"))
+    assert(h.countAllLower(UTF8String.fromString("FOO foo")) === 0L)
+    assert(!h.containsAnyLower(UTF8String.fromString("FOO")))
+  }
+}
