@@ -49,20 +49,15 @@ object Dsir {
     conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
 
   /** Unigrams + adjacent bigrams (joined with '_') over the shared
-    * engine tokenizer ([[NaiveBayes.tokensCol]] — `\w+` on lowercased
-    * text, in lock-step with the oracle's `regexp_extract_all`). Pure
-    * builtin composition: no UDF on the tokenize/gram path.
+    * engine tokenizer (same tokens as [[NaiveBayes.tokensCol]] — `\w+` on
+    * lowercased text, in lock-step with the oracle's
+    * `regexp_extract_all`).
     */
-  def gramsCol(text: Column): Column = {
-    val toks = NaiveBayes.tokensCol(text)
-    val bigrams = when(size(toks) >= 2,
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit("_"), b)))
-      .otherwise(array().cast("array<string>"))
-    concat(toks, bigrams)
-  }
+  def gramsCol(text: Column): Column =
+    // r18: fused kernel — token-for-token and gram-for-gram identical to
+    // the previous zip_with/slice composition (FusedTextSpec pins it);
+    // the md5 hashing downstream makes byte identity load-bearing
+    graft.text.FusedText.wordGrams(text)
 
   /** Per-row array of bucket ids (with multiplicity). */
   def bucketsCol(text: Column, buckets: Int): Column =

@@ -234,6 +234,34 @@ object GraftTextKernels {
     out.toArray(new Array[UTF8String](out.size()))
   }
 
+  /** DSIR's uni+bigram feature list (`Dsir.gramsCol` shape): the token
+    * list of [[wordTokens]] followed by adjacent-pair bigrams joined with
+    * `_` — ≡ `concat(toks, zip_with(slice(toks, 1, n-1), slice(toks, 2,
+    * n-1), (a, b) => concat(a, "_", b)))`, whose higher-order/slice ops
+    * are CodegenFallback (interpreted per row, three array
+    * materializations). One kernel call, one output array.
+    */
+  def wordGrams(s: UTF8String): Array[UTF8String] = {
+    val toks = wordTokens(s)
+    val n = toks.length
+    if (n < 2) return toks
+    val sep = UTF8String.fromString("_")
+    val out = new Array[UTF8String](2 * n - 1)
+    System.arraycopy(toks, 0, out, 0, n)
+    var i = 0
+    while (i < n - 1) {
+      out(n + i) = UTF8String.concat(toks(i), sep, toks(i + 1))
+      i += 1
+    }
+    out
+  }
+
+  /** [[wordGrams]] boxed for Catalyst (called from generated code). */
+  def wordGramsArray(
+      s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      wordGrams(s).asInstanceOf[Array[Any]])
+
   /** [[wordTokens]] boxed for Catalyst (called from generated code). */
   def wordTokensArray(
       s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
@@ -427,6 +455,20 @@ case class WordTokensExpr(child: Expression) extends StringInputExpr {
     copy(child = c)
 }
 
+/** DSIR uni+bigram list — see [[GraftTextKernels.wordGrams]]. */
+case class WordGramsExpr(child: Expression) extends StringInputExpr {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(v: Any): Any =
+    GraftTextKernels.wordGramsArray(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.text.GraftTextKernels.wordGramsArray($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `check_word_number`'s count — see [[GraftTextKernels.wordCount]]. */
 case class WordCountExpr(child: Expression) extends StringInputExpr {
   override def dataType: DataType =
@@ -475,6 +517,7 @@ object FusedText {
     column(RemoveEmptyLinesExpr(expression(c)))
   def wordCount(c: Column): Column = column(WordCountExpr(expression(c)))
   def wordTokens(c: Column): Column = column(WordTokensExpr(expression(c)))
+  def wordGrams(c: Column): Column = column(WordGramsExpr(expression(c)))
   def lowercaseRatio(c: Column): Column =
     column(LowercaseRatioExpr(expression(c)))
   def charRepetitionRatio(c: Column, n: Int): Column =

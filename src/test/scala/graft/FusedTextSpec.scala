@@ -190,6 +190,33 @@ class FusedTextSpec extends AnyFunSuite {
     }
   }
 
+  test("wordGrams matches the composed zip_with form, gram-for-gram") {
+    val cases = hostile ++ Seq(
+      "one", "one two", "one two three four", "İstanbul is big",
+      "a_b c__d _", "٣٤ ٥٦ ٧", "под водой глубоко", "MiXeD CaSe ToKeNs")
+    val rows = cases.map(org.apache.spark.sql.Row(_))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("text", StringType))))
+    val composed: Column => Column = text => {
+      val toks =
+        regexp_extract_all(lower(text), lit(Filters.WordClassRegex), lit(0))
+      val bigrams = when(size(toks) >= 2,
+        zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit("_"), b)))
+        .otherwise(array().cast("array<string>"))
+      concat(toks, bigrams)
+    }
+    df.select(col("text"),
+      graft.text.FusedText.wordGrams(col("text")).as("fused"),
+      composed(col("text")).as("ref")).collect().foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"grams for ${r.getString(0).map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("lowercaseRatio matches the composed regex form bit-exactly") {
     val cases = hostile ++ Seq("abcXYZ", "éa", "😀ab", "ALLCAPS", "a",
       "aA1_ z", "ऌक्ष abc", "ſlong-s")
