@@ -240,11 +240,98 @@ object Filters {
   * distinct − singletons) over total mass.
   */
 object CharRepetition extends Serializable {
+
+  /** Window-frequency ratio. r18: the per-window `new String` + HashMap
+    * counting (≈100 ns + garbage per window) is replaced by an EXACT
+    * pack-sort: one rolling 40-bit hash per window packed with its index
+    * into a Long, one `Arrays.sort`, then equal-hash runs verified by
+    * codepoint comparison (hash collisions partition the run; nothing is
+    * trusted to the hash). Same value on every input — `FusedTextSpec`
+    * differentials against [[ratioHashMap]], the old implementation kept
+    * verbatim below as the spec's reference (and the fallback for
+    * >2^24-codepoint documents, which don't fit the 24-bit index).
+    */
   def ratio(doc: String, n: Int): Double = {
     // n-gram windows advance by CODEPOINT, not UTF-16 unit — Python
     // `doc[i:i+n]` and DuckDB `substr` are codepoint-indexed, so astral
     // chars (emoji, surrogate pairs) must count as one position on every
     // engine (ADVICE r3; pinned by the emoji golden in GoldenVectors)
+    val cps = doc.codePoints().toArray
+    val total = cps.length - n + 1
+    if (total <= 0) return 0.0
+    if (cps.length >= (1 << 24)) return ratioHashMap(doc, n)
+
+    // rolling polynomial over the window, mixed, top 40 bits + 24-bit idx
+    var pow = 1L // 31^(n-1)
+    var p = 1
+    while (p < n) { pow *= 31L; p += 1 }
+    var h = 0L
+    var k = 0
+    while (k < n) { h = h * 31L + cps(k); k += 1 }
+    val packed = new Array[Long](total)
+    var i = 0
+    while (i < total) {
+      val mixed = h * 0x9e3779b97f4a7c15L
+      packed(i) = ((mixed >>> 24) << 24) | i.toLong
+      if (i + 1 < total) h = (h - cps(i) * pow) * 31L + cps(i + n)
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+
+    // walk equal-hash runs; within a run, partition by actual content
+    val counts = new Array[Int](total)
+    var nDistinct = 0
+    @inline def sameWin(a: Int, b: Int): Boolean = {
+      var t = 0
+      while (t < n && cps(a + t) == cps(b + t)) t += 1
+      t == n
+    }
+    var runStart = 0
+    while (runStart < total) {
+      var runEnd = runStart + 1
+      val hash = packed(runStart) >>> 24
+      while (runEnd < total && (packed(runEnd) >>> 24) == hash) runEnd += 1
+      if (runEnd - runStart == 1) {
+        counts(nDistinct) = 1
+        nDistinct += 1
+      } else {
+        // small run: greedy O(g²) content grouping (collisions are rare,
+        // g is almost always the count of ONE distinct window)
+        val g = runEnd - runStart
+        val assigned = new Array[Boolean](g)
+        var a = 0
+        while (a < g) {
+          if (!assigned(a)) {
+            val idxA = (packed(runStart + a) & 0xffffff).toInt
+            var c = 1
+            var b = a + 1
+            while (b < g) {
+              if (!assigned(b) &&
+                  sameWin(idxA, (packed(runStart + b) & 0xffffff).toInt)) {
+                assigned(b) = true
+                c += 1
+              }
+              b += 1
+            }
+            counts(nDistinct) = c
+            nDistinct += 1
+          }
+          a += 1
+        }
+      }
+      runStart = runEnd
+    }
+
+    val values = java.util.Arrays.copyOf(counts, nDistinct)
+    java.util.Arrays.sort(values)
+    topRatio(values)
+  }
+
+  /** Pre-r18 reference implementation (exact semantics, HashMap of window
+    * strings) — differential target for the pack-sort path and fallback
+    * for documents too long for the packed index.
+    */
+  private[graft] def ratioHashMap(doc: String, n: Int): Double = {
     val cps = doc.codePoints().toArray
     val total = cps.length - n + 1
     if (total <= 0) return 0.0
@@ -259,7 +346,14 @@ object CharRepetition extends Serializable {
     var j = 0
     while (it.hasNext) { values(j) = it.next(); j += 1 }
     java.util.Arrays.sort(values)
-    // descending view
+    topRatio(values)
+  }
+
+  /** Shared tail: `values` = per-distinct-window frequencies, ascending;
+    * ratio = mass of the top-⌊√distinct⌋ (capped at distinct −
+    * singletons) over total mass.
+    */
+  private def topRatio(values: Array[Int]): Double = {
     val len = values.length
     var ones = 0
     var sum = 0L

@@ -285,6 +285,33 @@ class FusedTextSpec extends AnyFunSuite {
     }
   }
 
+  test("charRepetition pack-sort ≡ the HashMap reference implementation") {
+    import graft.text.CharRepetition
+    val rnd = new scala.util.Random(11)
+    val alphabets = Seq("ab", "abc😀", "abcdefgh", " .\nxy", "aé😀")
+    val cases = hostile ++
+      Seq("aaaaaaaaaaaaaaaaaaaaaa", "abcdefghij" * 6, "😀" * 25,
+        "ababababababababababab", ("xy" * 30) + ("ab" * 30)) ++
+      (1 to 800).map { _ =>
+        val alpha = alphabets(rnd.nextInt(alphabets.length))
+        val sb = new StringBuilder
+        (0 until rnd.nextInt(60)).foreach { _ =>
+          val c = alpha.charAt(rnd.nextInt(alpha.length))
+          if (Character.isSurrogate(c)) sb.append("😀") else sb.append(c)
+        }
+        sb.toString()
+      }
+    Seq(2, 3, 10).foreach { n =>
+      cases.foreach { s =>
+        val got = CharRepetition.ratio(s, n)
+        val ref = CharRepetition.ratioHashMap(s, n)
+        assert(java.lang.Double.doubleToLongBits(got)
+          === java.lang.Double.doubleToLongBits(ref),
+          s"n=$n for ${s.take(40).map(c => f"\\u${c.toInt}%04x").mkString}")
+      }
+    }
+  }
+
   test("charRepetition expression ≡ the ScalaUDF it replaced, null incl.") {
     import graft.text.{CharRepetition, FusedText}
     val cases = (hostile ++ Seq("aaaaaaaaaaaaaaaaaaaa", "😀" * 12,
