@@ -96,6 +96,24 @@ class ByteDfaSpec extends AnyFunSuite {
     }
   }
 
+  test("fail-chain outputs: nested needle ends inside a longer match") {
+    // the classic AC case: "she" ends at the same position as its suffix
+    // "he" — both must count; "his"/"hers" exercise fail transitions out
+    // of a partial match
+    val needles = Array("he", "she", "his", "hers")
+    val h = new AhoHolder(needles)
+    val cases = Seq("she", "ushers", "shehis", "hishers", "h", "hhehe",
+      "shshshe", "hehehe", "hershey she his")
+    cases.foreach { s =>
+      val expect = needles.map(n => pyCount(lowered(s), n)).sum
+      assert(h.countAllLower(UTF8String.fromString(s)) === expect,
+        s"for <$s>")
+    }
+    // multi-byte needle whose suffix is another needle: "ché" ends "hé"
+    val uni = new AhoHolder(Array("hé", "ché"))
+    assert(uni.countAllLower(UTF8String.fromString("aché")) === 2L)
+  }
+
   test("fused ascii-lower transition: uppercase needle bytes unreachable") {
     // an uppercase needle can never match a lowered haystack — both
     // implementations must agree on that non-match
