@@ -39,8 +39,19 @@ object C4Filters {
       size(wsWords(l)) >= minWords &&
       instr(lower(l), "javascript") === 0
 
-  /** The retained text: kept lines rejoined with \n ("" when none). */
+  /** The retained text: kept lines rejoined with \n ("" when none).
+    * r18: the fused one-scan kernel
+    * ([[graft.text.GraftTextKernels.c4CleanLines]]) — was
+    * `array_join(filter(split(...), keepLine), "\n")`, an interpreted
+    * `ArrayFilter` running a regex word split and `instr(lower(l), …)`
+    * per line. `FusedTextSpec` differentials the two forms.
+    */
   def cleanLines(text: Column, minWords: Int = 5): Column =
+    graft.text.FusedText.c4CleanLines(text, minWords)
+
+  /** Pre-r18 composed form — kept for the differential spec. */
+  private[graft] def cleanLinesComposed(text: Column,
+      minWords: Int = 5): Column =
     array_join(filter(split(coalesce(text, lit("")), "\n"),
       l => keepLine(l, minWords)), "\n")
 

@@ -256,6 +256,89 @@ object GraftTextKernels {
     out
   }
 
+  /** C4's line gate (analysis/C4Filters — Raffel et al. 2020 §2.2):
+    * split on `\n`, keep lines that (a) end in `.` `!` `?` `"` (raw last
+    * character, no trim — C4's rule), (b) have ≥ `minWords` whitespace
+    * words, (c) don't contain "javascript" case-insensitively; re-join
+    * kept lines with `\n`. ≡ `array_join(filter(split(coalesce(c, ""),
+    * "\n"), keepLine), "\n")` where the per-line predicate ran a regex
+    * split and an `instr(lower(l), …)` under an interpreted
+    * `ArrayFilter`. One pass: the word count is a run count over
+    * non-`\s` bytes (early exit at `minWords`), the terminal check reads
+    * the last codepoint in place (any multi-byte final codepoint fails
+    * the ASCII-only set), and the substring search is byte-wise
+    * case-insensitive on fully-ASCII lines — only a non-ASCII line pays
+    * the `lower()` fallback (unicode case mapping can change byte
+    * length, e.g. İ → i + combining dot, so byte CI is not exact there).
+    */
+  def c4CleanLines(s: UTF8String, minWords: Int): UTF8String = {
+    val n = s.numBytes()
+    val src = s.getBytes
+    val out = new Array[Byte](n)
+    var w = 0
+    var lineStart = 0
+    var i = 0
+    val js = "javascript".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    @inline def asciiWordByteOk(b: Byte): Boolean =
+      !(b == 0x20 || (b >= 0x09 && b <= 0x0d))
+
+    def keepLine(start: Int, end: Int): Boolean = {
+      if (start >= end) return false
+      // (a) raw last codepoint ∈ { . ! ? " }
+      val lb = src(end - 1)
+      if (lb != '.'.toByte && lb != '!'.toByte && lb != '?'.toByte &&
+          lb != '"'.toByte) return false
+      // (b) ≥ minWords whitespace-separated words, early exit
+      var words = 0
+      var in = false
+      var k = start
+      var ascii = true
+      while (k < end && words < minWords) {
+        val b = src(k)
+        if (b < 0) ascii = false
+        val isWord = b < 0 || asciiWordByteOk(b)
+        if (isWord && !in) words += 1
+        in = isWord
+        k += 1
+      }
+      if (words < minWords) return false
+      while (k < end && ascii) { if (src(k) < 0) ascii = false; k += 1 }
+      // (c) no case-insensitive "javascript"
+      if (ascii) {
+        var p = start
+        val limit = end - js.length
+        while (p <= limit) {
+          var q = 0
+          while (q < js.length && {
+            val b = src(p + q)
+            val lo = if (b >= 'A'.toByte && b <= 'Z'.toByte) b + 32 else b.toInt
+            lo == js(q)
+          }) q += 1
+          if (q == js.length) return false
+          p += 1
+        }
+        true
+      } else {
+        val line = UTF8String.fromBytes(src, start, end - start)
+        !line.toLowerCase.contains(UTF8String.fromBytes(js))
+      }
+    }
+
+    while (i <= n) {
+      if (i == n || src(i) == '\n'.toByte) {
+        if (keepLine(lineStart, i)) {
+          if (w > 0) { out(w) = '\n'.toByte; w += 1 }
+          System.arraycopy(src, lineStart, out, w, i - lineStart)
+          w += i - lineStart
+        }
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, w)
+  }
+
   /** [[wordGrams]] boxed for Catalyst (called from generated code). */
   def wordGramsArray(
       s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
@@ -469,6 +552,20 @@ case class WordGramsExpr(child: Expression) extends StringInputExpr {
     copy(child = c)
 }
 
+/** C4's retained text — see [[GraftTextKernels.c4CleanLines]]. */
+case class C4CleanLinesExpr(child: Expression, minWords: Int)
+    extends StringInputExpr {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    GraftTextKernels.c4CleanLines(v.asInstanceOf[UTF8String], minWords)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.text.GraftTextKernels.c4CleanLines($c, $minWords)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `check_word_number`'s count — see [[GraftTextKernels.wordCount]]. */
 case class WordCountExpr(child: Expression) extends StringInputExpr {
   override def dataType: DataType =
@@ -518,6 +615,12 @@ object FusedText {
   def wordCount(c: Column): Column = column(WordCountExpr(expression(c)))
   def wordTokens(c: Column): Column = column(WordTokensExpr(expression(c)))
   def wordGrams(c: Column): Column = column(WordGramsExpr(expression(c)))
+  // coalesce mirrors the composed form's null → "" (the kernel itself is
+  // null-propagating like every UnaryExpression)
+  def c4CleanLines(c: Column, minWords: Int): Column =
+    column(C4CleanLinesExpr(org.apache.spark.sql.GraftBridge.expression(
+      org.apache.spark.sql.functions.coalesce(c,
+        org.apache.spark.sql.functions.lit(""))), minWords))
   def lowercaseRatio(c: Column): Column =
     column(LowercaseRatioExpr(expression(c)))
   def charRepetitionRatio(c: Column, n: Int): Column =

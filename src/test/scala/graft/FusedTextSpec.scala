@@ -285,6 +285,37 @@ class FusedTextSpec extends AnyFunSuite {
     }
   }
 
+  test("c4CleanLines matches the composed line-gate, null included") {
+    val lines = Seq(
+      "this line has five words.", "this line has five words",
+      "four words only here.", "ends with bang and enough words!",
+      "ends with q-mark and enough words here?",
+      "closing quote with five good words\"",
+      "contains javascript but otherwise five words.",
+      "contains JavaScript mixed case five words.",
+      "contains JAVASCRİPT turkish dotted i five words.",
+      "jávascript diacritic does not count five words.",
+      "unicode end five words here 😀", "", " ", "\t",
+      "five words ending in period café.", "a. b. c. d. e.",
+      "exactly five words right here ok.")
+    val rnd = new scala.util.Random(5)
+    val docs = (1 to 300).map { _ =>
+      (0 until rnd.nextInt(6)).map(_ => lines(rnd.nextInt(lines.length)))
+        .mkString("\n") + (if (rnd.nextBoolean()) "\n" else "")
+    } ++ Seq(null, "", "\n", "\n\n")
+    val rows = docs.map(org.apache.spark.sql.Row(_))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("text", StringType))))
+    df.select(col("text"),
+      graft.analysis.C4Filters.cleanLines(col("text")).as("fused"),
+      graft.analysis.C4Filters.cleanLinesComposed(col("text")).as("ref"))
+      .collect().foreach { r =>
+        assert(r.getString(1) === r.getString(2),
+          s"for ${Option(r.getString(0)).getOrElse("<null>").take(60)}")
+      }
+  }
+
   test("charRepetition pack-sort ≡ the HashMap reference implementation") {
     import graft.text.CharRepetition
     val rnd = new scala.util.Random(11)
