@@ -26,12 +26,50 @@ object ByteDfa {
   // ~150 ms for the NSFW table, which at 32 tasks was 5× the actual scan
   // time (r18 DfaProbe). Content-keyed, so every task of every query over
   // the same needle list shares one automaton per JVM.
+  //
+  // BOUNDED (r19, VERDICT r18 nit): `MultiMatch.containsAny/countMatches`
+  // is a public API taking arbitrary needle arrays, and the NSFW-sized
+  // goto table is ~4 MB — an unbounded map would pin every distinct
+  // ad-hoc list forever in a long-lived driver/executor JVM. Access-order
+  // LRU capped at [[CacheCap]] (the whole shipped-lexicon working set is
+  // 4 lists; 16 leaves a wide margin for ad-hoc configs while bounding
+  // worst-case retention at ~64 MB). Eviction only drops the CACHE's
+  // reference — a holder already scanning keeps its automaton, and a
+  // later task simply rebuilds (~150 ms, once per JVM per re-entry).
+  private[graft] val CacheCap = 16
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, ByteDfa]()
+    new java.util.LinkedHashMap[String, ByteDfa](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ByteDfa]): Boolean =
+        size() > CacheCap
+    }
+
+  /** Length-prefixed content key: unambiguous even for needles that
+    * contain the separator — `["a<NUL>b"]` and `["a","b"]` must never
+    * share an automaton (the r18 NUL-join key collided them).
+    */
+  private[graft] def cacheKey(needles: Array[String]): String = {
+    val sb = new java.lang.StringBuilder(needles.length * 12)
+    needles.foreach { n => sb.append(n.length).append(':').append(n) }
+    sb.toString
+  }
+
+  private[graft] def cacheSize: Int = cache.synchronized(cache.size())
+  private[graft] def clearCache(): Unit = cache.synchronized(cache.clear())
 
   def forNeedles(needles: Array[String]): ByteDfa = {
-    val key = needles.mkString("\u0000") // NUL separator: never occurs in a needle
-    cache.computeIfAbsent(key, _ => new ByteDfa(needles))
+    val key = cacheKey(needles)
+    // build OUTSIDE the lock when absent: a 150 ms build under the cache
+    // lock would serialize every first-touch task of unrelated queries
+    val hit = cache.synchronized(Option(cache.get(key)))
+    hit.getOrElse {
+      val built = new ByteDfa(needles)
+      cache.synchronized {
+        val raced = cache.get(key)
+        if (raced != null) raced
+        else { cache.put(key, built); built }
+      }
+    }
   }
 }
 

@@ -114,6 +114,37 @@ class ByteDfaSpec extends AnyFunSuite {
     assert(uni.countAllLower(UTF8String.fromString("aché")) === 2L)
   }
 
+  test("cache key: needles containing NUL cannot collide with split lists") {
+    // r18's key joined needles with NUL, so ["a<NUL>b"] and ["a","b"]
+    // shared one cache entry — whichever built first answered for both.
+    // The length-prefixed key keeps them distinct.
+    val joined = ByteDfa.forNeedles(Array("a" + 0.toChar + "b"))
+    val split = ByteDfa.forNeedles(Array("a", "b"))
+    val h = UTF8String.fromString("a b")  // space, not NUL
+    assert(joined.countBytes(h) === 0L) // no literal a<NUL>b present
+    assert(split.countBytes(h) === 2L)
+    assert(ByteDfa.forNeedles(Array("a" + 0.toChar + "b")).countBytes(
+      UTF8String.fromString("xa" + 0.toChar + "b!")) === 1L)
+  }
+
+  test("cache is LRU-bounded; eviction rebuilds on demand, same results") {
+    ByteDfa.clearCache()
+    val first = Array("zq-evict-0")
+    val before = ByteDfa.forNeedles(first)
+      .countBytes(UTF8String.fromString("xx zq-evict-0 yy"))
+    // flood with CacheCap distinct lists → `first` is the eldest, evicted
+    (1 to text.ByteDfa.CacheCap).foreach { i =>
+      ByteDfa.forNeedles(Array(s"zq-evict-$i"))
+    }
+    assert(ByteDfa.cacheSize <= text.ByteDfa.CacheCap)
+    // re-request: rebuilds (new instance is fine) and answers identically
+    val after = ByteDfa.forNeedles(first)
+      .countBytes(UTF8String.fromString("xx zq-evict-0 yy"))
+    assert(after === before && after === 1L)
+    assert(ByteDfa.cacheSize <= text.ByteDfa.CacheCap)
+    ByteDfa.clearCache() // leave the shipped-lexicon JVM state clean
+  }
+
   test("fused ascii-lower transition: uppercase needle bytes unreachable") {
     // an uppercase needle can never match a lowered haystack — both
     // implementations must agree on that non-match
