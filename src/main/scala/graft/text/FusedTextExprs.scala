@@ -18,6 +18,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Whitespace is ASCII `\s` (= `[ \t\n\x0B\f\r ]`), matching
   * [[GraftStrings.stripWs]] — the engine-wide Python-`strip()` stand-in
   * that every oracle replays.
+  *
+  * PRECONDITION: inputs are well-formed UTF-8. Every producer in this
+  * engine satisfies it — Spark's parquet/json/csv readers validate or
+  * repair UTF-8 on ingest, and `UTF8String` literals come from JVM
+  * strings — so the kernels choose speed over byte-sequence validation.
+  * On malformed bytes the kernels are total (no exception, no OOB read)
+  * but may diverge from the composed forms they replaced: e.g.
+  * [[lowercaseRatio]] counts codepoints as non-continuation bytes, so a
+  * LONE continuation byte (invalid) is invisible to its denominator
+  * while `length()` would count a replacement char. `FusedTextSpec`
+  * ("malformed UTF-8 …") pins the chosen totals so any future kernel
+  * change on this edge is a conscious one.
   */
 object GraftTextKernels {
   @inline private def isWs(b: Byte): Boolean =

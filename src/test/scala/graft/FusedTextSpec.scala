@@ -374,6 +374,41 @@ class FusedTextSpec extends AnyFunSuite {
     assert(out(1).getString(0) === "nb sp and thin")
   }
 
+  test("malformed UTF-8 is total and pinned (valid-UTF-8 precondition)") {
+    // The kernels assume well-formed UTF-8 (see GraftTextKernels scaladoc:
+    // every engine producer validates on ingest). On malformed bytes they
+    // must stay TOTAL — no exception, no out-of-bounds — and this test
+    // pins the chosen results so a future kernel change on the edge is a
+    // conscious decision, not silent drift.
+    def u(bs: Int*): UTF8String = UTF8String.fromBytes(bs.map(_.toByte).toArray)
+    val loneCont = u(0x80)                      // continuation with no lead
+    val truncLead = u(0xe2, 0x80)               // 3-byte lead cut short
+    val contAfterAscii = u('a'.toInt, 0x80)     // ascii then stray cont
+    val leadAtEnd = u('.'.toInt, 0xf0)          // 4-byte lead, nothing after
+
+    // lowercaseRatio: denominator counts non-continuation bytes, so a
+    // LONE continuation byte yields 0 codepoints → 0/0 = NaN (a non-empty
+    // but all-continuation input exists only under malformed UTF-8; the
+    // composed length() form would have said 0/1). Pinned: NaN, not throw.
+    assert(GraftTextKernels.lowercaseRatio(loneCont).isNaN)
+    assert(GraftTextKernels.lowercaseRatio(contAfterAscii) === 1.0) // 1 lc / 1 cp
+    assert(GraftTextKernels.lowercaseRatio(truncLead) === 0.0)
+
+    // isCompleted: backward scan lands on the stray lead/continuation,
+    // which is not terminal punctuation → false; a terminal '.' hidden
+    // behind a dangling lead byte is NOT seen (the lead is the last cp).
+    assert(!GraftTextKernels.isCompleted(loneCont))
+    assert(!GraftTextKernels.isCompleted(truncLead))
+    assert(!GraftTextKernels.isCompleted(leadAtEnd))
+
+    // the remaining scan kernels: total, deterministic
+    assert(GraftTextKernels.wordCount(loneCont) >= 0)
+    assert(GraftTextKernels.nonEmptyAfterEllipses(loneCont)) // non-ws byte
+    assert(GraftTextKernels.removeEmptyLines(truncLead).numBytes >= 0)
+    assert(GraftTextKernels.cleanNewLines(contAfterAscii).numBytes >= 0)
+    assert(GraftTextKernels.c4CleanLines(loneCont, 3).numBytes >= 0)
+  }
+
   test("null propagates: null in, null out") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(
