@@ -587,6 +587,65 @@ class ArrowDatasetSpec extends AnyFunSuite {
     assert(!onDisk.exists(_.endsWith(".tmp")))
   }
 
+  test("replay replaces shards without a missing-file window") {
+    import scala.jdk.CollectionConverters._
+    // r19 reader-visibility contract (appendBatch scaladoc): a replayed
+    // batch swaps each shard via tmp-write + replaceAtomic. Two pins:
+    // (a) the MECHANISM — Hadoop's checksummed local FS REFUSES rename
+    // onto an existing file (which is why naive rename-first alone
+    // cannot work here), while its raw POSIX layer replaces atomically;
+    // replaceAtomic routes through the raw layer. (b) the BEHAVIOR — a
+    // replay leaves the published names continuously readable (a
+    // concurrent poller never observes an absent shard) and converges
+    // to the replayed rows with no temp residue.
+    val out = "/tmp/graft_arrow_spec_replace_window"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    def df(rows: Seq[Row]) =
+      spark.createDataFrame(rows.asJava, schema).repartition(1)
+    ArrowDataset.appendBatch(df(Seq(Row(1L, "old"))), out, 0L)
+    val shard = new java.io.File(out, "data-b000000000-p00000.arrow")
+    assert(shard.exists())
+
+    // (a) mechanism: the checksummed wrapper refuses replace; the raw
+    // POSIX layer swaps atomically (what replaceAtomic rides on)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+      .asInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    val src = new org.apache.hadoop.fs.Path(out, "probe_src")
+    val dst = new org.apache.hadoop.fs.Path(out, "probe_dst")
+    Seq(src, dst).foreach { p =>
+      val o = fs.create(p, true)
+      o.write(p.getName.getBytes("UTF-8")); o.close()
+    }
+    assert(!fs.rename(src, dst),
+      "checksummed local FS unexpectedly accepts rename-onto-existing " +
+        "(if Hadoop ever allows this, replaceAtomic tier 1 takes over)")
+    assert(fs.getRawFileSystem.rename(src, dst),
+      "raw local FS must replace atomically (POSIX rename)")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/probe_dst")), "UTF-8") === "probe_src")
+    fs.getRawFileSystem.delete(dst, false)
+
+    // (b) behavior: poll the published shard name while the replay runs
+    @volatile var sawMissing = false
+    @volatile var stop = false
+    val poller = new Thread(() => {
+      while (!stop) { if (!shard.exists()) sawMissing = true }
+    })
+    poller.start()
+    try ArrowDataset.appendBatch(df(Seq(Row(2L, "new"))), out, 0L)
+    finally { stop = true; poller.join() }
+    assert(!sawMissing, "shard name went missing during replay")
+    val rows = ArrowDataset.load(spark, out).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "new")))
+    val residue = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(residue.isEmpty, s"temp residue: ${residue.mkString(",")}")
+  }
+
   test("fuzz: random nested values round-trip through every codec") {
     import scala.jdk.CollectionConverters._
     // generator-driven robustness for the interop boundary: adversarial
