@@ -58,33 +58,71 @@ import importlib  # noqa: E402
 ref_filters = importlib.import_module("chat_data_pipeline.filters")
 
 
+def r5_prepare(conv):
+    """The reference's prepare_dataset map_func body
+    (minhash_deduplication.py:197-204)."""
+    text = ""
+    for message in conv:
+        if message["do_train"]:
+            text += message["content"] + "\n\n"
+    return text.strip()
+
+
 def main():
     df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
     texts = df["text"]
     n = len(texts)
+    # derived inputs, identical constructions to graft.Throughput:
+    # split-token documents for f6/f8 (first half + token + second half),
+    # a 3-message conversation (2 trained) for r5
+    trunc = texts.map(
+        lambda t: t[:len(t) // 2] + "<|truncation_splitter|>"
+        + t[len(t) // 2:])
+    gender = texts.map(
+        lambda t: t[:len(t) // 2] + "<|gender_splitter|>" + t[len(t) // 2:])
+    conv = texts.map(lambda t: [
+        {"content": t, "do_train": True, "role": "User"},
+        {"content": t, "do_train": False, "role": "Assistant"},
+        {"content": t, "do_train": True, "role": "Assistant"}])
     ops = {
-        "c2_normalize_whitespace": ref_cleaners.normalize_whitespace,
-        "c3_normalize_punctuation": ref_cleaners.normalize_punctuation,
-        "c4_remove_empty_lines": ref_cleaners.remove_empty_lines,
-        "c5_clean_new_lines": ref_cleaners.clean_new_lines,
-        "f1_check_word_number": lambda t: ref_filters.check_word_number(t),
-        "f3_check_nsfw_words": lambda t: ref_filters.check_nsfw_words(t),
+        # c1_fix_utf8: NOT measurable here — the reference's
+        # fix_utf8_encoding is a direct ftfy.fix_text call
+        # (cleaners.py:5-8) and ftfy is not installed in this sandbox
+        # (zero egress); graft.Throughput still reports the engine's own
+        # c1 rate, ratio column reads n/a.
+        "c2_normalize_whitespace":
+            (texts, ref_cleaners.normalize_whitespace),
+        "c3_normalize_punctuation":
+            (texts, ref_cleaners.normalize_punctuation),
+        "c4_remove_empty_lines": (texts, ref_cleaners.remove_empty_lines),
+        "c5_clean_new_lines": (texts, ref_cleaners.clean_new_lines),
+        "f1_check_word_number":
+            (texts, lambda t: ref_filters.check_word_number(t)),
+        "f3_check_nsfw_words":
+            (texts, lambda t: ref_filters.check_nsfw_words(t)),
         "f4_check_lowercase_ratio":
-            lambda t: ref_filters.check_lowercase_ratio(t),
+            (texts, lambda t: ref_filters.check_lowercase_ratio(t)),
         "f5_check_char_repetition":
-            lambda t: ref_filters.check_char_repetition(t),
-        "f7_check_completion": lambda t: ref_filters.check_completion(t),
-        "f9_check_empty": lambda t: ref_filters.check_empty(t),
-        "f10_check_ethics": lambda t: ref_filters.check_ethics(t),
+            (texts, lambda t: ref_filters.check_char_repetition(t)),
+        "f6_check_truncation":
+            (trunc, lambda t: ref_filters.check_truncation(t)),
+        "f7_check_completion":
+            (texts, lambda t: ref_filters.check_completion(t)),
+        "f8_check_gender":
+            (gender, lambda t: ref_filters.check_gender(t)),
+        "f9_check_empty": (texts, lambda t: ref_filters.check_empty(t)),
+        "f10_check_ethics": (texts, lambda t: ref_filters.check_ethics(t)),
         "f11_check_ethics_harsh":
-            lambda t: ref_filters.check_ethics_harsh(t),
+            (texts, lambda t: ref_filters.check_ethics_harsh(t)),
+        "r5_dedup_prep": (conv, r5_prepare),
+        # html_extract: ours-only (the reference has no HTML extraction)
     }
     print(f"corpus: {n} documents from {SF}")
     print(f"{'operator':34s} {'ref sec':>9s} {'rows/s':>10s}")
     total = 0.0
-    for name, fn in ops.items():
+    for name, (series, fn) in ops.items():
         t0 = time.time()
-        texts.apply(fn)  # the reference's pandas apply shape
+        series.apply(fn)  # the reference's pandas apply shape
         dt = time.time() - t0
         total += dt
         print(f"{name:34s} {dt:9.2f} {n / dt:10.0f}")
