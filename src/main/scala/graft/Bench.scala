@@ -103,22 +103,18 @@ object Bench {
         f"over ($LoadValidMax, $Load5ValidMax) after retry - artifact " +
         "will carry load_invalid=true")
     // warmup, untimed (JMH-style: steady-state is what a long-running
-    // pipeline sees): ONE full pass over the whole timed set. This both
-    // exercises every codegen/JIT shape before the clock starts AND
-    // pre-claims every one-time side-channel export (the dedup banded/sig
-    // frames, the flagship banded frame, the cluster-stats banding, the f2
-    // ARPA dump, the IVF cells, the fuzz corpus — all claimed per
-    // (JVM, scale)), so no timed repetition ever pays a parquet write.
-    // VERDICT r7 #1: the previous 4-query warmup left flagship_e2e_minhash
-    // and dedup_cluster_stats exports un-claimed, and with repeat=2 one
-    // timed rep carried the write — BENCH_r07 read 6.4 s on a query whose
-    // steady state is 2.8-3.0 s. A full untimed pass is immune to the
-    // export list drifting as queries are added.
-    val w0 = System.nanoTime()
-    qs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    val warmupSec = (System.nanoTime() - w0) / 1e9
+    // pipeline sees) — PER QUERY since r19: each query runs once untimed
+    // IMMEDIATELY before its own timed reps (see the results loop). This
+    // keeps the r8/r7 guarantee intact — every codegen/JIT shape and
+    // every one-time side-channel export (dedup banded/sig frames,
+    // flagship banded frame, cluster-stats banding, f2 ARPA dump, IVF
+    // cells, fuzz corpus — all claimed per (JVM, scale)) is paid in that
+    // query's own untimed warm run, never in a timed rep — while fixing
+    // what the r18 global pass did wrong: running 131 queries
+    // back-to-back with no cache/heap isolation left persisted frames
+    // and garbage accumulating across the whole pass (593 s of untimed
+    // wall for an 84 s timed run). warmup_sec now = Σ per-query warm
+    // runs, each taken on an isolated heap.
     // The heaviest dedup/flagship lines showed ±20-40% swings between
     // rounds with no plan change (r5 verdict); give them an extra repeat so
     // the reported best is load-noise-resistant where it matters most.
@@ -131,16 +127,16 @@ object Bench {
     // SPARK_GRAFT_BENCH_VERBOSE=1 prints every repetition to stderr —
     // variance data for separating machine-load noise from plan changes
     val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
+    var warmupSec = 0.0
     val results = qs.map { case (name, fn) =>
-      val n = if (hot(name)) hotRepeat else repeat
-      val reps = (1 to n).map { _ =>
-        // per-run isolation, OUTSIDE the timer: drop cached blocks leaked
-        // by earlier queries (dedup persists live as long as their result
-        // plans), drop the per-JVM shingle cache (the warmup and earlier
-        // iterations populate it with this exact corpus — timed dedup
-        // must measure COLD-shingle throughput, ADVICE r3), and compact
-        // the heap so query N's time doesn't depend on what ran before it
-        // (r2 driver bench showed 2-4× cross-query contamination)
+      // per-run isolation, OUTSIDE the timer: drop cached blocks leaked
+      // by earlier queries (dedup persists live as long as their result
+      // plans), drop the per-JVM shingle cache (the warmup and earlier
+      // iterations populate it with this exact corpus — timed dedup
+      // must measure COLD-shingle throughput, ADVICE r3), and compact
+      // the heap so query N's time doesn't depend on what ran before it
+      // (r2 driver bench showed 2-4× cross-query contamination)
+      def isolate(): Unit = {
         spark.catalog.clearCache()
         graft.dedup.MinHash.clearPermCache()
         // dsir_fit must price the two fit aggregations, not a memo hit
@@ -148,6 +144,16 @@ object Bench {
         // keep the memo — they price steady serving by design
         if (name == "dsir_fit") QueriesExtra6.clearFitMemo()
         System.gc()
+      }
+      // lazy warmup: one untimed run of THIS query right before its timed
+      // reps — pays codegen/JIT + any unclaimed side-channel export
+      isolate()
+      val wq0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      warmupSec += (System.nanoTime() - wq0) / 1e9
+      val n = if (hot(name)) hotRepeat else repeat
+      val reps = (1 to n).map { _ =>
+        isolate()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
