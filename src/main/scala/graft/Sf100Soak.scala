@@ -117,6 +117,32 @@ object Sf100Soak {
     graft.dedup.MinHash.clearPermCache()
     System.gc()
 
+    // 2b. banded-hamming family at the decade (VERDICT r18 #6): one
+    //     dedup_simhash-shaped pass — 64-bit signatures, pigeonhole
+    //     banding, the depth-bounded bucket recursion — with the guard's
+    //     ROUTING EVIDENCE printed (levels run, level-0 max bucket
+    //     depth, deep-split levels taken). The 1000×-replicated corpus
+    //     is exactly the shape the guard exists for: every "variantN"
+    //     family lands its near-identical signatures in one bucket, so
+    //     depths scale with the factor, not the corpus.
+    val splitsBefore = DedupMetrics.bucketDeepSplits.get
+    val simhashBefore = DedupMetrics.counts
+    val (simhashKept, simhashSec) = timed {
+      graft.dedup.SimHash.deduplicate(
+        docs.select(col("doc_id"), col("text")), "text",
+        orderCol = Some("doc_id")).count()
+    }
+    val simhashLevels = DedupMetrics.lastBucketLevels.get
+    val simhashMaxDepth = DedupMetrics.lastBucketMaxDepth.get
+    val simhashSplits = DedupMetrics.bucketDeepSplits.get - splitsBefore
+    System.err.println(f"[sf100] dedup_simhash kept=$simhashKept in " +
+      f"$simhashSec%.1fs guard: levels=$simhashLevels " +
+      s"maxDepth=$simhashMaxDepth deepSplitLevels=$simhashSplits " +
+      s"(phase ${DedupMetrics.deltaString(simhashBefore)})")
+    spark.catalog.clearCache()
+    graft.dedup.MinHash.clearPermCache()
+    System.gc()
+
     // 3. store-increment night: retained corpus = ≢0 mod 11 slice,
     //    increment = the ≡0 slice (the IncrBench split, one decade up)
     val inc = docs.where(col("doc_id") % 11 === 0)
@@ -174,6 +200,10 @@ object Sf100Soak {
       f""""flagship_rows":$flagRows,"flagship_sec":$flagSec%.1f,""" +
       f""""dedup_kept":$dedupKept,"dedup_sec":$dedupSec%.1f,""" +
       f""""distributed_branch":$distFired,""" +
+      f""""simhash_kept":$simhashKept,"simhash_sec":$simhashSec%.1f,""" +
+      f""""simhash_levels":$simhashLevels,""" +
+      f""""simhash_max_depth":$simhashMaxDepth,""" +
+      f""""simhash_deep_split_levels":$simhashSplits,""" +
       f""""store_build_sec":$buildSec%.1f,""" +
       f""""incr_kept":$incKept,"incr_sec":$incSec%.1f,""" +
       f""""arrow_save_sec":$arrowSaveSec%.1f,""" +

@@ -1150,6 +1150,17 @@ object DedupMetrics {
     * means long propagation chains — worth a look at the edge shape).
     */
   val lastCcRounds = new java.util.concurrent.atomic.AtomicLong
+  /** Routing evidence for the banded-hamming bucket guard
+    * (`SimHash.boundedBucketPairs` — shared by simhash and the
+    * image/audio/video perceptual dedups): levels the LAST recursion
+    * ran, the max bucket depth its level-0 probe saw, and the cumulative
+    * number of deep-bucket SPLIT levels taken (0 ⇒ every frontier was
+    * flat and the guard cost one map-side agg, nothing else). The
+    * recursion loop is driver-side, so plain atomics are exact.
+    */
+  val lastBucketLevels = new java.util.concurrent.atomic.AtomicLong
+  val lastBucketMaxDepth = new java.util.concurrent.atomic.AtomicLong
+  val bucketDeepSplits = new java.util.concurrent.atomic.AtomicLong
   def snapshot: String = s"empty=${emptyPath.get} driver=${driverPath.get} " +
     s"distributed=${distributedPath.get} ccRounds=${lastCcRounds.get}"
 

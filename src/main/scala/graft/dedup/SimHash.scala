@@ -244,7 +244,9 @@ object SimHash {
     var frontier = level0
     var rw = remWidth0
     var done = false
+    var levels = 0L
     while (!done) {
+      levels += 1
       val sw = rw / bands // sub-chunk width; 0 = cannot split further
       // persisted: the probe is an extra scan, and every branch below
       // re-reads the frontier at least once (verify self-join / depth
@@ -267,6 +269,7 @@ object SimHash {
         .localCheckpoint(true)
       val maxDepth = depths.agg(coalesce(max(col("__d__")), lit(0L)))
         .collect()(0).getLong(0)
+      if (levels == 1L) DedupMetrics.lastBucketMaxDepth.set(maxDepth)
       if (maxDepth <= bucketCap || sw < 1) {
         // flat frontier (the common case — guard costs one map-side agg
         // and nothing else; NO depth tagging reaches the output plan),
@@ -276,6 +279,7 @@ object SimHash {
         parts += verify(cached)
         done = true
       } else {
+        DedupMetrics.bucketDeepSplits.incrementAndGet()
         val tagged = cached.join(depths, Seq("bkey"))
         parts += verify(tagged.where(col("__d__") <= bucketCap)
           .drop("__d__"))
@@ -296,6 +300,7 @@ object SimHash {
         rw -= sw
       }
     }
+    DedupMetrics.lastBucketLevels.set(levels)
     parts.reduce(_ union _)
   }
 
