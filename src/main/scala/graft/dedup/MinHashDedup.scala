@@ -1100,22 +1100,35 @@ object MinHashDedup {
   * claim-at-`once` design left the claim set if the query failed anywhere
   * between `once` and the write — the export would then be silently
   * skipped for the JVM lifetime and the oracle could read a stale frame
-  * from a previous JVM at the same /tmp path). Two concurrent unclaimed
-  * calls can both write; that is benign-by-determinism (same variant +
-  * scale ⇒ byte-identical content) and cannot happen in the sequential
-  * bench/verify drivers anyway.
+  * from a previous JVM at the same /tmp path). Two unclaimed callers of
+  * the SAME path are serialized by a per-path lock and the second
+  * re-checks the claim inside it, so it reads instead of re-writing —
+  * concurrent `overwrite` writes to one directory could interleave the
+  * delete and write phases. In practice every side-channel path is
+  * written by exactly one query (audited r19), but the bench warm pass
+  * now runs queries on a thread pool, so the lock is the guarantee
+  * rather than the call pattern.
   */
 object SideChannel {
   private val claimed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(path, _ => new Object)
 
   def once(path: String): Option[String] =
     if (claimed.contains(path)) None else Some(path)
 
   def through(df: DataFrame, sink: Option[String]): DataFrame = sink match {
     case Some(p) =>
-      df.write.mode("overwrite").parquet(p)
-      claimed.add(p) // write-then-claim: only a SUCCESSFUL export claims
+      lockFor(p).synchronized {
+        if (!claimed.contains(p)) {
+          df.write.mode("overwrite").parquet(p)
+          claimed.add(p) // write-then-claim: only a SUCCESSFUL export claims
+        }
+      }
       df.sparkSession.read.parquet(p)
     case None => df
   }
