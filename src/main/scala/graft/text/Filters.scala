@@ -86,11 +86,26 @@ object Filters {
   /** F8 `check_gender` — filters.py:159-175: positional compare of
     * whitespace tokens of the two halves up to the shorter length; true iff
     * some position has two DIFFERENT gendered words. Python `.split()`
-    * drops empty tokens (leading/trailing whitespace), so we filter them;
-    * `zip_with` null-pads to the LONGER array, so both sides are sliced to
-    * the min length first (the reference loop stops at the shorter half).
+    * drops empty tokens (leading/trailing whitespace), so empties are
+    * skipped; comparison stops at the shorter half (the reference loop's
+    * `min_length`). r19: fused one-scan kernel
+    * ([[GraftTextKernels.genderConflict]]) — the composed zip_with form
+    * below is retained as the `FusedTextSpec` differential reference (it
+    * was the slowest scalar op in the r19 throughput table, 0.36M rows/s
+    * from its per-row split/lower/array garbage).
     */
   def checkGender(splitter: String = "<|gender_splitter|>"): TextFilter = {
+    def keepF(c: Column): Column = FusedText.checkGender(c, splitter)
+    TextFilter("check_gender",
+      score = c => keepF(c).cast(IntegerType), keep = keepF)
+  }
+
+  /** Pre-fusion composed form of [[checkGender]] (r18 shape), kept as the
+    * differential-spec reference — requires the splitter present in every
+    * row (`element_at(parts, 2)` is an ANSI error otherwise).
+    */
+  private[graft] def checkGenderComposed(
+      splitter: String = "<|gender_splitter|>"): TextFilter = {
     def keepF(c: Column): Column = {
       val parts = split(c, java.util.regex.Pattern.quote(splitter))
       val g = WordLists.GenderedWords.toIndexedSeq

@@ -461,6 +461,99 @@ object GraftTextKernels {
       UTF8String.fromBytes(out)
     }
   }
+
+  /** The six `check_gender` words (filters.py:165), as UTF-8 bytes. */
+  private val GenderWords: Array[Array[Byte]] =
+    WordLists.GenderedWords.map(_.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Word id (0-5) iff the `[lo, hi)` byte slice of `s` equals a gendered
+    * word after lowering, else -1. ASCII A-Z lowering only: the target set
+    * is pure lowercase ASCII, and no non-ASCII codepoint lowers into it —
+    * U+212A (→ 'k') is the only BMP char whose lowercase is ASCII and 'k'
+    * is not a target letter; U+0130 lowers to TWO codepoints (i + U+0307).
+    * Any negative (non-ASCII) byte therefore disqualifies by failing every
+    * (positive) target-byte compare.
+    */
+  @inline private def genderWordId(s: UTF8String, lo: Int, hi: Int): Int = {
+    val len = hi - lo
+    if (len < 2 || len > 4) return -1
+    var w = 0
+    while (w < GenderWords.length) {
+      val word = GenderWords(w)
+      if (word.length == len) {
+        var i = 0
+        var ok = true
+        while (ok && i < len) {
+          var b = s.getByte(lo + i)
+          if (b >= 'A'.toByte && b <= 'Z'.toByte) b = (b + 32).toByte
+          if (b != word(i)) ok = false
+          i += 1
+        }
+        if (ok) return w
+      }
+      w += 1
+    }
+    -1
+  }
+
+  /** First byte offset of `needle` in `s` at or after `from`, else -1
+    * (naive scan — the needle is the ~19-byte splitter token).
+    */
+  private def findBytes(s: UTF8String, from: Int, needle: UTF8String): Int = {
+    val n = s.numBytes()
+    val m = needle.numBytes()
+    var i = from
+    val limit = n - m
+    while (i <= limit) {
+      var j = 0
+      while (j < m && s.getByte(i + j) == needle.getByte(j)) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** F8 `check_gender` (filters.py:159-175) fused: split on the FIRST
+    * splitter occurrence (the second half ends at the next occurrence,
+    * mirroring `element_at(split(c, quote(tok)), 2)`), then walk both
+    * halves' whitespace tokens in lockstep — true iff some position holds
+    * two DIFFERENT gendered words, stopping at the shorter half. One byte
+    * scan, zero allocation, vs the composed form's split + lower + two
+    * `\s+` array splits + filter + slice + zip_with (the slowest scalar
+    * op in the r19 throughput table at 0.36M rows/s; this kernel removes
+    * all of its per-row garbage). Returns -1 when the splitter is absent
+    * (→ NULL: the composed form cannot evaluate that row at all —
+    * `element_at` index 2 on a 1-element array is an ANSI error — and no
+    * suite consumer constructs splitter-less docs; `FusedTextSpec` pins
+    * the choice), 0 for false, 1 for true.
+    */
+  def genderConflict(s: UTF8String, splitter: UTF8String): Int = {
+    val cut = findBytes(s, 0, splitter)
+    if (cut < 0) return -1
+    val m = splitter.numBytes()
+    val aHi = cut
+    val bLo = cut + m
+    val next = findBytes(s, bLo, splitter)
+    val bHi = if (next < 0) s.numBytes() else next
+    var ia = 0
+    var ib = bLo
+    while (true) {
+      while (ia < aHi && isWs(s.getByte(ia))) ia += 1
+      while (ib < bHi && isWs(s.getByte(ib))) ib += 1
+      if (ia >= aHi || ib >= bHi) return 0 // shorter half exhausted
+      val sa = ia
+      while (ia < aHi && !isWs(s.getByte(ia))) ia += 1
+      val sb = ib
+      while (ib < bHi && !isWs(s.getByte(ib))) ib += 1
+      val wa = genderWordId(s, sa, ia)
+      if (wa >= 0) {
+        val wb = genderWordId(s, sb, ib)
+        if (wb >= 0 && wa != wb) return 1
+      }
+    }
+    0 // unreachable
+  }
 }
 
 private[text] trait StringInputExpr extends UnaryExpression {
@@ -617,6 +710,39 @@ case class CleanNewLinesExpr(child: Expression) extends StringInputExpr {
     copy(child = c)
 }
 
+/** `check_gender` — see [[GraftTextKernels.genderConflict]]. NULL when the
+  * splitter token is absent (the composed form cannot evaluate that row:
+  * `element_at` index 2 of a 1-element array is an ANSI error).
+  */
+case class GenderConflictExpr(child: Expression, splitter: String)
+    extends StringInputExpr {
+  require(splitter.nonEmpty, "check_gender splitter must be non-empty")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  @transient private lazy val splitU8: UTF8String =
+    UTF8String.fromString(splitter)
+  override def nullSafeEval(v: Any): Any = {
+    val r = GraftTextKernels.genderConflict(v.asInstanceOf[UTF8String],
+      splitU8)
+    if (r < 0) null else java.lang.Boolean.valueOf(r == 1)
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val sp = ctx.addReferenceObj("gsplit", splitU8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("gconf")
+      s"""
+        int $r = graft.text.GraftTextKernels.genderConflict($c, $sp);
+        ${ev.isNull} = ($r < 0);
+        ${ev.value} = ($r == 1);
+      """
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object FusedText {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   def checkCompletion(c: Column): Column =
@@ -635,6 +761,8 @@ object FusedText {
         org.apache.spark.sql.functions.lit(""))), minWords))
   def lowercaseRatio(c: Column): Column =
     column(LowercaseRatioExpr(expression(c)))
+  def checkGender(c: Column, splitter: String): Column =
+    column(GenderConflictExpr(expression(c), splitter))
   def charRepetitionRatio(c: Column, n: Int): Column =
     org.apache.spark.sql.functions.coalesce(
       column(CharRepetitionExpr(expression(c), n)),

@@ -421,4 +421,86 @@ class FusedTextSpec extends AnyFunSuite {
       FusedText.cleanNewLines(col("text"))).collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  // ---- F8 check_gender fused kernel (r19) ----
+
+  /** Pure-JVM reference of the composed form's semantics: literal split
+    * (limit -1), first two parts, DEFAULT-LOCALE lower (what Spark's
+    * `lower` does through UTF8String.toLowerCase on non-ASCII),
+    * `\s+`-split with empties dropped, positional compare to min length.
+    */
+  private def refGender(doc: String, tok: String): Boolean = {
+    val parts = doc.split(java.util.regex.Pattern.quote(tok), -1)
+    val g = graft.text.WordLists.GenderedWords.toSet
+    def toks(h: String): Array[String] =
+      h.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val a = toks(parts(0))
+    val b = toks(parts(1))
+    (0 until math.min(a.length, b.length)).exists(i =>
+      g(a(i)) && g(b(i)) && a(i) != b(i))
+  }
+
+  test("genderConflict ≡ composed zip_with form ≡ JVM reference") {
+    val tok = "<S>"
+    val words = Seq("he", "she", "him", "her", "girl", "boy", "HE", "She",
+      "hIm", "HER", "GIRL", "BoY", "x", "zz", "hello", "hé", "Hİ", "HİM",
+      "Kim", "boy.", "?her", "girĺ")
+    val seps = Seq(" ", "\t", "\n", "  ", "\r\n", "  ")
+    val rnd = new scala.util.Random(20190816)
+    def half(): String = {
+      val n = rnd.nextInt(7)
+      val body = Seq.fill(n)(words(rnd.nextInt(words.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+      (if (rnd.nextBoolean()) " " else "") + body +
+        (if (rnd.nextBoolean()) "\t" else "")
+    }
+    val docs = Seq.tabulate(600) { i =>
+      if (i % 7 == 0) half() + tok + half() + tok + half() // 3 parts
+      else half() + tok + half()
+    } ++ Seq(
+      s"${tok}she went", s"he went$tok", tok, s"$tok$tok",
+      s"he$tok she", s" he ${tok} she ", s"he she$tok she he",
+      s"HİM him$tok him HİM", s"Ke he$tok he she")
+
+    val rows = docs.map(org.apache.spark.sql.Row(_))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("text", StringType))))
+    val got = df.select(col("text"),
+      Filters.checkGender(tok).keep(col("text")).as("fused"),
+      Filters.checkGenderComposed(tok).keep(col("text")).as("composed"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      val tag = s.map(c => f"\\u${c.toInt}%04x").mkString
+      def b(i: Int): Boolean = !r.isNullAt(i) && r.getBoolean(i)
+      assert(b(1) === b(2), s"fused vs composed for $tag")
+      assert(b(1) === refGender(s, tok), s"fused vs JVM ref for $tag")
+    }
+    // sanity: the corpus actually exercises both outcomes
+    assert(got.exists(r => !r.isNullAt(1) && r.getBoolean(1)))
+    assert(got.exists(r => !r.isNullAt(1) && !r.getBoolean(1)))
+  }
+
+  test("genderConflict pins splitter-absent → NULL and null-propagation") {
+    // the composed form cannot evaluate a splitter-less row at all
+    // (element_at index 2 of a 1-element array is an ANSI error), so the
+    // fused kernel's choice — NULL, which every keep() consumer treats as
+    // drop — is pinned here fused-only
+    val rows = Seq("he she him no splitter here", "", null)
+      .map(org.apache.spark.sql.Row(_))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("text", StringType))))
+    val got = df.select(
+      Filters.checkGender("<S>").keep(col("text"))).collect()
+    assert(got.forall(_.isNullAt(0)))
+    // real-token smoke on the default splitter
+    val d2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        "he went<|gender_splitter|>she went")), 1),
+      StructType(Seq(StructField("text", StringType))))
+    assert(d2.select(Filters.checkGender().keep(col("text")))
+      .head().getBoolean(0))
+  }
 }
