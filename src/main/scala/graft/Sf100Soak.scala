@@ -56,28 +56,43 @@ object Sf100Soak {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val reuse = sys.env.get("SPARK_GRAFT_SF100_REUSE").contains("1") &&
-      new java.io.File(s"$dest/documents.parquet").exists()
-    val genSec = if (reuse) 0.0 else {
+    // Reuse is PER TABLE on the _SUCCESS marker (r19): a killed run's
+    // complete tables survive, a partial dir (no marker) regenerates.
+    val reuseEnv = sys.env.get("SPARK_GRAFT_SF100_REUSE").contains("1")
+    def have(table: String): Boolean =
+      new java.io.File(s"$dest/$table/_SUCCESS").exists()
+    var reuse = reuseEnv
+    val genSec = {
       val (_, g) = timed {
         val copies = spark.range(factor).toDF("copy")
-        spark.read.parquet(s"$src/documents.parquet")
-          .crossJoin(copies)
-          .withColumn("doc_id", col("doc_id") + col("copy") * DocStride)
-          .withColumn("text", when(col("copy") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" variant"), col("copy"))))
-          .drop("copy")
-          .repartition(64)
-          .write.mode("overwrite").parquet(s"$dest/documents.parquet")
-        spark.read.parquet(s"$src/orders.parquet")
-          .crossJoin(copies)
-          .withColumn("o_orderkey", col("o_orderkey") +
+        // repartition the SOURCE before the crossJoin: each sf0.1 table is
+        // ONE parquet file = one scan split, so without it the ×1000
+        // expansion — 150M rows through the shuffle for repartition(64) —
+        // serializes through a single map task (measured r19: that one
+        // task spilled >9 GB of sort runs for 37 min on one core while 31
+        // cores idled; r18 paid the same shape at 450 s). 32-way source
+        // parallelism makes the expansion + shuffle write use the machine.
+        def expand(table: String)(f: DataFrame => DataFrame): Unit =
+          if (reuseEnv && have(table)) ()
+          else {
+            reuse = false
+            f(spark.read.parquet(s"$src/$table").repartition(32)
+              .crossJoin(copies))
+              .drop("copy")
+              .repartition(64)
+              .write.mode("overwrite").parquet(s"$dest/$table")
+          }
+        expand("documents.parquet") { df =>
+          df.withColumn("doc_id", col("doc_id") + col("copy") * DocStride)
+            .withColumn("text", when(col("copy") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" variant"), col("copy"))))
+        }
+        expand("orders.parquet") { df =>
+          df.withColumn("o_orderkey", col("o_orderkey") +
             col("copy") * KeyStride)
-          .withColumn("o_custkey", col("o_custkey") +
-            col("copy") * CustStride)
-          .drop("copy")
-          .repartition(64)
-          .write.mode("overwrite").parquet(s"$dest/orders.parquet")
+            .withColumn("o_custkey", col("o_custkey") +
+              col("copy") * CustStride)
+        }
       }
       g
     }
