@@ -150,7 +150,10 @@ object QueriesExtra5 {
     (s, dir) => {
       val withDoc = Queries.table(s, dir, "documents")
         .withColumn("_doc", docExprSpark)
-      val model = NaiveBayes.train(withDoc, "_doc", "lang", CgramV, cgramFeat)
+      // r19: char-gram term counts via the one-scan DFA kernel — the
+      // haystack is exactly the lower(_doc) the featurizer grams over
+      val model = NaiveBayes.train(withDoc, "_doc", "lang", CgramV,
+        cgramFeat, substringHaystack = Some(lower(col("_doc"))))
       val key = QueriesExtra2.scaleKey(dir)
       val (wDf, pDf) = NaiveBayes.modelFrames(s, model)
       graft.dedup.SideChannel.through(wDf,

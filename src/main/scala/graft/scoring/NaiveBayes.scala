@@ -76,16 +76,51 @@ object NaiveBayes {
     */
   def trainCounts(df: DataFrame, textCol: String, labelCol: String,
       vocabSize: Int,
-      features: Column => Column = tokensCol): DataFrame = {
+      features: Column => Column = tokensCol,
+      substringHaystack: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
     val toks = features(col(textCol))
     val dfreq = df.select(explode(array_distinct(toks)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
     // TakeOrderedAndProject — distributed top-V, total order so ties are
-    // deterministic; never a single-partition window over the vocabulary
-    val vocab = dfreq.orderBy(col("df").desc, col("token")).limit(vocabSize)
-    val cnts = df.select(col(labelCol).as("label"), explode(toks).as("token"))
-      .join(broadcast(vocab.select("token")), Seq("token"))
-      .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    // deterministic; never a single-partition window over the vocabulary.
+    val (vocab, cnts) = substringHaystack match {
+      case Some(haystack) =>
+        // r19: vocab-restricted term counts via ONE Aho–Corasick scan per
+        // row instead of exploding every gram (~3×len strings/doc) and
+        // broadcast-joining 99.9% of them away. Valid ONLY when a vocab
+        // token's multiplicity equals its overlapping substring count in
+        // the haystack — true for char-n-gram features over lower(text)
+        // on valid UTF-8 (see ByteDfa.countEachInto), NOT for word
+        // tokens (token-boundary-delimited). Callers opt in by passing
+        // the exact haystack the featurizer derives grams from. The
+        // needles must reach the driver to build the automaton, so this
+        // branch materializes the BOUNDED top-V frame eagerly (vocabSize
+        // rows — the same model-download collect train() performs);
+        // measured −37% on nb_predict_chargram at sf0.1 (3.00 → 1.88 s
+        // paired best-of-4). The None branch deliberately stays fully
+        // lazy: an eager vocab collect there SERIALIZES the dfreq pass
+        // against the cnts pass that one action overlaps (measured +45%
+        // on nb_train_counts when tried).
+        val vocabRows = dfreq.orderBy(col("df").desc, col("token"))
+          .limit(vocabSize).collect()
+        val vocabDf = spark.createDataFrame(
+          java.util.Arrays.asList(vocabRows: _*), dfreq.schema)
+        val needles = vocabRows.map(_.getString(0))
+        val counted = graft.text.MultiMatch.gramCounts(haystack, needles)
+        val c = df.select(col(labelCol).as("label"), explode(counted).as("s"))
+          .groupBy(col("label"), col("s.i").as("__i__"))
+          .agg(sum(col("s.c")).as("cnt"))
+          .select(element_at(lit(needles), col("__i__") + 1).as("token"),
+            col("label"), col("cnt"))
+        (vocabDf, c)
+      case None =>
+        val v = dfreq.orderBy(col("df").desc, col("token")).limit(vocabSize)
+        val c = df.select(col(labelCol).as("label"), explode(toks).as("token"))
+          .join(broadcast(v.select("token")), Seq("token"))
+          .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+        (v, c)
+    }
     val totals = cnts.groupBy("label").agg(sum("cnt").as("tok_total"))
     val labelSide = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
@@ -108,9 +143,10 @@ object NaiveBayes {
     */
   def train(df: DataFrame, textCol: String, labelCol: String,
       vocabSize: Int,
-      features: Column => Column = tokensCol): NbModel = {
-    val rows = trainCounts(df, textCol, labelCol, vocabSize, features)
-      .collect()
+      features: Column => Column = tokensCol,
+      substringHaystack: Option[Column] = None): NbModel = {
+    val rows = trainCounts(df, textCol, labelCol, vocabSize, features,
+      substringHaystack).collect()
     val labels = rows.map(_.getString(1)).distinct.sorted
     val li = labels.zipWithIndex.toMap
     val v = rows.map(_.getString(0)).distinct.length

@@ -159,6 +159,28 @@ final class ByteDfa(needles: Array[String]) extends Serializable {
     total
   }
 
+  /** Per-needle OVERLAPPING occurrence counts over the RAW bytes (r19 —
+    * the NB vocab-count kernel): `out(i)` += the number of positions where
+    * needle i's byte encoding occurs in `s`, overlaps included, no ASCII
+    * lowering (the caller passes an already-lowercased haystack so the
+    * counts line up with grams extracted from `lower(text)`). For valid
+    * UTF-8 this equals the codepoint-window count: a needle's first byte
+    * is a lead byte, which never equals a continuation byte, so a byte
+    * match cannot start mid-codepoint and always spans whole codepoints.
+    */
+  def countEachInto(s: UTF8String, out: Array[Long]): Unit = {
+    val n = s.numBytes()
+    var state = 0
+    var i = 0
+    while (i < n) {
+      state = goto(state * 256 + (s.getByte(i) & 0xff))
+      val os = outFlat(state)
+      var j = 0
+      while (j < os.length) { out(os(j)) += 1L; j += 1 }
+      i += 1
+    }
+  }
+
   /** True iff any needle occurs in the ASCII-lowered bytes (early exit). */
   def containsBytes(s: UTF8String): Boolean = {
     val n = s.numBytes()

@@ -80,6 +80,67 @@ case class CountMatchesExpr(child: Expression, holder: AhoHolder)
     copy(child = c)
 }
 
+/** Ships a vocabulary (needle list) with the plan for per-needle
+  * OVERLAPPING occurrence counting — the NB restricted-vocabulary term
+  * counter (r19). Same JVM-global-cache pattern as [[AhoHolder]]. No
+  * lowering: the caller passes the already-lowercased haystack so counts
+  * line up with grams extracted from `lower(text)`.
+  */
+final class GramCountHolder(val needles: Array[String]) extends Serializable {
+  @transient private lazy val dfa = ByteDfa.forNeedles(needles)
+  private val n = needles.length
+
+  /** Nonzero (needle index, overlapping count) pairs as Catalyst array
+    * data — zero rows for a doc containing no vocab gram.
+    */
+  def nonzeroCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val counts = new Array[Long](n)
+    dfa.countEachInto(s, counts)
+    var nz = 0
+    var i = 0
+    while (i < n) { if (counts(i) != 0L) nz += 1; i += 1 }
+    val rows = new Array[Any](nz)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (counts(i) != 0L) {
+        rows(j) = org.apache.spark.sql.catalyst.InternalRow(i, counts(i))
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** `array<struct<i:int, c:long>>` of nonzero per-needle overlapping counts
+  * in `child` (already-lowercased haystack). One DFA scan per row — the
+  * r19 replacement for explode-all-grams + broadcast-join-vocab in NB
+  * char-gram training (identical counts; see [[ByteDfa.countEachInto]]
+  * for the valid-UTF-8 equivalence argument).
+  */
+case class GramCountsExpr(child: Expression, holder: GramCountHolder)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"requires string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    holder.nonzeroCounts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("gramCounts", holder,
+      "graft.text.GramCountHolder")
+    defineCodeGen(ctx, ev, c => s"$h.nonzeroCounts($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object MultiMatch {
   import org.apache.spark.sql.GraftBridge
 
@@ -92,4 +153,11 @@ object MultiMatch {
   def countMatches(c: Column, needles: Array[String]): Column =
     GraftBridge.column(
       CountMatchesExpr(GraftBridge.expression(c), new AhoHolder(needles)))
+
+  /** Column API: nonzero (needle idx, overlapping count) pairs in `c`
+    * (pass an already-lowercased haystack — no lowering is applied).
+    */
+  def gramCounts(c: Column, needles: Array[String]): Column =
+    GraftBridge.column(
+      GramCountsExpr(GraftBridge.expression(c), new GramCountHolder(needles)))
 }

@@ -145,6 +145,61 @@ class ClassifierSpec extends AnyFunSuite {
       s"char-gram margins too thin: ${cgram.values.map(_._3)}")
   }
 
+  test("gramCounts: per-needle OVERLAPPING occurrence counts, no lowering") {
+    val s = spark
+    import s.implicits._
+    val needles = Array("aa", "ab", "då", "ж", "zz")
+    val got = Seq("aaaa", "abab", "då gå då", "жж", "none", "")
+      .toDF("t")
+      .select(graft.text.MultiMatch.gramCounts(col("t"), needles))
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    assert(got(0) === Map(0 -> 3L)) // "aa" overlaps: positions 0,1,2
+    assert(got(1) === Map(1 -> 2L))
+    assert(got(2) === Map(2 -> 2L)) // multibyte needle, byte-exact
+    assert(got(3) === Map(3 -> 2L))
+    assert(got(4) === Map.empty) // no vocab gram -> zero rows
+    assert(got(5) === Map.empty)
+  }
+
+  test("trainCounts: DFA substring-haystack path == explode+join path (char grams)") {
+    // The r19 one-scan vocab counter must produce the IDENTICAL dense grid:
+    // multiscript text (2-4 byte codepoints), overlapping grams (aaaa),
+    // mixed case (haystack = lower(text)), docs with no vocab grams, and a
+    // vocab budget small enough to truncate (df-tie token-asc break live).
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("The quick brown fox AAAA aaaa", "en"),
+      ("der schnelle braune Fuchs über", "de"),
+      ("быстрая лиса дома жж", "ru"),
+      ("日本語のテキストです", "ja"),
+      ("x", "en"), // shorter than minN: contributes nothing
+      ("ababab ÅÅ åå", "de"))
+      .toDF("text", "lang")
+    val feat: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => NaiveBayes.charGramsCol(c, 2, 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("token", "label").collect().map(_.toSeq).toSeq
+    for (v <- Seq(10, 50, 5000)) { // truncating AND non-truncating budgets
+      val base = canon(NaiveBayes.trainCounts(docs, "text", "lang", v, feat))
+      val dfa = canon(NaiveBayes.trainCounts(docs, "text", "lang", v, feat,
+        substringHaystack = Some(lower(col("text")))))
+      assert(dfa === base, s"DFA path diverged at vocabSize=$v")
+    }
+    // and the quantized models agree end to end
+    val m1 = NaiveBayes.train(docs, "text", "lang", 50, feat)
+    val m2 = NaiveBayes.train(docs, "text", "lang", 50, feat,
+      substringHaystack = Some(lower(col("text"))))
+    assert(m1.labels.toSeq === m2.labels.toSeq)
+    assert(m1.priorsMicro.toSeq === m2.priorsMicro.toSeq)
+    assert(m1.weights.keySet === m2.weights.keySet)
+    m1.weights.foreach { case (t, w) =>
+      assert(w.toSeq === m2.weights(t).toSeq, s"weight drift on gram '$t'")
+    }
+  }
+
   test("NB scoring composes with Structured Streaming: stream == batch") {
     val s = spark
     import s.implicits._
