@@ -39,11 +39,18 @@ object ExactSubstring {
     MinHash.modMersenne(MinHash.modMersenne(lo) + hi * 8)
   }
 
-  /** 16-byte rolling fingerprints of every length-L window (UTF-16-unit
-    * windows, matching `substr` semantics on BMP text). Procedural UDF on
-    * purpose: the rolling recurrence is inherently sequential per row.
+  /** 128-bit rolling fingerprints of every length-L window (UTF-16-unit
+    * windows, matching `substr` semantics on BMP text), as (h1, h2) long
+    * pairs. Procedural UDF on purpose: the rolling recurrence is
+    * inherently sequential per row. r19 (guide §2.2 narrower types): the
+    * pairs flatten to TWO top-level LONG columns before the h-shuffle —
+    * fixed-width rows (no var-length binary offsets) and the window sort
+    * radix-prefixes on h1's full 61 bits of entropy instead of a byte-at
+    * -a-time binary comparator; the 16-byte-array-per-window allocation
+    * in the UDF loop goes away with it. Same hash VALUES, so grouping by
+    * (h1, h2) partitions windows identically to the old 16-byte key.
     */
-  private[graft] def fingerprints(s: String, L: Int): Array[Array[Byte]] = {
+  private[graft] def fingerprints(s: String, L: Int): Array[(Long, Long)] = {
     if (s == null || s.length < L) return Array.empty
     val n = s.length - L + 1
     var pw1 = 1L; var pw2 = 1L
@@ -57,19 +64,10 @@ object ExactSubstring {
       h2 = MinHash.modMersenne(mulmod(h2, B2) + c)
       j += 1
     }
-    val out = new Array[Array[Byte]](n)
+    val out = new Array[(Long, Long)](n)
     var i = 0
     while (true) {
-      // manual big-endian pack — ByteBuffer.allocate per window doubled
-      // the allocation rate of this loop for a 16-byte payload
-      val a = new Array[Byte](16)
-      var b = 0
-      while (b < 8) {
-        a(b) = (h1 >>> (56 - 8 * b)).toByte
-        a(b + 8) = (h2 >>> (56 - 8 * b)).toByte
-        b += 1
-      }
-      out(i) = a
+      out(i) = (h1, h2)
       i += 1
       if (i >= n) return out
       val cOut = s.charAt(i - 1).toLong
@@ -92,18 +90,37 @@ object ExactSubstring {
     * exclusive end) covered by length-`L` windows whose content occurs in
     * MORE THAN ONE document. Rows shorter than L produce no spans.
     */
+  /** Probe hooks (r19 measurement): the explode stage and the marked
+    * stage as standalone frames, so phase costs are timeable in
+    * isolation (graft.EsProbe). Not query API.
+    */
+  private[graft] def gramsFor(df: DataFrame, idCol: String,
+      textCol: String, L: Int): DataFrame =
+    df.where(length(col(textCol)) >= L).select(col(idCol),
+        posexplode(windowKeys(col(textCol), L)).as(Seq("pos", "h")))
+      .select(col(idCol), col("pos"),
+        col("h._1").as("h1"), col("h._2").as("h2"))
+
+  private[graft] def markedFor(df: DataFrame, idCol: String,
+      textCol: String, L: Int): DataFrame = {
+    val wh = Window.partitionBy("h1", "h2")
+    gramsFor(df, idCol, textCol, L)
+      .withColumn("__mn__", min(col(idCol)).over(wh))
+      .withColumn("__mx__", max(col(idCol)).over(wh))
+      .where(col("__mn__") =!= col("__mx__"))
+      .drop("__mn__", "__mx__")
+  }
+
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       L: Int): DataFrame = {
-    val base = df.where(length(col(textCol)) >= L)
-    val grams = base.select(col(idCol),
-      posexplode(windowKeys(col(textCol), L)).as(Seq("pos", "h")))
+    val grams = gramsFor(df, idCol, textCol, L)
     // windows seen in >1 document: min(doc) != max(doc) over the
     // fingerprint partition — same predicate as count(distinct doc) > 1
     // without the distinct expansion. A WINDOW (not groupBy + join back)
     // keeps every (id, pos) row in the same pass, so the explode UDF and
     // its 16-byte-array materialization run ONCE instead of once per side
     // of the join; total movement is one shuffle on h either way.
-    val wh = Window.partitionBy("h")
+    val wh = Window.partitionBy("h1", "h2")
     val marked = grams
       .withColumn("__mn__", min(col(idCol)).over(wh))
       .withColumn("__mx__", max(col(idCol)).over(wh))
@@ -130,18 +147,16 @@ object ExactSubstring {
     */
   def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, L: Int): DataFrame = {
-    val cGrams = corpus.where(length(col(textCol)) >= L)
-      .select(col(idCol), lit(0).as("__side__"),
-        posexplode(windowKeys(col(textCol), L)).as(Seq("pos", "h")))
-    val bGrams = benchmark.where(length(col(textCol)) >= L)
-      .select(col(idCol), lit(1).as("__side__"),
-        posexplode(windowKeys(col(textCol), L)).as(Seq("pos", "h")))
+    val cGrams = gramsFor(corpus, idCol, textCol, L)
+      .withColumn("__side__", lit(0))
+    val bGrams = gramsFor(benchmark, idCol, textCol, L)
+      .withColumn("__side__", lit(1))
     val grams = cGrams.unionByName(bGrams)
     // same single-pass window shape as repeatedSpans: a window is
     // contaminated iff both sides appear in its fingerprint partition;
     // corpus rows survive the filter directly — no second explode of
     // cGrams for a join-back side
-    val wh = Window.partitionBy("h")
+    val wh = Window.partitionBy("h1", "h2")
     val marked = grams
       .withColumn("__mn__", min(col("__side__")).over(wh))
       .withColumn("__mx__", max(col("__side__")).over(wh))

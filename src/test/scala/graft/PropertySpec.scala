@@ -49,7 +49,7 @@ class PropertySpec extends AnyFunSuite {
     forAll(g, n = 100) { case (pre, core, post) =>
       val a = graft.dedup.ExactSubstring.fingerprints(pre + core, 40).last
       val b = graft.dedup.ExactSubstring.fingerprints(core + post, 40).head
-      assert(java.util.Arrays.equals(a, b),
+      assert(a === b,
         s"window fingerprint depends on context: '$pre' / '$post'")
     }
   }
