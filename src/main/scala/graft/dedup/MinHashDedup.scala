@@ -758,6 +758,16 @@ object MinHashDedup {
     * ids under an already-broadcast root map would keep the wrong rows
     * (same reason [[deduplicateAgainst]] keeps its pin — its order
     * column is synthetic even though it is named).
+    *
+    * r19 NOTE (measured, kept as-is): a deferred one-slot release (park
+    * the pin, drain at the next dedup call) was tried so the caller's
+    * terminal action could read the cache instead of re-deriving the
+    * upstream plan. Paired best-of-3 benches showed NO win — the lazy
+    * output's re-derivation is cheap because the keep-filter (a
+    * deterministic UDF on the id column) pushes below the expensive
+    * projections, e.g. the flagship re-runs its trunk only up to the io
+    * select for the 547 kept rows — and flagship_e2e_minhash regressed
+    * ~0.4 s under the extra retained blocks. Immediate release stands.
     */
   private[dedup] def releasePinIf(withId: DataFrame,
       orderCol: Option[String]): Unit =
