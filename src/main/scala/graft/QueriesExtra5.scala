@@ -151,18 +151,24 @@ object QueriesExtra5 {
       val withDoc = Queries.table(s, dir, "documents")
         .withColumn("_doc", docExprSpark)
       // r19: char-gram term counts via the one-scan DFA kernel — the
-      // haystack is exactly the lower(_doc) the featurizer grams over
+      // haystack is exactly the lower(_doc) the featurizer grams over —
+      // and the dfreq pass extracts each doc's distinct grams in one
+      // fused pass instead of materializing duplicates for array_distinct
       val model = NaiveBayes.train(withDoc, "_doc", "lang", CgramV,
-        cgramFeat, substringHaystack = Some(lower(col("_doc"))))
+        cgramFeat, substringHaystack = Some(lower(col("_doc"))),
+        distinctFeatures = Some(c => NaiveBayes.charGramsDistinctCol(c, 2, 4)))
       val key = QueriesExtra2.scaleKey(dir)
       val (wDf, pDf) = NaiveBayes.modelFrames(s, model)
       graft.dedup.SideChannel.through(wDf,
         QueriesExtra2.sinkOnce(nbCgramPath(key) + "/weights"))
       graft.dedup.SideChannel.through(pDf,
         QueriesExtra2.sinkOnce(nbCgramPath(key) + "/priors"))
-      NaiveBayes.predict(
+      // r19: scoring via one DFA scan of the same lowercased haystack the
+      // gram featurizer reads — identical integer sums (ClassifierSpec
+      // pins predictSubstring == predict on this featurizer)
+      NaiveBayes.predictSubstring(
         withDoc.withColumn("_scored", concat(col("_doc"), lit(" zzunseen"))),
-        model, "_scored", cgramFeat)
+        model, lower(col("_scored")))
         .select(col(d), col("nb_label"), col("nb_score_micro"),
           col("nb_margin_micro"))
         .orderBy(d)

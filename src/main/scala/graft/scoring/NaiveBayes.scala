@@ -63,6 +63,15 @@ object NaiveBayes {
   def charGramsCol(c: Column, minN: Int, maxN: Int): Column =
     graft.text.CharGrams(lower(c), minN, maxN)
 
+  /** `array_distinct(charGramsCol(c))` fused into the extraction pass
+    * (r19): the dfreq aggregation needs each doc's DISTINCT grams only,
+    * and the composed form first materializes every duplicate gram as a
+    * UTF8String just for array_distinct to drop it. Identical elements
+    * and order (ClassifierSpec differential).
+    */
+  def charGramsDistinctCol(c: Column, minN: Int, maxN: Int): Column =
+    graft.text.CharGrams.distinct(lower(c), minN, maxN)
+
   /** Integer training artifact: the dense (vocab x label) grid of term
     * counts plus the marginals the smoothed model derives from. Every
     * column is a count, so the whole frame is exactly recomputable in
@@ -77,10 +86,17 @@ object NaiveBayes {
   def trainCounts(df: DataFrame, textCol: String, labelCol: String,
       vocabSize: Int,
       features: Column => Column = tokensCol,
-      substringHaystack: Option[Column] = None): DataFrame = {
+      substringHaystack: Option[Column] = None,
+      distinctFeatures: Option[Column => Column] = None): DataFrame = {
     val spark = df.sparkSession
     val toks = features(col(textCol))
-    val dfreq = df.select(explode(array_distinct(toks)).as("token"))
+    // r19: a featurizer-fused distinct (charGramsDistinctCol) skips
+    // materializing the duplicate grams array_distinct would drop;
+    // callers guarantee distinctFeatures(c) === array_distinct(
+    // features(c)) element-for-element (ClassifierSpec differential)
+    val docToks = distinctFeatures.map(f => f(col(textCol)))
+      .getOrElse(array_distinct(toks))
+    val dfreq = df.select(explode(docToks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
     // TakeOrderedAndProject — distributed top-V, total order so ties are
     // deterministic; never a single-partition window over the vocabulary.
@@ -144,9 +160,10 @@ object NaiveBayes {
   def train(df: DataFrame, textCol: String, labelCol: String,
       vocabSize: Int,
       features: Column => Column = tokensCol,
-      substringHaystack: Option[Column] = None): NbModel = {
+      substringHaystack: Option[Column] = None,
+      distinctFeatures: Option[Column => Column] = None): NbModel = {
     val rows = trainCounts(df, textCol, labelCol, vocabSize, features,
-      substringHaystack).collect()
+      substringHaystack, distinctFeatures).collect()
     val labels = rows.map(_.getString(1)).distinct.sorted
     val li = labels.zipWithIndex.toMap
     val v = rows.map(_.getString(0)).distinct.length
@@ -187,6 +204,29 @@ object NaiveBayes {
     * tokens contribute nothing (standard restricted-vocabulary NB);
     * a document with no vocab tokens falls back to the priors.
     */
+  /** [[predict]] for substring-countable featurizers (char n-grams over
+    * `lower(text)`): ONE Aho-Corasick scan of the haystack replaces the
+    * full gram extraction + Seq[String] UDF conversion + per-gram map
+    * lookups. Scores are the SAME integer sums (overlapping substring
+    * count == gram multiplicity on valid UTF-8 — ByteDfa.countEachInto),
+    * so label/score/margin are identical to [[predict]] with the
+    * matching featurizer (ClassifierSpec differential). Callers pass the
+    * exact haystack the featurizer grams over, e.g. `lower(col(text))`.
+    */
+  def predictSubstring(df: DataFrame, model: NbModel,
+      haystack: Column): DataFrame = {
+    val needles = model.weights.keys.toArray.sorted
+    val holder = new NbScoreHolder(model.labels, model.priorsMicro,
+      needles, needles.map(model.weights))
+    df.withColumn("_nb", org.apache.spark.sql.GraftBridge.column(
+        NbScoreExpr(org.apache.spark.sql.GraftBridge.expression(haystack),
+          holder)))
+      .withColumn("nb_label", col("_nb.nb_label"))
+      .withColumn("nb_score_micro", col("_nb.nb_score_micro"))
+      .withColumn("nb_margin_micro", col("_nb.nb_margin_micro"))
+      .drop("_nb")
+  }
+
   def predict(df: DataFrame, model: NbModel, textCol: String,
       features: Column => Column = tokensCol): DataFrame = {
     val m = model

@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * engines (astral chars count once), identical output order (widths
   * ascending, then position).
   */
-final class CharGramsHolder(minN: Int, maxN: Int) extends Serializable {
+final class CharGramsHolder(minN: Int, maxN: Int,
+    distinct: Boolean = false) extends Serializable {
   require(0 < minN && minN <= maxN, s"bad n-gram range [$minN, $maxN]")
 
   def grams(s: UTF8String): ArrayData = {
@@ -42,20 +43,44 @@ final class CharGramsHolder(minN: Int, maxN: Int) extends Serializable {
       if (cpCount >= n) total += cpCount - n + 1
       n += 1
     }
-    val out = new Array[AnyRef](total)
-    var w = 0
-    n = minN
-    while (n <= maxN) {
-      var p = 0
-      val last = cpCount - n
-      while (p <= last) {
-        out(w) = UTF8String.fromString(str.substring(offs(p), offs(p + n)))
-        w += 1
-        p += 1
+    if (!distinct) {
+      val out = new Array[AnyRef](total)
+      var w = 0
+      n = minN
+      while (n <= maxN) {
+        var p = 0
+        val last = cpCount - n
+        while (p <= last) {
+          out(w) = UTF8String.fromString(str.substring(offs(p), offs(p + n)))
+          w += 1
+          p += 1
+        }
+        n += 1
       }
-      n += 1
+      new GenericArrayData(out)
+    } else {
+      // r19 (the NB dfreq pass, guide §2.2 shuffle fewer bytes): emit
+      // each gram ONCE, in first-occurrence order — element-for-element
+      // what array_distinct over the full extraction returns (pinned by
+      // ClassifierSpec's differential), without materializing the
+      // duplicate majority as UTF8Strings first. The set keys on the
+      // java String slice; only first occurrences pay the UTF8String
+      // encode.
+      val seen = new java.util.HashSet[String](math.max(16, total * 2))
+      val buf = new java.util.ArrayList[AnyRef](math.min(total, 1 << 12))
+      n = minN
+      while (n <= maxN) {
+        var p = 0
+        val last = cpCount - n
+        while (p <= last) {
+          val g = str.substring(offs(p), offs(p + n))
+          if (seen.add(g)) buf.add(UTF8String.fromString(g))
+          p += 1
+        }
+        n += 1
+      }
+      new GenericArrayData(buf.toArray)
     }
-    new GenericArrayData(out)
   }
 }
 
@@ -85,4 +110,13 @@ object CharGrams {
     org.apache.spark.sql.GraftBridge.column(
       CharGramsExpr(org.apache.spark.sql.GraftBridge.expression(c),
         new CharGramsHolder(minN, maxN)))
+
+  /** `array_distinct(CharGrams(c, minN, maxN))` fused into the same
+    * single pass: identical elements, identical (first-occurrence)
+    * order, no materialization of the duplicate grams.
+    */
+  def distinct(c: Column, minN: Int, maxN: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CharGramsExpr(org.apache.spark.sql.GraftBridge.expression(c),
+        new CharGramsHolder(minN, maxN, distinct = true)))
 }

@@ -200,6 +200,48 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("charGramsDistinctCol == array_distinct(charGramsCol), elements AND order") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("AbAbAb", "x", "", "då gå då gå", "aaaaaa",
+      "日本語の語の語", "the cat sat on the mat the cat")
+    val df = texts.toDF("t")
+    val composed = df.select(array_distinct(
+      NaiveBayes.charGramsCol(col("t"), 2, 4))).as[Seq[String]].collect()
+    val fused = df.select(
+      NaiveBayes.charGramsDistinctCol(col("t"), 2, 4))
+      .as[Seq[String]].collect()
+    composed.zip(fused).zip(texts).foreach { case ((c, f), t) =>
+      assert(f === c, s"distinct-gram kernel diverged on '$t'")
+    }
+  }
+
+  test("predictSubstring == predict for the char-gram featurizer") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      ("the quick brown fox jumps over the lazy dog", "en"),
+      ("der schnelle braune fuchs springt über den zaun", "de"),
+      ("быстрая лиса прыгает через забор дома", "ru"))
+      .toDF("text", "lang")
+    val feat: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => NaiveBayes.charGramsCol(c, 2, 4)
+    val m = NaiveBayes.train(train, "text", "lang", 300, feat)
+    // mixed case (haystack must be the lowercased text), OOV-only doc,
+    // empty doc, multibyte, and the zzunseen-append shape the query uses
+    val docs = Seq((1L, "Quick Foxes Jump"), (2L, "zz qq kk"), (3L, ""),
+      (4L, "быстрая лиса zzunseen"), (5L, "Der Zaun springt zzunseen"))
+      .toDF("id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "nb_label", "nb_score_micro", "nb_margin_micro")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    val viaGrams = canon(NaiveBayes.predict(docs, m, "text", feat))
+    val viaDfa = canon(NaiveBayes.predictSubstring(docs, m,
+      lower(col("text"))))
+    assert(viaDfa === viaGrams)
+  }
+
   test("NB scoring composes with Structured Streaming: stream == batch") {
     val s = spark
     import s.implicits._
