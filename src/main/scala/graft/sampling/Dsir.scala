@@ -95,7 +95,19 @@ object Dsir {
     * DSIR uses 10k buckets at paper scale), never corpus rows.
     */
   def fit(target: DataFrame, raw: DataFrame, text: Column,
-      buckets: Int): DsirModel = {
+      buckets: Int): DsirModel =
+    fitWithGrid(target, raw, text, buckets)._1
+
+  /** [[fit]] plus the dense grid rows it collected — so a caller that
+    * needs BOTH the model and the (bucket, target_cnt, raw_cnt) grid
+    * (the `dsir_fit` suite line joins exactly this grid with the fitted
+    * weights) reuses the fit's own B-row download instead of re-running
+    * the two gram aggregations a second time (r19, guide §1.2: the
+    * timed dsir_fit line paid 4 corpus gram passes for 2 passes' worth
+    * of information).
+    */
+  def fitWithGrid(target: DataFrame, raw: DataFrame, text: Column,
+      buckets: Int): (DsirModel, Array[org.apache.spark.sql.Row]) = {
     val grid = countGrid(target, raw, text, buckets).collect()
     val tc = new Array[Long](buckets)
     val rc = new Array[Long](buckets)
@@ -112,7 +124,7 @@ object Dsir {
         (ln((tc(b) + 1).toDouble / tTot) - ln((rc(b) + 1).toDouble / rTot))
           * 1e6).toLong
     }
-    DsirModel(buckets, lw)
+    (DsirModel(buckets, lw), grid)
   }
 
   /** The weight table as a DataFrame — the integer side-channel the
