@@ -33,9 +33,11 @@ object Sketch {
     val rows = explode(array((0 until depth).map(lit): _*)).as("r")
     grams.select(col(gramCol).as("__g__"), rows)
       .withColumn("bucket",
-        // one md5 per (gram, r): the seed is in the hashed string
-        conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-          col("__g__"))), 1, 8), 16, 10).cast("long") % width)
+        // one md5 per (gram, r): the seed is in the hashed string.
+        // r19: fused digest-prefix kernel == conv(substring(md5(x),1,8),
+        // 16,10) (Md5PrefixSpec) — no hex string/substring/parse per cell
+        Md5Prefix(concat(col("r").cast("string"), lit(":"),
+          col("__g__")), 8) % width)
       .groupBy("r", "bucket")
       .agg(count(lit(1)).as("cnt"))
   }
@@ -49,8 +51,8 @@ object Sketch {
     val rows = explode(array((0 until depth).map(lit): _*)).as("r")
     candidates.select(col(gramCol), rows)
       .withColumn("bucket",
-        conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-          col(gramCol))), 1, 8), 16, 10).cast("long") % width)
+        Md5Prefix(concat(col("r").cast("string"), lit(":"),
+          col(gramCol)), 8) % width)
       .join(broadcast(grid), Seq("r", "bucket"), "left")
       .groupBy(gramCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
@@ -93,8 +95,9 @@ object Sketch {
       p: Int): DataFrame = {
     require(p >= 4 && p <= 16, s"p out of range: $p")
     val m = 1 << p
-    val h = conv(substring(md5(concat(lit("hll:"), col(itemCol))), 1, 15),
-      16, 10).cast("long")
+    // r19: fused digest-prefix kernel, same value as the conv/substring
+    // chain (Md5PrefixSpec pins the 15-hex width too)
+    val h = Md5Prefix(concat(lit("hll:"), col(itemCol)), 15)
     items.select(keys.map(col) :+ h.as("__h__"): _*)
       .select(keys.map(col) ++ Seq((col("__h__") % m).as("bucket"),
         (lit(HashBits - p + 1) -

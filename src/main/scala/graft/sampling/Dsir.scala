@@ -46,7 +46,9 @@ object Dsir {
     * `('0x' || substr(md5(g), 1, 8))::BIGINT`.
     */
   def hashBucket(gram: Column, buckets: Int): Column =
-    conv(substring(md5(gram), 1, 8), 16, 10).cast("long") % buckets
+    // r19: fused digest-prefix kernel == conv(substring(md5(g),1,8),16,10)
+    // (Md5PrefixSpec differential pins the value equality)
+    graft.analysis.Md5Prefix(gram, 8) % buckets
 
   /** Unigrams + adjacent bigrams (joined with '_') over the shared
     * engine tokenizer (same tokens as [[NaiveBayes.tokensCol]] — `\w+` on
