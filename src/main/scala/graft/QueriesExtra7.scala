@@ -330,9 +330,8 @@ object QueriesExtra7 {
     (s, dir) => {
       import graft.analysis.{Sketch, TermStats}
       val docs = Queries.table(s, dir, "documents")
-      val grams = docs.select(TermStats.words(col("text")).as("__w__"))
-        .select(explode(
-          TermStats.ngramsWithMultiplicity(col("__w__"), 3)).as("gram"))
+      val grams = docs.select(explode(
+        graft.text.AsciiGrams.ngrams(col("text"), 3)).as("gram"))
       val grid = Sketch.cmsBuild(grams, "gram", CmsDepth, CmsWidth)
       val top = TermStats.topNgrams(docs, "text", 3, 20)
       Sketch.cmsEstimate(top, "gram", grid, CmsDepth, CmsWidth)

@@ -22,9 +22,10 @@ object Decon {
   /** Distinct word n-grams per document: (idCol, gram). */
   private def docGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), TermStats.words(col(textCol)).as("__w__"))
-      .select(col(idCol), explode(array_distinct(
-        TermStats.ngramsWithMultiplicity(col("__w__"), n))).as("gram"))
+    // r19: fused tokenize+gram+distinct kernel (≡ array_distinct over
+    // the composed extraction — AsciiGramsSpec pins it)
+    df.select(col(idCol), explode(
+      graft.text.AsciiGrams.ngramsDistinct(col(textCol), n)).as("gram"))
 
   /** Per-corpus-document overlap against `benchmark`:
     * (idCol, n_grams, n_matched, overlap_frac). Documents with fewer

@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
 object TermStats {
 
   /** Lowercased word tokens (the `[^a-z0-9_]+` splitter every text-
-    * analysis query in this repo shares).
+    * analysis query in this repo shares). r19: fused one-pass kernel —
+    * the composed split+filter ran the ArrayFilter HOF interpreted per
+    * row; [[wordsComposed]] is retained as the differential-spec
+    * reference (AsciiGramsSpec pins element identity, unicode lowering
+    * edge cases included).
     */
-  def words(text: Column): Column =
+  def words(text: Column): Column = graft.text.AsciiGrams.tokens(text)
+
+  /** The pre-r19 composed form of [[words]] — spec reference only. */
+  private[graft] def wordsComposed(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9_]+"), w => length(w) > 0)
 
   /** All word n-grams WITH multiplicity (space-joined), [] below n words
@@ -44,8 +51,9 @@ object TermStats {
     * lexicographically: (gram, n_occurrences).
     */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(words(col(textCol)).as("__w__"))
-      .select(explode(ngramsWithMultiplicity(col("__w__"), n)).as("gram"))
+    // r19: fused tokenize+gram kernel (one scan, no interpreted HOFs)
+    df.select(explode(
+        graft.text.AsciiGrams.ngrams(col(textCol), n)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram").asc)
