@@ -205,11 +205,10 @@ object QueriesExtra2 {
     */
   val ngJaccard: QueryDef = QueryDef("ng_jaccard_pairs",
     (s, dir) => {
+      // r19: fused distinct-gram kernel — no staged word array, no
+      // interpreted HOF chain (AsciiGramsSpec pins element identity)
       val docs = Queries.table(s, dir, "documents")
-        .withColumn("__w__",
-          filter(split(lower(col("text")), "[^a-z0-9_]+"),
-            w => length(w) > 0))
-      val g = graft.dedup.NgramJaccard.ngramsFromWords(col("__w__"), 3)
+      val g = graft.dedup.NgramJaccard.wordNgrams(col("text"), 3)
       val a = docs.select(col("doc_id").as("a"), g.as("ga"))
       val b = docs.select((col("doc_id") - 1).as("a"), g.as("gb"))
       a.join(b, Seq("a"))

@@ -9,15 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
-  /** Distinct word n-grams (lowercased `[a-z0-9_]+` words). Column-only:
-    * `sequence` + `slice` + `concat_ws`, no UDF. NOTE: the split
-    * subexpression is re-evaluated per lambda element — when applying to
-    * many rows, stage the word array in its own projection first
-    * ([[ngramsFromWords]]) or the cost is O(words²) per row.
+  /** Distinct word n-grams (lowercased `[a-z0-9_]+` words). r19: the
+    * fused one-pass kernel (tokenize + gram + distinct in one scan, no
+    * interpreted HOFs, no staged word array needed) — element-identical
+    * to [[ngramsFromWords]] over the composed tokenizer (AsciiGramsSpec
+    * pins the tokenizer and distinct-gram identities; ExtrasSpec's
+    * Jaccard goldens run through this path).
     */
   def wordNgrams(c: Column, n: Int): Column =
-    ngramsFromWords(
-      filter(split(lower(c), "[^a-z0-9_]+"), w => length(w) > 0), n)
+    graft.text.AsciiGrams.ngramsDistinct(c, n)
 
   /** N-grams from an already-materialized word-array column. */
   def ngramsFromWords(words: Column, n: Int): Column =
