@@ -98,9 +98,11 @@ object QueriesExtra5 {
         QueriesExtra2.sinkOnce(nbPath(key) + "/weights"))
       graft.dedup.SideChannel.through(pDf,
         QueriesExtra2.sinkOnce(nbPath(key) + "/priors"))
-      NaiveBayes.predict(
+      // r19: fused tokenize+score kernel — same integer sums as predict
+      // with the default featurizer (ClassifierSpec differential)
+      NaiveBayes.predictTokens(
         withDoc.withColumn("_scored", concat(col("_doc"), lit(" zzunseen"))),
-        model, "_scored")
+        model, col("_scored"))
         .select(col(d), col("nb_label"), col("nb_score_micro"),
           col("nb_margin_micro"))
         .orderBy(d)

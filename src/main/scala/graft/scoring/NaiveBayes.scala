@@ -227,6 +227,27 @@ object NaiveBayes {
       .drop("_nb")
   }
 
+  /** [[predict]] with the DEFAULT word-token featurizer, fused (r19):
+    * tokenize + score in one kernel call — no Catalyst token array, no
+    * Seq[String] UDF conversion, no per-token String decode. The token
+    * run-scan is the same `GraftTextKernels.wordTokens` `tokensCol`
+    * wraps, and the integer sums are predict's exactly (ClassifierSpec
+    * differential).
+    */
+  def predictTokens(df: DataFrame, model: NbModel,
+      text: Column): DataFrame = {
+    val toks = model.weights.keys.toArray.sorted
+    val holder = new NbTokenScoreHolder(model.labels, model.priorsMicro,
+      toks, toks.map(model.weights))
+    df.withColumn("_nb", org.apache.spark.sql.GraftBridge.column(
+        NbTokenScoreExpr(org.apache.spark.sql.GraftBridge.expression(text),
+          holder)))
+      .withColumn("nb_label", col("_nb.nb_label"))
+      .withColumn("nb_score_micro", col("_nb.nb_score_micro"))
+      .withColumn("nb_margin_micro", col("_nb.nb_margin_micro"))
+      .drop("_nb")
+  }
+
   def predict(df: DataFrame, model: NbModel, textCol: String,
       features: Column => Column = tokensCol): DataFrame = {
     val m = model

@@ -216,6 +216,22 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("predictTokens == predict with the default word featurizer") {
+    val s = spark
+    import s.implicits._
+    val m = NaiveBayes.train(corpus, "text", "label", 3)
+    // OOV-only, empty, mixed-case, unicode, repeated vocab tokens
+    val docs = Seq((1L, "a a b"), (2L, "zz qq"), (3L, ""),
+      (4L, "A a B d"), (5L, "день b день"), (6L, "c zz c"))
+      .toDF("id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "nb_label", "nb_score_micro", "nb_margin_micro")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    assert(canon(NaiveBayes.predictTokens(docs, m, col("text"))) ===
+      canon(NaiveBayes.predict(docs, m, "text")))
+  }
+
   test("predictSubstring == predict for the char-gram featurizer") {
     val s = spark
     import s.implicits._
