@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses `sbt "runMain graft.Bench"` stdout for the bench's
+// JSON contract line. sbt's default LoggedOutput strategy prefixes every
+// forked-run stdout line with "[info] ", so no line is raw JSON — every
+// BENCH_r01..r19.json carries `"parsed": null`. StdoutOutput passes the
+// child's stdout through untouched (sbt's own [info]/[success] lines are
+// unaffected).
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

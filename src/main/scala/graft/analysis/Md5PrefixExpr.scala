@@ -22,16 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final class Md5PrefixHolder(val hexLen: Int) extends Serializable {
   require(hexLen >= 1 && hexLen <= 15, s"hexLen out of [1,15]: $hexLen")
 
-  @transient private lazy val md5 =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
   def prefix(s: UTF8String): Long = {
-    val md = md5.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
+    // JVM-shared per-thread digest (ADVICE r19: an instance-owned
+    // ThreadLocal retained one MessageDigest per touched thread per plan
+    // instantiation); digest() resets the instance, so no reset() call
+    val d = Md5PrefixHolder.md5.get().digest(s.getBytes)
     var v = 0L
     var i = 0
     while (i < hexLen) {
@@ -41,6 +36,13 @@ final class Md5PrefixHolder(val hexLen: Int) extends Serializable {
       i += 1
     }
     v
+  }
+}
+
+object Md5PrefixHolder {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 }
 

@@ -36,13 +36,21 @@ object MinHash {
       ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 24)
   }
 
+  /** The reference's NON_ALPHA split pattern, compiled ONCE (r20:
+    * `String.split` fast-paths only single-char literals — a multi-char
+    * regex is `Pattern.compile`d on every call, i.e. once per ROW in the
+    * signature kernel; `Pattern.split` is the same algorithm on the
+    * shared compiled automaton, so the parts are identical).
+    */
+  private val NonAlpha = java.util.regex.Pattern.compile("[^A-Za-z_0-9]")
+
   /** Distinct space-joined word n-grams over the NON_ALPHA split, empty
     * when the doc has fewer than `minNgramSize` tokens
     * (minhash_deduplication.py:32-56,110). Split keeps empty tokens for
     * consecutive separators, exactly like Python `re.split`.
     */
   def tokens(content: String, n: Int, minNgramSize: Int): mutable.Set[String] = {
-    val parts = content.split("[^A-Za-z_0-9]", -1)
+    val parts = NonAlpha.split(content, -1)
     val set = mutable.Set.empty[String]
     if (parts.length < minNgramSize) return set
     var i = 0

@@ -82,6 +82,14 @@ object NaiveBayes {
     * Columns: token, label, cnt (term count of token under label, vocab
     * tokens only), df (document frequency of token), tok_total (sum of
     * vocab-token counts for the label), n_docs (label's document count).
+    *
+    * EAGER when `substringHaystack` is given (ADVICE r19): that branch
+    * runs Spark jobs AT CONSTRUCTION TIME — the bounded top-`vocabSize`
+    * dfreq frame is collected to the driver to build the Aho–Corasick
+    * automaton (the same model-download collect [[train]] performs), and
+    * the returned grid's vocab side is those frozen rows (lineage
+    * truncated). Pass `substringHaystack = None` if a fully lazy frame
+    * builder is required.
     */
   def trainCounts(df: DataFrame, textCol: String, labelCol: String,
       vocabSize: Int,
@@ -124,11 +132,19 @@ object NaiveBayes {
           java.util.Arrays.asList(vocabRows: _*), dfreq.schema)
         val needles = vocabRows.map(_.getString(0))
         val counted = graft.text.MultiMatch.gramCounts(haystack, needles)
+        // index → token via a broadcast join on the (bounded, already
+        // collected) vocab instead of element_at over a second literal
+        // copy of the vocabulary embedded in the plan (ADVICE r19: the
+        // literal bloats the serialized plan on top of the needles the
+        // GramCountHolder already ships). Same 1:1 mapping, same rows.
+        import spark.implicits._
+        val idxDf = needles.zipWithIndex
+          .map { case (t, i) => (i, t) }.toSeq.toDF("__i__", "token")
         val c = df.select(col(labelCol).as("label"), explode(counted).as("s"))
           .groupBy(col("label"), col("s.i").as("__i__"))
           .agg(sum(col("s.c")).as("cnt"))
-          .select(element_at(lit(needles), col("__i__") + 1).as("token"),
-            col("label"), col("cnt"))
+          .join(broadcast(idxDf), Seq("__i__"))
+          .select(col("token"), col("label"), col("cnt"))
         (vocabDf, c)
       case None =>
         val v = dfreq.orderBy(col("df").desc, col("token")).limit(vocabSize)
@@ -212,6 +228,11 @@ object NaiveBayes {
     * so label/score/margin are identical to [[predict]] with the
     * matching featurizer (ClassifierSpec differential). Callers pass the
     * exact haystack the featurizer grams over, e.g. `lower(col(text))`.
+    * A NULL haystack scores as the empty haystack (priors-only result) —
+    * exactly what [[predict]]'s UDF does for a null token array (ADVICE
+    * r19: NbScoreExpr is null-propagating, so without the coalesce a
+    * null doc got NULL label/score/margin instead of the prior fallback;
+    * ClassifierSpec pins the null row now).
     */
   def predictSubstring(df: DataFrame, model: NbModel,
       haystack: Column): DataFrame = {
@@ -219,8 +240,8 @@ object NaiveBayes {
     val holder = new NbScoreHolder(model.labels, model.priorsMicro,
       needles, needles.map(model.weights))
     df.withColumn("_nb", org.apache.spark.sql.GraftBridge.column(
-        NbScoreExpr(org.apache.spark.sql.GraftBridge.expression(haystack),
-          holder)))
+        NbScoreExpr(org.apache.spark.sql.GraftBridge.expression(
+          coalesce(haystack, lit(""))), holder)))
       .withColumn("nb_label", col("_nb.nb_label"))
       .withColumn("nb_score_micro", col("_nb.nb_score_micro"))
       .withColumn("nb_margin_micro", col("_nb.nb_margin_micro"))
@@ -232,7 +253,9 @@ object NaiveBayes {
     * Seq[String] UDF conversion, no per-token String decode. The token
     * run-scan is the same `GraftTextKernels.wordTokens` `tokensCol`
     * wraps, and the integer sums are predict's exactly (ClassifierSpec
-    * differential).
+    * differential). NULL text scores as empty text (priors-only), the
+    * same fallback [[predict]]'s UDF applies to a null token array
+    * (ADVICE r19 — see [[predictSubstring]]).
     */
   def predictTokens(df: DataFrame, model: NbModel,
       text: Column): DataFrame = {
@@ -240,8 +263,8 @@ object NaiveBayes {
     val holder = new NbTokenScoreHolder(model.labels, model.priorsMicro,
       toks, toks.map(model.weights))
     df.withColumn("_nb", org.apache.spark.sql.GraftBridge.column(
-        NbTokenScoreExpr(org.apache.spark.sql.GraftBridge.expression(text),
-          holder)))
+        NbTokenScoreExpr(org.apache.spark.sql.GraftBridge.expression(
+          coalesce(text, lit(""))), holder)))
       .withColumn("nb_label", col("_nb.nb_label"))
       .withColumn("nb_score_micro", col("_nb.nb_score_micro"))
       .withColumn("nb_margin_micro", col("_nb.nb_margin_micro"))

@@ -220,9 +220,11 @@ class ClassifierSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val m = NaiveBayes.train(corpus, "text", "label", 3)
-    // OOV-only, empty, mixed-case, unicode, repeated vocab tokens
+    // OOV-only, empty, mixed-case, unicode, repeated vocab tokens, and a
+    // NULL doc (ADVICE r19: must get predict's priors fallback, not NULL)
     val docs = Seq((1L, "a a b"), (2L, "zz qq"), (3L, ""),
-      (4L, "A a B d"), (5L, "день b день"), (6L, "c zz c"))
+      (4L, "A a B d"), (5L, "день b день"), (6L, "c zz c"),
+      (7L, null.asInstanceOf[String]))
       .toDF("id", "text")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "nb_label", "nb_score_micro", "nb_margin_micro")
@@ -244,9 +246,11 @@ class ClassifierSpec extends AnyFunSuite {
       c => NaiveBayes.charGramsCol(c, 2, 4)
     val m = NaiveBayes.train(train, "text", "lang", 300, feat)
     // mixed case (haystack must be the lowercased text), OOV-only doc,
-    // empty doc, multibyte, and the zzunseen-append shape the query uses
+    // empty doc, multibyte, the zzunseen-append shape the query uses, and
+    // a NULL doc (ADVICE r19: priors fallback, not a null-propagated row)
     val docs = Seq((1L, "Quick Foxes Jump"), (2L, "zz qq kk"), (3L, ""),
-      (4L, "быстрая лиса zzunseen"), (5L, "Der Zaun springt zzunseen"))
+      (4L, "быстрая лиса zzunseen"), (5L, "Der Zaun springt zzunseen"),
+      (6L, null.asInstanceOf[String]))
       .toDF("id", "text")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "nb_label", "nb_score_micro", "nb_margin_micro")
