@@ -476,41 +476,122 @@ object MinHashDedup {
     else None
   }
 
-  /** Shared clustering tail for every dedup variant: edge list →
-    * component-min roots → keep rows that are their own root. Driver
-    * UnionFind (mirrors minhash_deduplication.py:179-193,273-280) below
-    * `maxDriverEdges`; distributed min-label propagation above — no
-    * unconditional driver materialization anywhere.
+  /** The clustering OUTCOME, path-explicit (r20): the driver path's
+    * UnionFind map is ALREADY driver-resident and bounded (≤ 2×
+    * `maxDriverEdges` entries), so consumers that only need per-cluster
+    * aggregates — weights, size histograms, keep filters — can answer
+    * them from the map with ZERO additional shuffles instead of
+    * re-shuffling a corpus-scale (id, root) frame through groupBy/join
+    * (guide §2.4 "remove shuffles outright", §8 "decide with small
+    * rows"). The distributed path keeps its DataFrame shape — there the
+    * roots frame is NOT bounded and the corpus-scale aggregation is the
+    * honest cost.
     */
-  private[graft] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
-      maxDriverEdges: Long): DataFrame = {
+  private[graft] sealed trait Clustering
+  private[graft] object Clustering {
+    /** No candidate edges — every row is a singleton. */
+    case object Empty extends Clustering
+    /** Bounded edge set: component-min roots for every id that appears
+      * in an edge (UnionFind, reference-faithful). Ids absent from the
+      * map are singletons rooting to themselves.
+      */
+    final case class Driver(roots: Map[Long, Long]) extends Clustering
+    /** Edge set over `maxDriverEdges`: (id, root) frame from min-label
+      * propagation, one row per id that appears in an edge.
+      */
+    final case class Distributed(roots: DataFrame) extends Clustering
+  }
+
+  /** Probe + cluster an edge frame ONCE, shared by every dedup tail:
+    * bounded-head collect decides driver UnionFind vs distributed
+    * min-label (mirrors minhash_deduplication.py:179-193,273-280 on the
+    * driver path). The edge frame is persisted for the probe and
+    * released before returning — the Distributed roots frame is
+    * persisted by [[ConnectedComponents.distributed]] itself.
+    */
+  private[graft] def clusterEdges(edgesRaw: DataFrame,
+      maxDriverEdges: Long): Clustering = {
     val edges = edgesRaw.toDF("__x__", "__y__").persist()
     val headOpt = boundedEdgeHead(edges, maxDriverEdges)
     val out = if (headOpt.exists(_.isEmpty)) {
       DedupMetrics.emptyPath.incrementAndGet()
-      withId.drop(IdCol)
+      Clustering.Empty
     } else if (headOpt.isDefined) {
       DedupMetrics.driverPath.incrementAndGet()
-      val head = headOpt.get
-      val pairs = head.map(r => (r.getLong(0), r.getLong(1)))
-      val roots = ConnectedComponents.unionFindRoots(pairs)
-      val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
-      val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
-      withId.where(keepUdf(col(IdCol))).drop(IdCol)
+      val pairs = headOpt.get.map(r => (r.getLong(0), r.getLong(1)))
+      Clustering.Driver(ConnectedComponents.unionFindRoots(pairs))
     } else {
-      // 100 TB path: roots computed distributed, dropped rows removed via
-      // broadcast-able anti-join on the (id, root) pairs with root ≠ id
+      // 100 TB path: roots computed distributed — no driver
+      // materialization anywhere
       DedupMetrics.distributedPath.incrementAndGet()
-      println(s"[graft] keepFirst: edge list exceeded maxDriverEdges=" +
+      println(s"[graft] clusterEdges: edge list exceeded maxDriverEdges=" +
         s"$maxDriverEdges — distributed min-label clustering engaged")
-      val roots = ConnectedComponents.distributed(edges.toDF("id", "root"))
-      val dropped = roots.where(col("root") =!= col("id")).select("id")
-      withId.join(dropped.withColumnRenamed("id", IdCol),
-        Seq(IdCol), "left_anti").drop(IdCol)
+      Clustering.Distributed(
+        ConnectedComponents.distributed(edges.toDF("id", "root")))
     }
     edges.unpersist()
     out
   }
+
+  /** root → cluster size from a driver UnionFind map. Exact for every
+    * non-singleton cluster: the map holds one entry per id that appears
+    * in ANY edge (both endpoints are always inserted), and every such id
+    * belongs to a ≥2 cluster (edges never self-loop — both edge builders
+    * filter id ≠ min), so counting entries per resolved root counts full
+    * memberships. Ids absent from the map are singletons (size 1).
+    */
+  private[graft] def rootSizes(roots: Map[Long, Long]): Map[Long, Long] = {
+    val m = mutable.Map.empty[Long, Long]
+    roots.valuesIterator.foreach(r => m.update(r, m.getOrElse(r, 0L) + 1L))
+    m.toMap
+  }
+
+  /** (cluster_size, n_clusters) histogram of a driver clustering:
+    * non-singleton buckets from the map, singleton bucket = corpus rows
+    * minus mapped ids. Pure driver arithmetic over the bounded map — the
+    * Spark-aggregation form this replaces shuffled the corpus-scale
+    * (id, root) frame twice for the same numbers.
+    */
+  private[graft] def driverHistogram(roots: Map[Long, Long],
+      totalRows: Long): Map[Long, Long] = {
+    val hist = mutable.Map.empty[Long, Long]
+    rootSizes(roots).valuesIterator
+      .foreach(s => hist.update(s, hist.getOrElse(s, 0L) + 1L))
+    val singletons = totalRows - roots.size
+    if (singletons > 0)
+      hist.update(1L, hist.getOrElse(1L, 0L) + singletons)
+    hist.toMap
+  }
+
+  /** Local (cluster_size, n_clusters) frame with the exact schema the
+    * previous two-aggregate form produced (both columns non-nullable
+    * LongType from count()).
+    */
+  private[graft] def histogramDf(spark: org.apache.spark.sql.SparkSession,
+      hist: Map[Long, Long]): DataFrame =
+    spark.createDataFrame(hist.toSeq.sortBy(_._1))
+      .toDF("cluster_size", "n_clusters")
+
+  /** Shared clustering tail for every dedup variant: edge list →
+    * component-min roots → keep rows that are their own root. Driver
+    * UnionFind below `maxDriverEdges`; distributed min-label propagation
+    * above — no unconditional driver materialization anywhere.
+    */
+  private[graft] def keepFirst(withId: DataFrame, edgesRaw: DataFrame,
+      maxDriverEdges: Long): DataFrame =
+    clusterEdges(edgesRaw, maxDriverEdges) match {
+      case Clustering.Empty => withId.drop(IdCol)
+      case Clustering.Driver(roots) =>
+        val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
+        val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
+        withId.where(keepUdf(col(IdCol))).drop(IdCol)
+      case Clustering.Distributed(roots) =>
+        // dropped rows removed via broadcast-able anti-join on the
+        // (id, root) pairs with root ≠ id
+        val dropped = roots.where(col("root") =!= col("id")).select("id")
+        withId.join(dropped.withColumnRenamed("id", IdCol),
+          Seq(IdCol), "left_anti").drop(IdCol)
+    }
 
   /** (id, root) for EVERY row — rows in no duplicate cluster root to
     * themselves. The dedup OBSERVABILITY surface (cluster membership and
@@ -518,29 +599,27 @@ object MinHashDedup {
     * UnionFind ↔ distributed min-label crossover with [[keepFirst]].
     */
   private[graft] def componentRoots(withId: DataFrame, edgesRaw: DataFrame,
-      maxDriverEdges: Long): DataFrame = {
-    val edges = edgesRaw.toDF("__x__", "__y__").persist()
-    val headOpt = boundedEdgeHead(edges, maxDriverEdges)
+      maxDriverEdges: Long): DataFrame =
+    componentRootsOf(withId, clusterEdges(edgesRaw, maxDriverEdges))
+
+  /** The (id, root) frame of a [[Clustering]] over `withId`'s ids —
+    * zero additional shuffles on every path (projection, broadcast-map
+    * UDF, or left join against the already-persisted min-label roots).
+    */
+  private[graft] def componentRootsOf(withId: DataFrame,
+      clustering: Clustering): DataFrame = {
     val ids = withId.select(col(IdCol).as("id"))
-    val out = if (headOpt.exists(_.isEmpty)) {
-      DedupMetrics.emptyPath.incrementAndGet()
-      ids.withColumn("root", col("id"))
-    } else if (headOpt.isDefined) {
-      DedupMetrics.driverPath.incrementAndGet()
-      val pairs = headOpt.get.map(r => (r.getLong(0), r.getLong(1)))
-      val roots = ConnectedComponents.unionFindRoots(pairs)
-      val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
-      val rootUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) }
-      ids.withColumn("root", rootUdf(col("id")))
-    } else {
-      DedupMetrics.distributedPath.incrementAndGet()
-      val roots = ConnectedComponents.distributed(edges)
-        .withColumnRenamed("id", "__rid__")
-      ids.join(roots, ids("id") === col("__rid__"), "left")
-        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+    clustering match {
+      case Clustering.Empty => ids.withColumn("root", col("id"))
+      case Clustering.Driver(roots) =>
+        val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
+        val rootUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) }
+        ids.withColumn("root", rootUdf(col("id")))
+      case Clustering.Distributed(ccRoots) =>
+        val roots = ccRoots.withColumnRenamed("id", "__rid__")
+        ids.join(roots, ids("id") === col("__rid__"), "left")
+          .select(col("id"), coalesce(col("root"), col("id")).as("root"))
     }
-    edges.unpersist()
-    out
   }
 
   /** Cluster-size histogram of the near-dup clustering over `column`:
@@ -561,13 +640,30 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
+    val spark = withId.sparkSession
     val out = withCacheRelease { sink =>
-      componentRoots(withId,
+      clusterEdges(
         candidateEdges(withId, column, cfg, bandedSink, Some(sink)),
-        maxDriverEdges)
-        .groupBy("root").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .localCheckpoint(true)
+        maxDriverEdges) match {
+        // r20: on the bounded paths the histogram is pure driver
+        // arithmetic over the UnionFind map plus ONE count() of the
+        // cached corpus — replacing a rootUdf scan shuffled through TWO
+        // corpus-scale aggregations (groupBy root never reduces
+        // map-side: singleton roots are unique keys, so that exchange
+        // carried ~|corpus| rows). Values identical (driverHistogram
+        // counts the same memberships), spec- and oracle-pinned.
+        case Clustering.Empty =>
+          val total = withId.count()
+          histogramDf(spark,
+            if (total > 0) Map(1L -> total) else Map.empty)
+        case Clustering.Driver(roots) =>
+          histogramDf(spark, driverHistogram(roots, withId.count()))
+        case Clustering.Distributed(ccRoots) =>
+          componentRootsOf(withId, Clustering.Distributed(ccRoots))
+            .groupBy("root").agg(count(lit(1)).as("cluster_size"))
+            .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+            .localCheckpoint(true)
+      }
     }
     withId.unpersist()
     out
@@ -599,52 +695,41 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): (DataFrame, DataFrame) = {
     val withId = assignId(df, orderCol)
+    val spark = withId.sparkSession
     val res = withCacheRelease { cacheSink =>
-    val edges = candidateEdges(withId, column, cfg, bandedSink,
-        Some(cacheSink))
-      .toDF("__x__", "__y__").persist()
-    val headOpt = boundedEdgeHead(edges, maxDriverEdges)
-    val ids = withId.select(col(IdCol).as("id"))
-    val out = if (headOpt.exists(_.isEmpty)) {
-      DedupMetrics.emptyPath.incrementAndGet()
-      val stats = ids.agg(count(lit(1)).as("n_clusters"))
-        .select(lit(1L).as("cluster_size"), col("n_clusters"))
-        .where(col("n_clusters") > 0L)
-        .localCheckpoint(true)
-      (withId.drop(IdCol), stats)
-    } else if (headOpt.isDefined) {
-      DedupMetrics.driverPath.incrementAndGet()
-      val pairs = headOpt.get.map(r => (r.getLong(0), r.getLong(1)))
-      val roots = ConnectedComponents.unionFindRoots(pairs)
-      val bRoots = withId.sparkSession.sparkContext.broadcast(roots)
-      val keepUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
-      val rootUdf = udf { (id: Long) => bRoots.value.getOrElse(id, id) }
-      val kept = withId.where(keepUdf(col(IdCol))).drop(IdCol)
-      val stats = ids.withColumn("root", rootUdf(col("id")))
-        .groupBy("root").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .localCheckpoint(true)
-      (kept, stats)
-    } else {
-      DedupMetrics.distributedPath.incrementAndGet()
-      println(s"[graft] deduplicateWithStats: edge list exceeded " +
-        s"maxDriverEdges=$maxDriverEdges — distributed min-label " +
-        "clustering engaged")
-      val ccRoots = ConnectedComponents.distributed(edges)
-        .withColumnRenamed("id", "__rid__")
-      val roots = ids.join(ccRoots, ids("id") === col("__rid__"), "left")
-        .select(col("id"), coalesce(col("root"), col("id")).as("root"))
-        .localCheckpoint(true)
-      val dropped = roots.where(col("root") =!= col("id"))
-        .select(col("id").as(IdCol))
-      val kept = withId.join(dropped, Seq(IdCol), "left_anti").drop(IdCol)
-      val stats = roots.groupBy("root").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .localCheckpoint(true)
-      (kept, stats)
-    }
-    edges.unpersist()
-    out
+      clusterEdges(
+        candidateEdges(withId, column, cfg, bandedSink, Some(cacheSink)),
+        maxDriverEdges) match {
+        case Clustering.Empty =>
+          val total = withId.count()
+          val stats = histogramDf(spark,
+            if (total > 0) Map(1L -> total) else Map.empty)
+          (withId.drop(IdCol), stats)
+        case Clustering.Driver(roots) =>
+          // r20: kept filter unchanged (the zero-shuffle broadcast-map
+          // plan the flagship PlanSpec pins); the histogram moves to
+          // driver arithmetic + one cached count() — see
+          // [[clusterSizeStats]] for the shuffle accounting.
+          val bRoots = spark.sparkContext.broadcast(roots)
+          val keepUdf =
+            udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
+          val kept = withId.where(keepUdf(col(IdCol))).drop(IdCol)
+          val stats = histogramDf(spark,
+            driverHistogram(roots, withId.count()))
+          (kept, stats)
+        case Clustering.Distributed(ccRoots) =>
+          val roots = componentRootsOf(withId,
+            Clustering.Distributed(ccRoots)).localCheckpoint(true)
+          val dropped = roots.where(col("root") =!= col("id"))
+            .select(col("id").as(IdCol))
+          val kept = withId.join(dropped, Seq(IdCol), "left_anti")
+            .drop(IdCol)
+          val stats = roots.groupBy("root")
+            .agg(count(lit(1)).as("cluster_size"))
+            .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+            .localCheckpoint(true)
+          (kept, stats)
+      }
     }
     // NO releasePinIf here, deliberately: this is a TWO-consumer API —
     // stats materialize eagerly inside the call (reading the corpus
@@ -705,16 +790,44 @@ object MinHashDedup {
       orderCol: Option[String] = None,
       bandedSink: Option[String] = None): DataFrame = {
     val withId = assignId(df, orderCol)
-    val weights = withCacheRelease { sink =>
-      componentRoots(withId,
+    val out = withCacheRelease { sink =>
+      clusterEdges(
         candidateEdges(withId, column, cfg, bandedSink, Some(sink)),
-        maxDriverEdges)
+        maxDriverEdges) match {
+        case Clustering.Empty =>
+          withId.withColumn("weight", lit(1L)).drop(IdCol)
+        case Clustering.Driver(roots) =>
+          // r20: weights from the driver map — keep filter + weight
+          // column are broadcast-map UDFs, zero shuffles, identical
+          // values to the groupBy(root)+join form this replaces (which
+          // exchanged ~|corpus| rows: singleton roots are unique agg
+          // keys, so map-side partial aggregation never reduced them,
+          // then joined the kept-sized weight frame back corpus-wide).
+          // A row survives iff it is its cluster's representative; its
+          // weight is its cluster size (absent from the map =
+          // singleton, weight 1).
+          val sc = withId.sparkSession.sparkContext
+          val bRoots = sc.broadcast(roots)
+          val bSizes = sc.broadcast(rootSizes(roots))
+          val keepUdf =
+            udf { (id: Long) => bRoots.value.getOrElse(id, id) == id }
+          val weightUdf =
+            udf { (id: Long) => bSizes.value.getOrElse(id, 1L) }
+              .asNonNullable()
+          withId.where(keepUdf(col(IdCol)))
+            .withColumn("weight", weightUdf(col(IdCol))).drop(IdCol)
+        case Clustering.Distributed(ccRoots) =>
+          // corpus-scale clustering: weights honestly need the
+          // aggregation — same shape as before
+          val weights = componentRootsOf(withId,
+            Clustering.Distributed(ccRoots))
+            .groupBy("root").agg(count(lit(1)).as("weight"))
+            .withColumnRenamed("root", IdCol)
+          // inner join on id == root: a row survives iff it is its
+          // cluster's representative (singletons root to themselves)
+          withId.join(weights, Seq(IdCol)).drop(IdCol)
+      }
     }
-      .groupBy("root").agg(count(lit(1)).as("weight"))
-      .withColumnRenamed("root", IdCol)
-    // inner join on id == root: a row survives iff it is its cluster's
-    // representative (singletons root to themselves)
-    val out = withId.join(weights, Seq(IdCol)).drop(IdCol)
     releasePinIf(withId, orderCol)
     out
   }

@@ -244,6 +244,45 @@ class DedupInvariantSpec extends AnyFunSuite {
     assert(viaRoots == hard)
   }
 
+  test("r20 driver-map tails: weighted + stats identical across " +
+      "driver and distributed paths") {
+    // the r20 optimization answers weights and the size histogram from
+    // the driver-resident UnionFind map (zero shuffles) on the bounded
+    // path; maxDriverEdges = 0 forces the distributed path over the SAME
+    // corpus — outputs must be value-identical
+    val cfg = MinHashConfig(ngramSize = 3, minNgramSize = 3)
+    val corpus = corpusWithDupes
+    def wMap(maxE: Long) = MinHashDedup.deduplicateWeighted(
+        corpus, "text", cfg, maxDriverEdges = maxE,
+        orderCol = Some("doc_id"))
+      .select("doc_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wDriver = wMap(10_000_000L)
+    val wDist = wMap(0L)
+    assert(wDriver == wDist,
+      s"weighted path divergence: driver-only=${wDriver.toSet -- wDist.toSet}" +
+        s" dist-only=${wDist.toSet -- wDriver.toSet}")
+    def hMap(maxE: Long) = MinHashDedup.clusterSizeStats(
+        corpus, "text", cfg, maxDriverEdges = maxE,
+        orderCol = Some("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hDriver = hMap(10_000_000L)
+    val hDist = hMap(0L)
+    assert(hDriver == hDist, s"histogram divergence: $hDriver vs $hDist")
+    // schema parity of the driver-path local frames with the
+    // aggregate-form frames the distributed path still produces
+    val sDriver = MinHashDedup.clusterSizeStats(
+      corpus, "text", cfg, orderCol = Some("doc_id")).schema
+    val sDist = MinHashDedup.clusterSizeStats(
+      corpus, "text", cfg, maxDriverEdges = 0L,
+      orderCol = Some("doc_id")).schema
+    assert(sDriver.map(f => (f.name, f.dataType)) ==
+      sDist.map(f => (f.name, f.dataType)))
+    // weights conserve the corpus on both paths
+    assert(wDriver.values.sum == corpus.count())
+    assert(hDriver.map { case (s, n) => s * n }.sum == corpus.count())
+  }
+
   test("flagship audited dedup: stats on, exactly ONE clustering executed") {
     // VERDICT r8 #5: the flagship config now sets audit_stats, so its
     // dedup gate must go through deduplicateWithStats — histogram logged
