@@ -81,7 +81,9 @@ object EditDistanceDedup {
     val text = coalesce(col(column), lit(""))
     val sig = MinHashDedup.signatureColumn(cfg.copy(ngramSize = n,
       minNgramSize = n))
-    val shingleable = size(split(text, "[^A-Za-z_0-9]", -1)) >= n
+    // r20: early-exit fused gate (no token-array materialization) —
+    // ≡ size(split(text, "[^A-Za-z_0-9]", -1)) >= n, FusedTextSpec
+    val shingleable = graft.text.FusedText.nonAlphaPartsAtLeast(text, n)
     val base = withId.where(shingleable)
     val par = spark.sparkContext.defaultParallelism
     val srcFiles = withId.inputFiles.length

@@ -961,8 +961,11 @@ object MinHashDedup {
     //    the (now much smaller, evenly re-partitioned) banding stage.
     //    The sentinel "\u0000" is itself a short text, so a real doc
     //    equal to it lands in the same class it belongs to anyway.
+    // r20: early-exit fused gate ≡ size(split(text, "[^A-Za-z_0-9]",
+    // -1)) < minNgramSize without materializing the token array per row
+    // (FusedTextSpec differential); text is already null-coalesced
     val isShort =
-      size(split(text, "[^A-Za-z_0-9]", -1)) < cfg.minNgramSize
+      !graft.text.FusedText.nonAlphaPartsAtLeast(text, cfg.minNgramSize)
     val classKey = when(isShort, lit("\u0000")).otherwise(text)
     // explicit key repartition: pins the signature stage's parallelism
     // (AQE would coalesce this small shuffle to 1-2 partitions and run

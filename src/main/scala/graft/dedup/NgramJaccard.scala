@@ -136,7 +136,9 @@ object NgramJaccard {
       minNgramSize = n, threshold = threshold))
     // Short docs can never verify (empty gram set ⇒ Jaccard 0 < threshold):
     // skip banding for them instead of materializing the degenerate bucket.
-    val shingleable = size(split(text, "[^A-Za-z_0-9]", -1)) >= n
+    // r20: early-exit fused gate (no token-array materialization) —
+    // ≡ size(split(text, "[^A-Za-z_0-9]", -1)) >= n, FusedTextSpec
+    val shingleable = graft.text.FusedText.nonAlphaPartsAtLeast(text, n)
     val base = withId.where(shingleable)
     // the signature UDF is the CPU hot path; a small parquet input arrives
     // as 1-2 splits, which would serialize it — spread AFTER id assignment

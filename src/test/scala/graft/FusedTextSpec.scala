@@ -285,6 +285,39 @@ class FusedTextSpec extends AnyFunSuite {
     }
   }
 
+  test("nonAlphaPartsAtLeast ≡ size(split(.., non-alpha, -1)) >= k, " +
+      "JVM and Spark differentials") {
+    import graft.text.{FusedText, GraftTextKernels}
+    val wordy = Seq("foo bar baz_qux 123", "one,two;three", "a_b_c",
+      "word", "tab\tsep", "é é é é é", "😀 😀 😀", "five words are not here",
+      "x" * 500 + " tail", ("w " * 600).trim)
+    val corpus = (hostile ++ wordy).distinct
+    // JVM reference: Java regex split, the exact engine Spark's split uses
+    corpus.foreach { s =>
+      val parts = java.util.regex.Pattern.compile("[^A-Za-z_0-9]")
+        .split(s, -1).length
+      Seq(1, 2, 3, 5, 8).foreach { k =>
+        assert(GraftTextKernels.nonAlphaPartsAtLeast(u(s), k) ===
+          (parts >= k),
+          s"k=$k parts=$parts for ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+      }
+    }
+    // Spark differential incl. null propagation through the coalesce
+    // pattern the dedup trunks use
+    val rows = (corpus :+ null).map(org.apache.spark.sql.Row(_))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("text", StringType))))
+    Seq(1, 3, 5).foreach { k =>
+      val t = coalesce(col("text"), lit(""))
+      val got = df.select(
+        FusedText.nonAlphaPartsAtLeast(t, k).as("fused"),
+        (size(split(t, "[^A-Za-z_0-9]", -1)) >= k).as("composed")).collect()
+      got.foreach(r =>
+        assert(r.getBoolean(0) === r.getBoolean(1), s"k=$k row $r"))
+    }
+  }
+
   test("c4CleanLines matches the composed line-gate, null included") {
     val lines = Seq(
       "this line has five words.", "this line has five words",
